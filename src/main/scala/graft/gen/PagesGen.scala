@@ -1,0 +1,224 @@
+package graft.gen
+
+import graft.model.PageRow
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+/** Deterministic synthetic page corpus (FIXTURES.md §1).
+  *
+  * All randomness derives from splitmix64 over (seed, row index) so
+  * generation is order-free and reproducible on any partitioning — no wall
+  * clock, no shared RNG state (SURVEY §7.4 hard part #3).
+  *
+  * Produces Common-Crawl-shaped rows `(url, warc_ts, html, text, lang)`
+  * plus the expected extracted main text (the golden the kernel must
+  * reproduce byte-identically).
+  */
+object PagesGen {
+
+  // ------------------------------------------------------------- randomness
+
+  /** splitmix64 — public-domain PRNG step (Steele et al.). */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def u01(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
+
+  // ------------------------------------------------------------- vocabulary
+
+  private val Words: Array[String] = Array(
+    "spark", "join", "filter", "window", "stream", "batch", "merge", "sort",
+    "table", "column", "vector", "query", "group", "order", "value", "hash",
+    "scan", "data", "line", "page", "text", "block", "token", "parse",
+    "crawl", "shard", "byte", "fetch", "index", "cache", "score", "prune",
+    "node", "tree", "span", "chunk", "frame", "field", "count", "shuffle")
+
+  private val ArabicWords: Array[String] = Array(
+    "بيانات", "نص", "صفحة", "جدول", "تحليل", "فهرس", "مستند", "سطر")
+
+  private def word(h: Long, arabic: Boolean): String =
+    if (arabic) ArabicWords(((h >>> 17) % ArabicWords.length).toInt.abs)
+    else Words(((h >>> 17) % Words.length).toInt.abs)
+
+  def sentence(seed: Long, nWords: Int, arabic: Boolean = false): String = {
+    val sb = new java.lang.StringBuilder(nWords * 6)
+    var i = 0
+    while (i < nWords) {
+      if (i > 0) sb.append(' ')
+      sb.append(word(mix(seed + i), arabic))
+      i += 1
+    }
+    sb.toString
+  }
+
+  // ----------------------------------------------------------- HTML escapes
+
+  def escapeHtml(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  // ---------------------------------------------------------- HTML template
+
+  /** Boilerplate chrome (nav bars, link lists, cookie banner, footer — high
+    * link density / negative-hint classes) wrapping a positive-hint main
+    * block. The extractor must strip every chrome element (boilerplate-strip
+    * monotonicity property, SURVEY §5.2).
+    */
+  def htmlPage(paragraphs: Seq[String], heading: Option[String], seed: Long): String = {
+    val h = mix(seed)
+    val navLinks = (0 until 6).map { k =>
+      s"""<a href="/s/$k">${word(mix(h + k), arabic = false)}</a>"""
+    }.mkString(" ")
+    val sideLinks = (0 until 8).map { k =>
+      s"""<li><a href="/t/$k">${sentence(h + 100 + k, 2)}</a></li>"""
+    }.mkString("\n")
+    val body = new StringBuilder(1024)
+    body ++= "<!doctype html>\n<html>\n<head>\n"
+    body ++= s"<title>${sentence(h + 1, 3)}</title>\n"
+    body ++= "<meta charset=\"utf-8\">\n<style>.x{color:red}</style>\n"
+    body ++= "<script>var t = 1 < 2 && \"</div>\";</script>\n"
+    body ++= "</head>\n<body>\n"
+    body ++= s"<header><h1>${sentence(h + 2, 2)}</h1><nav>$navLinks</nav></header>\n"
+    body ++= s"""<div class="cookie-banner">${sentence(h + 3, 12)} <a href="/accept">OK</a></div>\n"""
+    body ++= s"""<div class="breadcrumb"><a href="/">home</a> &gt; <a href="/c">${word(h + 4, arabic = false)}</a></div>\n"""
+    body ++= s"""<aside class="sidebar"><ul>$sideLinks</ul></aside>\n"""
+    body ++= s"""<p><a href="/promo">${sentence(h + 5, 4)}</a></p>\n"""
+    body ++= "<main class=\"content\">\n"
+    heading.foreach(t => body ++= s"<h2>${escapeHtml(t)}</h2>\n")
+    paragraphs.foreach(p => body ++= s"<p>${escapeHtml(p)}</p>\n")
+    body ++= "</main>\n"
+    body ++= s"""<div class="related"><ul><li><a href="/r/1">${sentence(h + 6, 3)}</a></li></ul></div>\n"""
+    body ++= s"<footer>${sentence(h + 7, 8)} &copy; 2025 <a href=\"/legal\">legal</a></footer>\n"
+    body ++= "<!-- comment with <p>fake</p> markup -->\n"
+    body ++= "</body>\n</html>\n"
+    body.toString
+  }
+
+  /** Expected main text for [[htmlPage]]: heading + paragraphs, '\n'-joined. */
+  def htmlExpected(paragraphs: Seq[String], heading: Option[String]): String =
+    (heading.toSeq ++ paragraphs).mkString("\n")
+
+  // ------------------------------------------------------------ PDF builder
+
+  /** Escape a PDF literal string. */
+  private def escapePdf(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** Minimal single-xref-free PDF: one content stream per page, text shown
+    * with Tj at descending y (14pt leading over a 12pt font so the
+    * y-cluster rule separates lines). `compress` exercises FlateDecode.
+    */
+  def pdfBytes(pageLines: Seq[Seq[String]], compress: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = pageLines.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pageLines.length} >> endobj\n")
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      w(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents $contObj 0 R /Resources << /Font << /F1 << /Type /Font " +
+        "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n")
+      val cs = new java.lang.StringBuilder(256)
+      cs.append("BT /F1 12 Tf 72 720 Td 14 TL\n")
+      lines.zipWithIndex.foreach { case (line, j) =>
+        if (j > 0) cs.append("T*\n")
+        cs.append(s"(${escapePdf(line)}) Tj\n")
+      }
+      cs.append("ET\n")
+      // PDF string bytes are Latin-1; non-Latin-1 chars are out of the
+      // minimal kernel's scope and must not appear in generated PDFs.
+      val raw = cs.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val payload =
+        if (compress) {
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val buf = new java.io.ByteArrayOutputStream(raw.length)
+          val chunk = new Array[Byte](8192)
+          while (!d.finished()) buf.write(chunk, 0, d.deflate(chunk))
+          d.end()
+          buf.toByteArray
+        } else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      w(s"$contObj 0 obj << /Length ${payload.length}$filter >> stream\n")
+      out.write(payload)
+      w("\nendstream endobj\n")
+    }
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------- corpus assembly
+
+  final case class GenPage(row: PageRow, expected: String, kind: String)
+
+  private val Epoch = 1735689600000L // 2025-01-01T00:00:00Z
+
+  /** Zipf-ish host skew: cubing the uniform pushes mass onto low host ids
+    * so salting is actually exercised (SURVEY §7.4 hard part #4).
+    */
+  def hostOf(h: Long, hosts: Int): Int = {
+    val u = u01(h)
+    math.min(hosts - 1, (hosts * u * u * u).toInt)
+  }
+
+  /** Generate row `i` of the corpus. Mix (FIXTURES.md): ~90% HTML, ~8% PDF
+    * (half Flate-compressed, some multi-page), ~2% degenerate (empty html →
+    * `text` passthrough).
+    */
+  def genPage(i: Long, seed: Long, hosts: Int = 50): GenPage = {
+    val h0 = mix(seed ^ (i * 0x9E3779B97F4A7C15L + 1))
+    val host = hostOf(mix(h0 + 1), hosts)
+    val url = s"https://host-$host.example/p/$i"
+    val ts = new Timestamp(Epoch + (mix(h0 + 2) >>> 40) % (30L * 86400 * 1000))
+    val kindU = u01(mix(h0 + 3))
+    val arabic = u01(mix(h0 + 4)) < 0.1
+    val lang = if (arabic) "ar" else "en"
+    if (kindU < 0.90) {
+      val nPara = 1 + (mix(h0 + 5) >>> 33 % 7).toInt % 6
+      val paragraphs = (0 until nPara).map { p =>
+        val n = 5 + (mix(h0 + 10 + p) >>> 33).toInt.abs % 56
+        sentence(h0 + 20 + p * 31, n, arabic && p % 2 == 0)
+      }
+      val heading = if (u01(mix(h0 + 6)) < 0.5) Some(sentence(h0 + 7, 4)) else None
+      val html = htmlPage(paragraphs, heading, h0 + 8)
+      GenPage(PageRow(url, ts, html.getBytes(UTF_8), "", lang),
+        htmlExpected(paragraphs, heading), "html")
+    } else if (kindU < 0.98) {
+      val nPages = if (u01(mix(h0 + 5)) < 0.2) 2 else 1
+      val pages = (0 until nPages).map { p =>
+        val nLines = 2 + (mix(h0 + 30 + p) >>> 33).toInt.abs % 6
+        (0 until nLines).map(l => sentence(h0 + 40 + p * 17 + l * 3,
+          3 + (mix(h0 + 50 + l) >>> 33).toInt.abs % 8))
+      }
+      val compress = u01(mix(h0 + 9)) < 0.5
+      val pdf = pdfBytes(pages, compress)
+      GenPage(PageRow(url, ts, pdf, "", "en"),
+        pages.map(_.mkString("\n")).mkString("\n"), "pdf")
+    } else {
+      val passText = if (u01(mix(h0 + 5)) < 0.5) sentence(h0 + 11, 12) else ""
+      GenPage(PageRow(url, ts, Array.emptyByteArray, passText, lang), passText,
+        if (passText.isEmpty) "empty" else "passthrough")
+    }
+  }
+
+  def corpus(n: Int, seed: Long = 42L, hosts: Int = 50): IndexedSeq[GenPage] =
+    (0 until n).map(i => genPage(i.toLong, seed, hosts))
+}

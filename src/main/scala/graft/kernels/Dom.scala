@@ -1,0 +1,120 @@
+package graft.kernels
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+/** Lightweight immutable array-backed DOM (SURVEY.md §7.1 "DOM builder").
+  *
+  * Nodes are stored in document order with parent pointers; traversal
+  * reconstructs the ancestor stack linearly, so no per-node child lists are
+  * allocated (allocation matters at 10^12 pages). Tag-name strings are the
+  * tokenizer's lowercase names; `hint` carries the class/id boilerplate
+  * signal (readability-style "unlikely candidates" heuristic).
+  */
+final class Dom(
+    val size: Int,
+    val kind: Array[Byte], // 0 = element, 1 = text
+    val name: Array[String], // element name, null for text
+    val hint: Array[Byte], // 0 none, 1 positive, 2 negative
+    val parent: Array[Int], // -1 for roots
+    val text: Array[String]) // text content, null for elements
+
+object Dom {
+  final val Elem: Byte = 0
+  final val Text: Byte = 1
+  final val HintNone: Byte = 0
+  final val HintPos: Byte = 1
+  final val HintNeg: Byte = 2
+
+  // readability.js-style class/id vocabularies (public algorithm), tuned
+  // down to the boilerplate families our corpus exercises.
+  private val Neg = Pattern.compile(
+    "nav|menu|footer|banner|cookie|consent|sidebar|share|social|comment|" +
+      "breadcrumb|related|widget|promo|advert|\\bad\\b|\\bads\\b|sponsor|" +
+      "masthead|pagination|pager|popup|modal|subscribe|newsletter|skip|" +
+      "disclaimer|legal|copyright")
+  private val Pos = Pattern.compile(
+    "\\barticle\\b|\\bcontent\\b|\\bmain\\b|\\bpost\\b|\\bentry\\b|" +
+      "\\bstory\\b|\\bbody-?text\\b|\\btext-?body\\b|\\bpage-?body\\b")
+
+  def hintOf(classId: String): Byte = {
+    if (classId == null || classId.isEmpty) return HintNone
+    val lc = classId.toLowerCase(java.util.Locale.ROOT)
+    if (Neg.matcher(lc).find()) HintNeg
+    else if (Pos.matcher(lc).find()) HintPos
+    else HintNone
+  }
+
+  /** Elements whose open implies closing an open `p` (HTML5 tolerance). */
+  private val ClosesP: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+    "table", "blockquote", "pre", "section", "article", "aside", "nav",
+    "header", "footer", "main", "form", "hr", "figure", "dl")
+
+  /** Streaming DOM builder: implements the tokenizer sink. */
+  final class Builder extends HtmlTokenizer.Sink {
+    private val kinds = new ArrayBuffer[Byte](64)
+    private val names = new ArrayBuffer[String](64)
+    private val hints = new ArrayBuffer[Byte](64)
+    private val parents = new ArrayBuffer[Int](64)
+    private val texts = new ArrayBuffer[String](64)
+    // open-element stack: node indices
+    private var stack = new Array[Int](32)
+    private var stackNames = new Array[String](32)
+    private var sp = 0
+
+    private def top: String = if (sp == 0) null else stackNames(sp - 1)
+    private def push(idx: Int, n: String): Unit = {
+      if (sp == stack.length) {
+        stack = java.util.Arrays.copyOf(stack, sp * 2)
+        stackNames = java.util.Arrays.copyOf(stackNames, sp * 2)
+      }
+      stack(sp) = idx; stackNames(sp) = n; sp += 1
+    }
+
+    private def addNode(k: Byte, n: String, h: Byte, t: String): Int = {
+      val idx = kinds.length
+      kinds += k; names += n; hints += h
+      parents += (if (sp == 0) -1 else stack(sp - 1))
+      texts += t
+      idx
+    }
+
+    override def open(name: String, classId: String, selfClosing: Boolean): Unit = {
+      // implied end tags (tolerant parsing)
+      if (sp > 0) {
+        val t = top
+        if (t == "p" && ClosesP.contains(name)) sp -= 1
+        else if (t == "li" && name == "li") sp -= 1
+        else if ((t == "td" || t == "th") && (name == "td" || name == "th" || name == "tr")) sp -= 1
+        else if (t == "tr" && name == "tr") sp -= 1
+        else if (t == "option" && name == "option") sp -= 1
+        else if (t == "dd" && (name == "dd" || name == "dt")) sp -= 1
+        else if (t == "dt" && (name == "dd" || name == "dt")) sp -= 1
+      }
+      val idx = addNode(Elem, name, hintOf(classId), null)
+      if (!selfClosing) push(idx, name)
+    }
+
+    override def close(name: String): Unit = {
+      // find matching open element; ignore unmatched close tags
+      var i = sp - 1
+      while (i >= 0 && stackNames(i) != name) i -= 1
+      if (i >= 0) sp = i
+    }
+
+    override def text(s: String): Unit = {
+      if (s.nonEmpty) { addNode(Text, null, HintNone, s); () }
+    }
+
+    def result(): Dom =
+      new Dom(kinds.length, kinds.toArray, names.toArray, hints.toArray,
+        parents.toArray, texts.toArray)
+  }
+
+  def parse(html: String): Dom = {
+    val b = new Builder
+    HtmlTokenizer.tokenize(html, b)
+    b.result()
+  }
+}

@@ -1,0 +1,255 @@
+package graft.kernels
+
+/** Spec-light HTML5-ish lexer (SURVEY.md §7.1 `htmlkernel`).
+  *
+  * The reference consumed OCR'd positional text (azure_ocr.py:129-137); our
+  * input is raw HTML bytes, so the first stage is a deterministic tokenizer:
+  * tags + attributes (only `class`/`id` retained, as boilerplate hints),
+  * text with entity decoding, comment/doctype skipping, and raw-text modes
+  * for script/style/textarea/title/xmp.
+  *
+  * Totality: never throws on arbitrary input (property-tested in
+  * HtmlKernelSpec); garbage degrades to text.
+  *
+  * Zero Spark imports — pure Scala so it unit-tests without a session and
+  * runs inside `mapPartitions` with no driver involvement.
+  */
+object HtmlTokenizer {
+
+  /** Push-based sink: the DOM builder implements this. Avoids materializing
+    * a token buffer per page (the hot path at 10^12 rows).
+    */
+  trait Sink {
+    def open(name: String, classId: String, selfClosing: Boolean): Unit
+    def close(name: String): Unit
+    def text(s: String): Unit
+  }
+
+  private val VoidTags: Set[String] = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr")
+
+  /** Elements whose content is raw text (no tag parsing until `</name`). */
+  private val RawText: Set[String] =
+    Set("script", "style", "textarea", "title", "xmp", "noframes")
+
+  def isVoid(name: String): Boolean = VoidTags.contains(name)
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** Decode one entity starting at `&` (index i). Returns (decoded, nextIdx);
+    * on failure returns ("&", i+1). Handles numeric + the named entities that
+    * matter for text fidelity; unknown entities pass through verbatim.
+    */
+  private def decodeEntity(s: String, i: Int, out: java.lang.StringBuilder): Int = {
+    val n = s.length
+    var j = i + 1
+    if (j < n && s.charAt(j) == '#') {
+      j += 1
+      var hex = false
+      if (j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) { hex = true; j += 1 }
+      var v = 0
+      var digits = 0
+      var k = j
+      while (k < n && digits < 7 && {
+        val c = s.charAt(k)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (d >= 0) { v = v * (if (hex) 16 else 10) + d; digits += 1; true } else false
+      }) k += 1
+      if (digits > 0 && k < n && s.charAt(k) == ';') {
+        if (v >= 0x20 || v == '\n' || v == '\t' || v == '\r') {
+          if (v <= 0xFFFF) out.append(v.toChar)
+          else if (v <= 0x10FFFF) out.appendCodePoint(v)
+          else out.append('�')
+        } else out.append('�')
+        k + 1
+      } else { out.append('&'); i + 1 }
+    } else {
+      // named entity: scan up to 10 alnum chars then ';'
+      var k = j
+      while (k < n && k - j < 10 && {
+        val c = s.charAt(k); isAsciiLetter(c) || (c >= '0' && c <= '9')
+      }) k += 1
+      if (k < n && k > j && s.charAt(k) == ';') {
+        val name = s.substring(j, k)
+        val rep = name match {
+          case "amp"    => "&"
+          case "lt"     => "<"
+          case "gt"     => ">"
+          case "quot"   => "\""
+          case "apos"   => "'"
+          case "nbsp"   => " "
+          case "copy"   => "©"
+          case "reg"    => "®"
+          case "trade"  => "™"
+          case "mdash"  => "—"
+          case "ndash"  => "–"
+          case "hellip" => "…"
+          case "lsquo"  => "‘"
+          case "rsquo"  => "’"
+          case "ldquo"  => "“"
+          case "rdquo"  => "”"
+          case "bull"   => "•"
+          case "middot" => "·"
+          case "laquo"  => "«"
+          case "raquo"  => "»"
+          case "times"  => "×"
+          case "shy"    => ""
+          case _        => null
+        }
+        if (rep != null) { out.append(rep); k + 1 }
+        else { out.append('&'); i + 1 }
+      } else { out.append('&'); i + 1 }
+    }
+  }
+
+  /** Main entry. `html` is already UTF-8 decoded by the caller. */
+  def tokenize(html: String, sink: Sink): Unit = {
+    val n = html.length
+    var i = 0
+    val text = new java.lang.StringBuilder(256)
+
+    def flushText(): Unit =
+      if (text.length > 0) { sink.text(text.toString); text.setLength(0) }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '&') {
+        i = decodeEntity(html, i, text)
+      } else if (c != '<') {
+        text.append(c)
+        i += 1
+      } else if (i + 1 >= n) {
+        text.append('<'); i += 1
+      } else {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          flushText()
+          if (html.startsWith("<!--", i)) {
+            val end = html.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else { // doctype, CDATA, other <! ... >
+            val end = html.indexOf('>', i + 2)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c1 == '?') { // processing instruction
+          flushText()
+          val end = html.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
+        } else if (c1 == '/') {
+          flushText()
+          var j = i + 2
+          val nameSb = new java.lang.StringBuilder(8)
+          while (j < n && { val ch = html.charAt(j); isAsciiLetter(ch) || (ch >= '0' && ch <= '9') }) {
+            nameSb.append(lower(html.charAt(j))); j += 1
+          }
+          while (j < n && html.charAt(j) != '>') j += 1
+          i = if (j < n) j + 1 else n
+          if (nameSb.length > 0) sink.close(nameSb.toString)
+        } else if (isAsciiLetter(c1)) {
+          flushText()
+          i = parseOpenTag(html, i, sink)
+        } else { // stray '<'
+          text.append('<'); i += 1
+        }
+      }
+    }
+    flushText()
+  }
+
+  /** Parse an open tag starting at `<`; returns index after the tag (and
+    * after raw-text content + its close tag for raw-text elements).
+    */
+  private def parseOpenTag(html: String, start: Int, sink: Sink): Int = {
+    val n = html.length
+    var i = start + 1
+    val nameSb = new java.lang.StringBuilder(8)
+    while (i < n && { val ch = html.charAt(i); isAsciiLetter(ch) || (ch >= '0' && ch <= '9') }) {
+      nameSb.append(lower(html.charAt(i))); i += 1
+    }
+    val name = nameSb.toString
+    var classId: String = ""
+    var selfClosing = false
+    // attribute loop
+    var done = false
+    while (!done && i < n) {
+      // skip whitespace
+      while (i < n && html.charAt(i).isWhitespace) i += 1
+      if (i >= n) done = true
+      else {
+        val ch = html.charAt(i)
+        if (ch == '>') { i += 1; done = true }
+        else if (ch == '/' && i + 1 < n && html.charAt(i + 1) == '>') {
+          selfClosing = true; i += 2; done = true
+        } else if (ch == '/') { i += 1 }
+        else {
+          // attr name
+          val an = new java.lang.StringBuilder(8)
+          while (i < n && { val a = html.charAt(i)
+            a != '=' && a != '>' && a != '/' && !a.isWhitespace }) {
+            an.append(lower(html.charAt(i))); i += 1
+          }
+          while (i < n && html.charAt(i).isWhitespace) i += 1
+          var av: String = null
+          if (i < n && html.charAt(i) == '=') {
+            i += 1
+            while (i < n && html.charAt(i).isWhitespace) i += 1
+            if (i < n) {
+              val q = html.charAt(i)
+              if (q == '"' || q == '\'') {
+                val end = html.indexOf(q, i + 1)
+                if (end < 0) { av = html.substring(i + 1); i = n }
+                else { av = html.substring(i + 1, end); i = end + 1 }
+              } else {
+                val vs = new java.lang.StringBuilder(8)
+                while (i < n && { val a = html.charAt(i); a != '>' && !a.isWhitespace }) {
+                  vs.append(html.charAt(i)); i += 1
+                }
+                av = vs.toString
+              }
+            }
+          }
+          val a = an.toString
+          if (av != null && (a == "class" || a == "id")) {
+            classId = if (classId.isEmpty) av else classId + " " + av
+          }
+        }
+      }
+    }
+    if (name.isEmpty) return i
+    val void = VoidTags.contains(name)
+    sink.open(name, classId, selfClosing || void)
+    if (!selfClosing && !void && RawText.contains(name)) {
+      // raw-text mode: find case-insensitive "</name"
+      val closeSeq = "</" + name
+      var j = i
+      var found = -1
+      while (found < 0 && j >= 0 && j < n) {
+        j = html.indexOf('<', j)
+        if (j < 0) found = -2
+        else if (j + closeSeq.length <= n &&
+          html.regionMatches(true, j, closeSeq, 0, closeSeq.length)) found = j
+        else j += 1
+      }
+      if (found >= 0) {
+        if (found > i) sink.text(html.substring(i, found))
+        var k = found + closeSeq.length
+        while (k < n && html.charAt(k) != '>') k += 1
+        sink.close(name)
+        if (k < n) k + 1 else n
+      } else {
+        if (i < n) sink.text(html.substring(i))
+        sink.close(name)
+        n
+      }
+    } else i
+  }
+}

@@ -1,0 +1,224 @@
+package graft.kernels
+
+import graft.model.Span
+import scala.collection.mutable.ArrayBuffer
+
+/** Boilerplate-strip main-content extraction over the DOM
+  * (SURVEY.md §7.1: block segmentation → tag/link-density + text-block
+  * scoring → readability-style prune → main text + spans).
+  *
+  * Algorithm (public boilerpipe/readability family, re-derived):
+  *  1. Linear DOM walk segments text into blocks at block-level element
+  *     boundaries, tracking per-block char count, link-char count
+  *     (chars under an `<a>` ancestor), tag kind, and class/id hints.
+  *     Content under drop-tags (script/style/nav/footer/...) or
+  *     negative-hint ancestors never reaches a block.
+  *  2. Blocks classify as content by word-count/link-density rules, with
+  *     positive-hint override and a neighbor-expansion pass (short blocks
+  *     adjacent to content are kept); headings attach to following content.
+  *  3. Kept blocks join with '\n'; each contributes a Span(begin,end,kind).
+  *
+  * Determinism: pure function of the input string; no locale-dependent ops
+  * (byte-identity invariant, BASELINE.json input_hint).
+  */
+object MainTextExtractor {
+
+  final case class Extracted(text: String, spans: Array[Span])
+
+  /** Subtrees that never contribute content (hard drop). */
+  private val DropTags: Set[String] = Set(
+    "script", "style", "noscript", "iframe", "svg", "canvas", "object",
+    "embed", "form", "button", "select", "option", "textarea", "template",
+    "head", "title", "meta", "link", "nav", "header", "footer", "aside",
+    "figcaption", "label", "datalist", "audio", "video", "map")
+
+  /** Elements that delimit text blocks. */
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    "pre", "blockquote", "article", "section", "main", "table", "tr",
+    "ul", "ol", "dl", "dt", "dd", "figure", "center", "summary",
+    "details", "body", "html", "caption", "hr")
+
+  private def kindOf(tag: String): String = tag match {
+    case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
+    case "li" | "dt" | "dd"                      => "li"
+    case "td" | "th" | "caption"                 => "cell"
+    case "pre" | "blockquote"                    => "pre"
+    case "p"                                     => "p"
+    case _                                       => "text"
+  }
+
+  private final class Block(val tag: String, val pos: Boolean) {
+    val sb = new java.lang.StringBuilder(64)
+    var linkChars = 0
+    var words = 0
+    def chars: Int = sb.length
+    def linkDensity: Double = if (chars == 0) 0.0 else linkChars.toDouble / chars
+  }
+
+  /** Extract main text from an HTML string. */
+  def extract(html: String): Extracted = {
+    val dom = Dom.parse(html)
+    val blocks = segment(dom)
+    val keep = classify(blocks)
+    assemble(blocks, keep)
+  }
+
+  // ---------------------------------------------------------------- segment
+
+  private def segment(dom: Dom): ArrayBuffer[Block] = {
+    val blocks = new ArrayBuffer[Block](16)
+    val n = dom.size
+    // ancestor-state stack reconstruction (nodes are in document order)
+    var stack = new Array[Int](32) // node indices of open ancestors
+    var sp = 0
+    var dropDepth = 0
+    var linkDepth = 0
+    var posDepth = 0
+    var blockTagStack = List.empty[String]
+    var cur: Block = null
+    var pendingSpace = false
+
+    def flush(): Unit = {
+      if (cur != null && cur.chars > 0) blocks += cur
+      cur = null
+      pendingSpace = false
+    }
+
+    def enterNode(idx: Int): Unit = {
+      val nm = dom.name(idx)
+      if (dom.hint(idx) == Dom.HintNeg || DropTags.contains(nm)) dropDepth += 1
+      if (dom.hint(idx) == Dom.HintPos) posDepth += 1
+      if (nm == "a") linkDepth += 1
+      if (nm == "br") pendingSpace = true
+      if (BlockTags.contains(nm)) {
+        flush()
+        blockTagStack = nm :: blockTagStack
+      }
+    }
+
+    def exitNode(idx: Int): Unit = {
+      val nm = dom.name(idx)
+      if (dom.hint(idx) == Dom.HintNeg || DropTags.contains(nm)) dropDepth -= 1
+      if (dom.hint(idx) == Dom.HintPos) posDepth -= 1
+      if (nm == "a") linkDepth -= 1
+      if (BlockTags.contains(nm)) {
+        flush()
+        blockTagStack = blockTagStack match {
+          case _ :: t => t
+          case Nil    => Nil
+        }
+      }
+    }
+
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' || c == ' '
+
+    var i = 0
+    while (i < n) {
+      val par = dom.parent(i)
+      // pop ancestors that are not on this node's parent chain
+      while (sp > 0 && stack(sp - 1) != par) { sp -= 1; exitNode(stack(sp)) }
+      if (dom.kind(i) == Dom.Elem) {
+        enterNode(i)
+        if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, sp * 2)
+        stack(sp) = i; sp += 1
+      } else if (dropDepth == 0) {
+        // text node: whitespace-normalized append into the current block
+        val s = dom.text(i)
+        var k = 0
+        val len = s.length
+        while (k < len) {
+          val c = s.charAt(k)
+          if (isWs(c)) {
+            pendingSpace = true
+          } else {
+            if (cur == null) {
+              val tag = blockTagStack.headOption.getOrElse("text")
+              cur = new Block(tag, posDepth > 0)
+              pendingSpace = false
+              cur.words = 1
+            } else if (pendingSpace) {
+              cur.sb.append(' ')
+              if (linkDepth > 0) cur.linkChars += 1
+              cur.words += 1
+              pendingSpace = false
+            }
+            cur.sb.append(c)
+            if (linkDepth > 0) cur.linkChars += 1
+          }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    while (sp > 0) { sp -= 1; exitNode(stack(sp)) }
+    flush()
+    blocks
+  }
+
+  // --------------------------------------------------------------- classify
+
+  private def classify(blocks: ArrayBuffer[Block]): Array[Boolean] = {
+    val n = blocks.length
+    val keep = new Array[Boolean](n)
+    // pass 1: base rules (word count vs link density; positive hint wins)
+    var i = 0
+    while (i < n) {
+      val b = blocks(i)
+      keep(i) =
+        if (b.pos) b.chars > 0
+        else if (b.linkDensity > 0.4) false
+        else b.words >= 10
+      i += 1
+    }
+    // pass 2: neighbor expansion (short low-link blocks next to content)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 2) {
+      changed = false
+      i = 0
+      while (i < n) {
+        if (!keep(i)) {
+          val b = blocks(i)
+          if (b.words >= 3 && b.linkDensity <= 0.2 && b.tag != "div" &&
+            ((i > 0 && keep(i - 1)) || (i + 1 < n && keep(i + 1)))) {
+            keep(i) = true; changed = true
+          }
+        }
+        i += 1
+      }
+      rounds += 1
+    }
+    // pass 3: headings attach to following content
+    i = 0
+    while (i < n) {
+      val b = blocks(i)
+      if (!keep(i) && kindOf(b.tag) == "heading" && b.linkChars == 0 && b.words >= 1) {
+        var j = i + 1
+        while (j < n && blocks(j).chars == 0) j += 1
+        if (j < n && keep(j)) keep(i) = true
+      }
+      i += 1
+    }
+    keep
+  }
+
+  // --------------------------------------------------------------- assemble
+
+  private def assemble(blocks: ArrayBuffer[Block], keep: Array[Boolean]): Extracted = {
+    val out = new java.lang.StringBuilder(256)
+    val spans = new ArrayBuffer[Span](16)
+    var i = 0
+    while (i < blocks.length) {
+      if (keep(i)) {
+        if (out.length > 0) out.append('\n')
+        val begin = out.length
+        out.append(blocks(i).sb)
+        spans += Span(begin, out.length, kindOf(blocks(i).tag))
+      }
+      i += 1
+    }
+    Extracted(out.toString, spans.toArray)
+  }
+}
