@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact (hash
+  * groupBy), n-gram Jaccard, MinHash+LSH (shingle → minhash → band →
+  * bucket join), SimHash. Each has a DuckDB oracle.
+  *
+  * Hash portability: signatures use min-over-md5-hex STRINGS (min of a
+  * lexicographic order is engine-portable), never engine-specific 64-bit
+  * hashes — the same trick makes the oracle exact instead of statistical.
+  *
+  * Scale notes per operator are on each method; the LSH bucket join is the
+  * 100 TB path (shuffle on (band, key) buckets), the pairwise Jaccard is
+  * intentionally group-bounded.
+  */
+object DedupOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup: one shuffle on the content hash; keeper = min doc_id.
+    * At 100 TB this is the cheapest dedup pass (map-side partial agg on
+    * the 32-byte hash, never on the text).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).cast("long").as("keeper"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_dups,
+      |  CAST(min(doc_id) AS BIGINT) AS keeper
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // --------------------------------------------------------- n-gram jaccard
+
+  /** Pairwise token-set Jaccard within a `source` group (the blocking key
+    * bounds the quadratic blowup — at scale the blocking key would be an
+    * LSH bucket, which is exactly the next operator).
+    */
+  def jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id", "source",
+      "array_distinct(split(text, ' ')) as ws")
+    val a = sets.toDF("a_id", "source", "a_ws")
+    val b = sets.toDF("b_id", "b_source", "b_ws")
+    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))))
+      .withColumn("jac", round(
+        col("inter").cast("double") /
+          (size(col("a_ws")) + size(col("b_ws")) - col("inter")), 6))
+      .filter(col("jac") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  val jaccardSql: String =
+    """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS inter,
+      |    len(a.ws) AS na, len(b.ws) AS nb
+      |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jac
+      |FROM p WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5""".stripMargin
+
+  // ----------------------------------------------------------- minhash lsh
+
+  private val K = 8 // minhash functions
+  private val Bands = 4 // bands of 2 rows
+
+  /** MinHash+LSH candidate pairs over 3-word shingles: shingle → K minhash
+    * signatures (min over salted md5) → `Bands` band keys → shuffle on
+    * (band, key) → pairs within a bucket. This is the scalable near-dup
+    * path: cost is |docs|·K plus bucket-local pair expansion, never the
+    * full pairwise cross product.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      """explode(case when size(split(text, ' ')) >= 3
+        |  then transform(sequence(1, size(split(text, ' ')) - 2),
+        |       i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+        |  else array(text) end) as s""".stripMargin)
+      .distinct()
+    val sigCols = (1 to K).map(i => min(md5(concat(col("s"), lit(s"#$i")).cast("binary"))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}")).as(s"b$b"))
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+    // long form: (doc_id, band_no, key) → bucket join on (band_no, key)
+    val longForm = bands.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_no", "bkey")))
+    val x = longForm.toDF("a_id", "band_no", "bkey")
+    val y = longForm.toDF("b_id", "y_band_no", "y_bkey")
+    x.join(y, col("band_no") === col("y_band_no") && col("bkey") === col("y_bkey") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  val minhashLshSql: String = {
+    val sigs = (1 to K).map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")
+    val bandDefs = (0 until Bands).map(b => s"h${2 * b + 1} || h${2 * b + 2} AS b$b").mkString(", ")
+    val orBands = (0 until Bands).map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS wd FROM w),
+       |sh AS (SELECT DISTINCT a.doc_id, a.wd || ' ' || b.wd || ' ' || c.wd AS s
+       |  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       |           JOIN t c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, $bandDefs FROM sig)
+       |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |FROM bands x JOIN bands y ON x.doc_id < y.doc_id AND ($orBands)""".stripMargin
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 16-bit SimHash: bit j = majority over the document's distinct words
+    * of (md5(word) hex digit j >= '8'). Near-dup docs differ in few bits;
+    * the fingerprint is engine-portable (hex chars, no integer hashing).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val e = docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "explode(array_distinct(split(text, ' '))) as w")
+      .withColumn("h", md5(col("w").cast("binary")))
+    val sums = (1 to 16).map(j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1L).otherwise(0L)).as(s"c$j"))
+    val agg = e.groupBy("doc_id").agg(count(lit(1)).as("n"), sums: _*)
+    val bits = (1 to 16).map(j =>
+      when(col(s"c$j") * 2 > col("n"), "1").otherwise("0"))
+    agg.select(col("doc_id"), concat(bits: _*).as("simhash16"))
+  }
+
+  val simhashSql: String = {
+    val sums = (1 to 16).map(j =>
+      s"sum(CASE WHEN substr(h, $j, 1) >= '8' THEN 1 ELSE 0 END) AS c$j").mkString(", ")
+    val bits = (1 to 16).map(j => s"CASE WHEN c$j * 2 > n THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH e AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+       |h AS (SELECT doc_id, md5(w) AS h FROM e),
+       |a AS (SELECT doc_id, count(*) AS n, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash16 FROM a""".stripMargin
+  }
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (exact(_, _)),
+    "q_dedup_jaccard" -> (jaccard(_, _)),
+    "q_dedup_minhash_lsh" -> (minhashLsh(_, _)),
+    "q_dedup_simhash" -> (simhash(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> exactSql,
+    "q_dedup_jaccard" -> jaccardSql,
+    "q_dedup_minhash_lsh" -> minhashLshSql,
+    "q_dedup_simhash" -> simhashSql)
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.gen.PagesGen
+import graft.model.PageRow
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+/** Adapters that turn the driver's `documents` oracle table into
+  * north-rule-shaped `pages` rows (url, warc_ts, html, text, lang) with
+  * deterministic HTML/PDF payloads, so the extraction kernel itself is
+  * verifiable by the DuckDB oracle: wrapping is exactly invertible, so
+  * `extract(wrap(text)) == text` byte-for-byte and the oracle is a plain
+  * projection of `documents` (SURVEY §7.5 correctness contract).
+  */
+object DocPages {
+
+  private val Ts0 = new Timestamp(1735689600000L) // 2025-01-01T00:00:00Z
+
+  final case class Doc(doc_id: Long, text: String, lang: String)
+
+  def docs(spark: SparkSession, dir: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text", "lang")
+      .as[Doc]
+  }
+
+  def docIdOf(url: String): Long = url.substring(url.lastIndexOf('/') + 1).toLong
+
+  /** Chunk words into groups of `n`, preserving single-space joins.
+    * Mirror of the oracle's `(ord-1)//n` grouping — keep in sync with
+    * the SQL in SparkEntry.oracleSql.
+    */
+  def chunkWords(text: String, n: Int): Seq[String] =
+    text.split(' ').grouped(n).map(_.mkString(" ")).toSeq
+
+  /** One `<p>` holding the whole text inside full boilerplate chrome. */
+  def htmlSingle(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val html = PagesGen.htmlPage(Seq(d.text), None, d.doc_id)
+      PageRow(s"doc://h/${d.doc_id}", Ts0, html.getBytes(UTF_8), "", d.lang)
+    }
+  }
+
+  /** 40-word paragraphs inside chrome; expected text = chunks \n-joined. */
+  def htmlChunked(spark: SparkSession, dir: String, n: Int = 40): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val html = PagesGen.htmlPage(chunkWords(d.text, n), None, d.doc_id)
+      PageRow(s"doc://c/${d.doc_id}", Ts0, html.getBytes(UTF_8), "", d.lang)
+    }
+  }
+
+  /** Single-page single-line PDF (whole text in one Tj). */
+  def pdfSingle(spark: SparkSession, dir: String, compress: Boolean): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val pdf = PagesGen.pdfBytes(Seq(Seq(d.text)), compress)
+      PageRow(s"doc://p/${d.doc_id}", Ts0, pdf, "", d.lang)
+    }
+  }
+
+  /** Empty html → crawl-text passthrough branch. */
+  def passthrough(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      PageRow(s"doc://t/${d.doc_id}", Ts0, Array.emptyByteArray, d.text, d.lang)
+    }
+  }
+
+  /** Content-sniffing dispatch exercise: doc_id%3 ∈ {html, pdf, passthrough}. */
+  def mixed(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      d.doc_id % 3 match {
+        case 0 =>
+          PageRow(s"doc://m/${d.doc_id}", Ts0,
+            PagesGen.htmlPage(Seq(d.text), None, d.doc_id).getBytes(UTF_8), "", d.lang)
+        case 1 =>
+          PageRow(s"doc://m/${d.doc_id}", Ts0,
+            PagesGen.pdfBytes(Seq(Seq(d.text)), compress = d.doc_id % 2 == 1), "", d.lang)
+        case _ =>
+          PageRow(s"doc://m/${d.doc_id}", Ts0, Array.emptyByteArray, d.text, d.lang)
+      }
+    }
+  }
+}

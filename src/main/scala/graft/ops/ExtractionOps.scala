@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.pipeline.ExtractPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries that run the REAL extraction kernel end-to-end
+  * (SURVEY §7.5): documents.text is wrapped into HTML/PDF payloads with
+  * full boilerplate chrome (DocPages), the kernel extracts main text, and
+  * because wrapping is exactly invertible the DuckDB oracle is a plain
+  * projection of `documents` — byte-identical text is what makes the hash
+  * compare pass.
+  */
+object ExtractionOps {
+
+  private def extracted(spark: SparkSession, pages: org.apache.spark.sql.Dataset[graft.model.PageRow]): DataFrame =
+    ExtractPipeline.extract(spark, pages.toDF())
+      .selectExpr(
+        "cast(substring_index(url, '/', -1) as long) as doc_id",
+        "doc_kind", "text as extracted_text", "page_count", "spans")
+
+  /** HTML page (single content paragraph) → main text. */
+  def extractHtml(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.htmlSingle(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
+  val extractHtmlSql: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS extracted_text FROM documents"
+
+  /** HTML page with the text split into 40-word paragraphs; extraction
+    * re-joins blocks with '\n'. The oracle reproduces the chunking in SQL
+    * (keep the grouping formula in sync with DocPages.chunkWords).
+    */
+  def extractHtmlChunked(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.htmlChunked(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
+  val extractHtmlChunkedSql: String =
+    """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS word FROM w),
+      |c AS (SELECT doc_id, (ord - 1) // 40 AS g, string_agg(word, ' ' ORDER BY ord) AS chunk
+      |  FROM t GROUP BY doc_id, (ord - 1) // 40)
+      |SELECT doc_id, string_agg(chunk, chr(10) ORDER BY g) AS extracted_text
+      |FROM c GROUP BY doc_id""".stripMargin
+
+  /** PDF (uncompressed content stream) → text via the PDF kernel. */
+  def extractPdf(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.pdfSingle(spark, dir, compress = false))
+      .select(col("doc_id"), col("extracted_text"))
+
+  /** PDF with FlateDecode-compressed content stream. */
+  def extractPdfFlate(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.pdfSingle(spark, dir, compress = true))
+      .select(col("doc_id"), col("extracted_text"))
+
+  val extractPdfSql: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS extracted_text FROM documents"
+
+  /** Empty-html rows take the crawl-text passthrough branch. */
+  def extractPassthrough(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.passthrough(spark, dir))
+      .select(col("doc_id"), col("doc_kind"), col("extracted_text"))
+
+  val extractPassthroughSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, 'passthrough' AS doc_kind,
+      |  text AS extracted_text FROM documents""".stripMargin
+
+  /** Content-sniffing dispatch: doc_id%3 routes html/pdf/passthrough; all
+    * three branches must recover the identical text.
+    */
+  def extractMixed(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.mixed(spark, dir))
+      .select(col("doc_id"), col("doc_kind"), col("extracted_text"))
+
+  val extractMixedSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' ELSE 'passthrough' END AS doc_kind,
+      |  text AS extracted_text FROM documents""".stripMargin
+
+  /** Span invariants surfaced relationally: span count and total span
+    * chars (blocks exclude the '\n' separators).
+    */
+  def extractSpans(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.htmlChunked(spark, dir))
+      .selectExpr(
+        "doc_id",
+        "cast(size(spans) as long) as n_spans",
+        // blocks join with '\n', so total span chars = text minus separators
+        "cast(length(extracted_text) - (size(spans) - 1) as long) as span_chars")
+
+  val extractSpansSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  (len(string_split(text, ' ')) + 39) // 40 AS n_spans,
+      |  CAST(length(text) AS BIGINT) - ((len(string_split(text, ' ')) + 39) // 40 - 1) AS span_chars
+      |FROM documents""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_extract_html" -> (extractHtml(_, _)),
+    "q_extract_html_chunked" -> (extractHtmlChunked(_, _)),
+    "q_extract_pdf" -> (extractPdf(_, _)),
+    "q_extract_pdf_flate" -> (extractPdfFlate(_, _)),
+    "q_extract_passthrough" -> (extractPassthrough(_, _)),
+    "q_extract_mixed" -> (extractMixed(_, _)),
+    "q_extract_spans" -> (extractSpans(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_extract_html" -> extractHtmlSql,
+    "q_extract_html_chunked" -> extractHtmlChunkedSql,
+    "q_extract_pdf" -> extractPdfSql,
+    "q_extract_pdf_flate" -> extractPdfSql,
+    "q_extract_passthrough" -> extractPassthroughSql,
+    "q_extract_mixed" -> extractMixedSql,
+    "q_extract_spans" -> extractSpansSql)
+}

@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational stages of the extraction pipeline, exercised over the
+  * driver's TPC-H-ish tables (SURVEY §2: each query is the SQL-expressible
+  * analog of a reference behavior, cited per method). These run as pure
+  * Catalyst plans — broadcast joins for dims, partial aggregation, window
+  * functions — and are DuckDB-cross-checked.
+  */
+object RelationalOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Classic scan→filter→agg (map-side partial agg; sum_qty is exact
+    * integral, money sums rounded to absorb addition order).
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Page→document rollup analog (api.py:261-269): order-insensitive aggs
+    * keyed by the parent; the real pipeline rolls up in-kernel because
+    * pages arrive inside one row (ExtractPipeline.mergePages).
+    */
+  def pageRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("page_count"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_partkey")).as("first_part"))
+
+  val pageRollupSql: String =
+    """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS page_count,
+      |  sum(l_quantity) AS sum_qty, min(l_partkey) AS first_part
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  /** Derived-column select (§2.8 ladder: name split api.py:98-108 /
+    * endpoint_upload.py:1323-1326, id-prefix rules :1363-1365, enum
+    * normalization :1328-1329) + broadcast dim join (header-alias lookup
+    * analog, convert_to_json.py:157-180).
+    */
+  def derivedFields(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .selectExpr(
+        "cast(c_custkey as long) as c_custkey",
+        "split(c_name, '#')[0] as name_head",
+        "substring(split(c_name, '#')[1], 1, 1) as name_initial",
+        "case when c_custkey % 10 < 5 then 'ID' else 'IQAMA' end as id_type",
+        "case lower(c_mktsegment) when 'building' then 'B' when 'automobile' then 'A' else 'O' end as seg_code",
+        "cast(c_acctbal >= 0 as boolean) as solvent",
+        "n_name as nation")
+  }
+
+  val derivedFieldsSql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |  string_split(c_name, '#')[1] AS name_head,
+      |  substr(string_split(c_name, '#')[2], 1, 1) AS name_initial,
+      |  CASE WHEN c_custkey % 10 < 5 THEN 'ID' ELSE 'IQAMA' END AS id_type,
+      |  CASE lower(c_mktsegment) WHEN 'building' THEN 'B' WHEN 'automobile' THEN 'A' ELSE 'O' END AS seg_code,
+      |  (c_acctbal >= 0) AS solvent,
+      |  n_name AS nation
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  /** Checkpointed-resume scan shape (SURVEY §7.3): anti-join of inputs
+    * against the committed ledger — lineitems of not-yet-finalized orders.
+    */
+  def resumeAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val committed = t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    li.join(committed, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val resumeAntijoinSql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows, sum(l_quantity) AS sum_qty
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Deterministic first-page representative (api.py:231-234): first event
+    * per user by (ts, event_id) — `min_by` analog via row_number.
+    */
+  def windowFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .selectExpr("cast(user_id as long) as user_id",
+        "cast(event_id as long) as first_event",
+        // events.ts is parquet TIMESTAMP_NTZ; UTC session makes the cast exact
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+  }
+
+  val windowFirstSql: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(event_id AS BIGINT) AS first_event, epoch_us(ts) AS ts_us
+      |FROM (SELECT user_id, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** Gaps-and-islands sessionization (SURVEY §2.5 y-overlap grouping
+    * analog): new session when gap > 30 min; count sessions per user.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .selectExpr("cast(user_id as long) as user_id", "n_sessions", "n_events")
+  }
+
+  val sessionizeSql: String =
+    """WITH g AS (SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id""".stripMargin
+
+  /** Top-1 fuzzy-match analog (endpoint_upload.py:211-220 argmax): top-2
+    * orders per customer by totalprice, deterministic tiebreak.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .selectExpr("cast(o_custkey as long) as o_custkey",
+        "cast(o_orderkey as long) as o_orderkey", "rank", "o_totalprice")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+      |  CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(rank AS BIGINT) AS rank, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders) WHERE rank <= 2""".stripMargin
+
+  /** flatten_json / find_key analog (automate_upload.py:657-680): JSON
+    * path extraction from the `props` column + rollup.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Date derivation ladder (endpoint_upload.py:1342-1361: year extract +
+    * DOB synthesis `make_date(year - age, 1, 1)`).
+    */
+  def dateDerive(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .selectExpr(
+        "cast(o_orderkey as long) as o_orderkey",
+        "cast(year(o_orderdate) as long) as order_year",
+        "date_format(make_date(year(o_orderdate) - cast(o_orderkey % 60 as int), 1, 1), 'yyyy-MM-dd') as synth_dob")
+
+  val dateDeriveSql: String =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  strftime(make_date(CAST(year(o_orderdate) AS INT) - CAST(o_orderkey % 60 AS INT), 1, 1), '%Y-%m-%d') AS synth_dob
+      |FROM orders""".stripMargin
+
+  /** Streaming-shaped batch analog (§2.9): tumbling 1h event-time windows.
+    * The Structured Streaming variant (readStream + watermark) is in
+    * graft.streaming; this batch form is the oracle-checkable plan.
+    */
+  def hourlyWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .selectExpr("unix_micros(w) as window_us", "event_type", "n", "sum_value")
+
+  val hourlyWindowSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "q_page_rollup" -> (pageRollup(_, _)),
+    "q_derived_fields" -> (derivedFields(_, _)),
+    "q_resume_antijoin" -> (resumeAntijoin(_, _)),
+    "q_window_first" -> (windowFirst(_, _)),
+    "q_sessionize" -> (sessionize(_, _)),
+    "q_topk_per_group" -> (topkPerGroup(_, _)),
+    "q_json_extract" -> (jsonExtract(_, _)),
+    "q_date_derive" -> (dateDerive(_, _)),
+    "q_hourly_window" -> (hourlyWindow(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q_page_rollup" -> pageRollupSql,
+    "q_derived_fields" -> derivedFieldsSql,
+    "q_resume_antijoin" -> resumeAntijoinSql,
+    "q_window_first" -> windowFirstSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_topk_per_group" -> topkPerGroupSql,
+    "q_json_extract" -> jsonExtractSql,
+    "q_date_derive" -> dateDeriveSql,
+    "q_hourly_window" -> hourlyWindowSql)
+}

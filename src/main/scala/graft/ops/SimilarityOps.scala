@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * - Brute-force cosine top-k: the correctness baseline. The query side is
+  *   broadcast (it is small by construction) so the big side streams with
+  *   no shuffle; dot products run as codegen'd higher-order functions
+  *   (`aggregate`/`zip_with`), no UDF.
+  * - Sign-LSH bucketed top-k: the scale path — bucket by the sign bits of
+  *   the leading dimensions (a fixed random-hyperplane family degenerates
+  *   to axis signs for a fixed seed), shuffle on the bucket key only, and
+  *   search within buckets. At 100 TB the bucket join replaces the cross
+  *   product entirely.
+  *
+  * Similarities are rounded to 4 places so double summation-order
+  * differences between engines cannot flip the driver's hash compare;
+  * ranking ties break on neighbor id, so top-k is fully deterministic.
+  */
+object SimilarityOps {
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long) as vec_id", "embedding",
+        // squared norm, double accumulation in list order
+        "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)) as nrm")
+
+  private val DotExpr =
+    "aggregate(zip_with(q_embedding, embedding, (a, b) -> cast(a as double) * cast(b as double)), 0D, (acc, x) -> acc + x)"
+
+  /** Brute-force cosine top-5 for query vectors (vec_id % 100 == 0). */
+  def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    val all = embeddings(spark, dir)
+    val q = all.filter(col("vec_id") % 100 === 0)
+      .withColumnRenamed("vec_id", "q_id")
+      .withColumnRenamed("embedding", "q_embedding")
+      .withColumnRenamed("nrm", "q_nrm")
+    val scored = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr(DotExpr) / sqrt(col("q_nrm") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rn"), col("sim"))
+  }
+
+  val annBruteSql: String =
+    """WITH n AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS e,
+      |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      |s AS (SELECT q.vec_id AS q_id, p.vec_id AS n_id,
+      |    round(list_inner_product(q.e, p.e) / sqrt(q.nrm * p.nrm), 4) AS sim
+      |  FROM q, n p WHERE p.vec_id <> q.vec_id),
+      |r AS (SELECT q_id, n_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rn
+      |  FROM s)
+      |SELECT q_id, n_id, rn, sim FROM r WHERE rn <= 5""".stripMargin
+
+  /** Sign-LSH bucket key: sign bits of dims 1..8 (deterministic family). */
+  private val BucketExpr: String = (1 to 8)
+    .map(i => s"(case when element_at(embedding, $i) >= cast(0 as float) then '1' else '0' end)")
+    .mkString("concat(", ", ", ")")
+
+  /** Bucketed ANN: candidates share the 8-bit sign bucket; top-3 within
+    * bucket. Recall is partial by design (the scale/efficiency trade).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val all = embeddings(spark, dir).withColumn("bucket", expr(BucketExpr))
+    val q = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+    val scored = all.join(broadcast(q), col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr(DotExpr) / sqrt(col("q_nrm") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rn"), col("sim"))
+  }
+
+  val annLshSql: String = {
+    val bucket = (1 to 8)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH n AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS e,
+       |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm,
+       |    $bucket AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+       |s AS (SELECT q.vec_id AS q_id, p.vec_id AS n_id,
+       |    round(list_inner_product(q.e, p.e) / sqrt(q.nrm * p.nrm), 4) AS sim
+       |  FROM q JOIN n p ON p.bucket = q.bucket AND p.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rn
+       |  FROM s)
+       |SELECT q_id, n_id, rn, sim FROM r WHERE rn <= 3""".stripMargin
+  }
+
+  /** kNN label vote: majority label of the brute-force top-5 (embedding
+    * near-dup / classification building block). Tie → smaller label.
+    */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long) as n_id", "cast(label as long) as label")
+    annBrute(spark, dir)
+      .join(labels, "n_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  val knnLabelSql: String =
+    s"""WITH topk AS ($annBruteSql),
+       |v AS (SELECT t.q_id, CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM topk t JOIN embeddings e ON CAST(e.vec_id AS BIGINT) = t.n_id
+       |  GROUP BY t.q_id, e.label),
+       |r AS (SELECT q_id, label, votes,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn FROM v)
+       |SELECT q_id, label AS pred_label, votes FROM r WHERE rn = 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_brute" -> (annBrute(_, _)),
+    "q_ann_lsh" -> (annLsh(_, _)),
+    "q_knn_label" -> (knnLabel(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_ann_brute" -> annBruteSql,
+    "q_ann_lsh" -> annLshSql,
+    "q_knn_label" -> knnLabelSql)
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, language ID (marker-word heuristic),
+  * quality scoring, document fingerprinting. Every query has a DuckDB
+  * oracle (driver correctness gate); all functions are built-in Catalyst
+  * expressions — no UDFs — so they stay inside whole-stage codegen and
+  * push column pruning to the parquet scan.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ----------------------------------------------------------- token count
+
+  /** Whitespace tokens + a BPE-ish regex token count (letters runs, digit
+    * runs, single other chars). Regex kept simple enough that Java and
+    * DuckDB RE2 agree.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "cast(size(split(text, ' ')) as long) as n_ws_tokens",
+      "cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) as long) as n_re_tokens")
+
+  val tokenCountSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ language id
+
+  // marker vocabularies; scoring = |distinct words ∩ markers|
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "una", "como"),
+    "de" -> Seq("der", "die", "und", "nicht"))
+
+  private def hitsExpr(ws: Seq[String]): String = {
+    val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+    s"size(filter(array_distinct(split(text, ' ')), w -> array_contains($arr, w)))"
+  }
+
+  private def hitsSqlExpr(ws: Seq[String]): String = {
+    val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(list_distinct(string_split(text, ' ')), w -> list_contains($arr, w)))"
+  }
+
+  /** n-gram/marker-word language ID heuristic: most marker hits wins,
+    * ties broken by fixed language order, zero hits → 'und'.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val hits = Markers.map { case (l, ws) => s"cast(${hitsExpr(ws)} as long) as hits_$l" }
+    val best = Markers.map { case (l, _) => s"hits_$l" }
+    val caseChain = Markers.map { case (l, _) =>
+      s"when hits_$l = greatest(${best.mkString(", ")}) and hits_$l > 0 then '$l'"
+    }.mkString(" ")
+    docs(spark, dir)
+      .selectExpr(Seq("cast(doc_id as long) as doc_id") ++ hits: _*)
+      .selectExpr(Seq("doc_id") ++ best ++
+        Seq(s"case $caseChain else 'und' end as lang_pred"): _*)
+  }
+
+  val langIdSql: String = {
+    val hits = Markers.map { case (l, ws) => s"CAST(${hitsSqlExpr(ws)} AS BIGINT) AS hits_$l" }
+    val best = Markers.map { case (l, _) => s"hits_$l" }
+    val caseChain = Markers.map { case (l, _) =>
+      s"WHEN hits_$l = greatest(${best.mkString(", ")}) AND hits_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, ${hits.mkString(", ")} FROM documents)
+       |SELECT doc_id, ${best.mkString(", ")},
+       |  CASE $caseChain ELSE 'und' END AS lang_pred
+       |FROM h""".stripMargin
+  }
+
+  // ---------------------------------------------------------- quality score
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: length stats, stopword hits/ratio, mean word length.
+    * Ratios rounded to 6 places so double addition-order differences
+    * between engines can't flip the hash compare.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = hitsExpr(Stopwords)
+    docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "cast(length(text) as long) as n_chars",
+      "cast(size(split(text, ' ')) as long) as n_words",
+      s"cast($stop as long) as stop_hits",
+      s"round(cast($stop as double) / size(split(text, ' ')), 6) as stop_ratio",
+      "round(cast(length(text) - size(split(text, ' ')) + 1 as double) / size(split(text, ' ')), 6) as avg_word_len",
+      s"cast(size(split(text, ' ')) between 20 and 2000 and $stop > 0 as boolean) as quality_ok")
+  }
+
+  val qualitySql: String = {
+    val stop = hitsSqlExpr(Stopwords)
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST($stop AS BIGINT) AS stop_hits,
+       |  round(CAST($stop AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+       |  round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_word_len,
+       |  (len(string_split(text, ' ')) BETWEEN 20 AND 2000 AND $stop > 0) AS quality_ok
+       |FROM documents""".stripMargin
+  }
+
+  // ----------------------------------------------------------- fingerprint
+
+  /** Content fingerprint: md5 (hex) + 64-bit prefix. The md5 is also the
+    * exact-dedup key (DedupOps).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "md5(cast(text as binary)) as fp",
+      "substring(md5(cast(text as binary)), 1, 16) as fp64")
+
+  val fingerprintSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  md5(text) AS fp,
+      |  substr(md5(text), 1, 16) AS fp64
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> (tokenCount(_, _)),
+    "q_lang_id" -> (langId(_, _)),
+    "q_quality" -> (quality(_, _)),
+    "q_fingerprint" -> (fingerprint(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_token_count" -> tokenCountSql,
+    "q_lang_id" -> langIdSql,
+    "q_quality" -> qualitySql,
+    "q_fingerprint" -> fingerprintSql)
+}

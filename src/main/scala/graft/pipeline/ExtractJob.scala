@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable day-partitioned extraction batch job (SURVEY §7.3).
+  *
+  * {{{
+  *   committed = ledger.committed            -- driver-side, tiny
+  *   todo      = pages WHERE p_day NOT IN committed   -- partition prune:
+  *               the filter sits on a derived day column, so with a
+  *               day-partitioned source (Iceberg/parquet partition dirs)
+  *               Catalyst prunes whole partitions before any html byte
+  *               is read; the resume scan never touches `html` of
+  *               committed days.
+  *   extracted = ExtractPipeline.extract(todo)
+  *   write parquet partitionBy(p_day)        -- dynamic overwrite: a
+  *               killed job's half-written day is rewritten atomically
+  *               on retry (idempotent per partition = effectively
+  *               exactly-once per url)
+  *   per-day metrics agg → ledger.commit     -- commit point AFTER data
+  * }}}
+  */
+object ExtractJob {
+
+  final case class DayStats(day: String, rows: Long, chars: Long, errors: Long)
+
+  final case class Result(
+      daysProcessed: Seq[DayStats],
+      daysSkipped: Int,
+      docsOk: Long,
+      docsFailed: Long,
+      wallMs: Long)
+
+  def run(
+      spark: SparkSession,
+      pages: DataFrame,
+      outDir: String,
+      ledgerDir: String,
+      conf: ExtractPipeline.Conf = ExtractPipeline.Conf()): Result = {
+    val t0 = System.nanoTime()
+    val committed = Ledger.committed(ledgerDir)
+    val committedDays = committed.keySet.map(_.stripPrefix("p_day="))
+
+    val withDay = pages.withColumn("p_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+    val todo =
+      if (committedDays.isEmpty) withDay
+      else withDay.filter(!col("p_day").isin(committedDays.toSeq: _*))
+
+    val metrics = new ExtractPipeline.Metrics(spark)
+    val extracted = ExtractPipeline
+      .extract(spark, todo.drop("p_day"), conf, metrics)
+      .withColumn("p_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
+
+    // dynamic partition overwrite: only the days present in `extracted`
+    // are replaced; committed days' files are untouched
+    extracted.write
+      .partitionBy("p_day")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(outDir)
+
+    // per-partition lineage/metrics from the WRITTEN data (cheap column
+    // scan — parquet column pruning reads only p_day/n_chars/error)
+    val stats = spark.read.parquet(outDir)
+      .filter(!col("p_day").isin(committedDays.toSeq: _*))
+      .groupBy(col("p_day"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(col("n_chars")).as("chars"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("errors"))
+      .collect()
+      .map(r => DayStats(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_.day)
+
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val now = System.currentTimeMillis()
+    stats.foreach { s =>
+      Ledger.commit(ledgerDir,
+        Ledger.Entry(s"p_day=${s.day}", s.rows, s.chars, s.errors, wallMs, now))
+    }
+    Result(stats.toSeq, committedDays.size, metrics.docsOk.value,
+      metrics.docsFailed.value, wallMs)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.kernels.ExtractKernel
+import graft.model.{ExtractedDoc, ExtractedPage, PageRow, Span}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Spark wiring of the extraction kernel (SURVEY.md §7.1 `pipeline`).
+  *
+  * Plan shape (EP1 restated, SURVEY §3):
+  * {{{
+  *   scan(pages)                       -- columnar parquet/iceberg scan
+  *     └─ repartition(P, xxhash64(url)) -- explicit url-hash shuffle
+  *                                        (north rule; decorrelates
+  *                                        adjacent-crawl host skew)
+  *     └─ mapPartitions(kernel)         -- narrow; one doc in flight per
+  *                                        task; page→doc rollup is LOCAL
+  *                                        because each input row carries
+  *                                        the whole document (no shuffle
+  *                                        after the kernel at all)
+  * }}}
+  * The reference processed pages serially per request (api.py:217-228);
+  * here every executor core runs the kernel on its partition's rows with
+  * zero cross-node traffic after the initial hash exchange.
+  */
+object ExtractPipeline {
+
+  /** Job configuration.
+    * @param repartition  target partitions for the url-hash exchange;
+    *                     0 = keep scan partitioning (narrow, no shuffle) —
+    *                     right when the source is already well-bucketed.
+    * @param maxBytes     poison-pill cap: larger blobs become error rows
+    *                     (bounds kernel memory; SURVEY §4.3 spill row).
+    */
+  final case class Conf(repartition: Int = 0, maxBytes: Int = 64 << 20)
+
+  /** Task-side counters (lineage/metrics, BASELINE.json north rule). */
+  final class Metrics(spark: SparkSession) extends Serializable {
+    val docsOk: LongAccumulator = spark.sparkContext.longAccumulator("graft.docs_ok")
+    val docsFailed: LongAccumulator = spark.sparkContext.longAccumulator("graft.docs_failed")
+    val pagesOut: LongAccumulator = spark.sparkContext.longAccumulator("graft.pages_out")
+    val bytesIn: LongAccumulator = spark.sparkContext.longAccumulator("graft.bytes_in")
+  }
+
+  /** Merge a document's extracted pages (already local — all pages of a
+    * url come from its single input row): texts join with '\n' in page
+    * order, spans re-offset into the concatenation. Mirrors the combined
+    * `{page_count, pages:[...]}` JSON of the reference (api.py:261-269).
+    */
+  def mergePages(row: PageRow, pages: Seq[ExtractedPage]): ExtractedDoc = {
+    val sorted = pages.sortBy(_.page_no)
+    val sb = new java.lang.StringBuilder(256)
+    val spans = Seq.newBuilder[Span]
+    sorted.foreach { p =>
+      if (sb.length > 0) sb.append('\n')
+      val off = sb.length
+      sb.append(p.text)
+      p.spans.foreach(s => spans += Span(s.begin + off, s.end + off, s.kind))
+    }
+    val err = sorted.iterator.map(_.error).find(_ != null).orNull
+    val kind = sorted.headOption.map(_.doc_kind).getOrElse(ExtractKernel.KindEmpty)
+    val text = sb.toString
+    ExtractedDoc(row.url, row.warc_ts, kind, sorted.length, text, spans.result(),
+      text.length, row.lang, err)
+  }
+
+  /** Extract one document (all pages) with the size cap applied. */
+  def extractDoc(row: PageRow, maxBytes: Int, m: Metrics): ExtractedDoc = {
+    val size = if (row.html == null) 0 else row.html.length
+    if (m != null) m.bytesIn.add(size.toLong)
+    val doc =
+      if (size > maxBytes)
+        ExtractedDoc(row.url, row.warc_ts, ExtractKernel.sniff(row.html), 0, "",
+          Seq.empty, 0, row.lang, s"too_large:$size")
+      else {
+        val pages = ExtractKernel.extractPages(row).toVector
+        mergePages(row, pages)
+      }
+    if (m != null) {
+      if (doc.error == null) m.docsOk.add(1L) else m.docsFailed.add(1L)
+      m.pagesOut.add(doc.page_count.toLong)
+    }
+    doc
+  }
+
+  /** pages(url, warc_ts, html, text, lang) → Dataset[ExtractedDoc]. */
+  def extract(spark: SparkSession, pages: DataFrame, conf: Conf = Conf(),
+      metrics: Metrics = null): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    val keyed =
+      if (conf.repartition > 0)
+        // explicit url-hash exchange (north rule): aligns output
+        // partitioning with the natural key and spreads host runs
+        pages.repartition(conf.repartition, xxhash64(col("url")))
+      else pages
+    val maxBytes = conf.maxBytes
+    keyed
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[PageRow]
+      .mapPartitions { it => it.map(r => extractDoc(r, maxBytes, metrics)) }
+  }
+
+  /** Relational page→doc rollup for the general case where pages of one
+    * document arrive as separate rows (reference multi-page combined JSON,
+    * api.py:261-269). Order-correct via sort_array on page_no — never
+    * relies on collect_list arrival order (SURVEY §7.4 hard part #5).
+    */
+  def rollupPages(pages: DataFrame): DataFrame = {
+    pages
+      .groupBy(col("url"))
+      .agg(
+        count(lit(1)).cast("int").as("page_count"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("page_no"), col("text")))),
+            p => p.getField("text")),
+          "\n").as("text"),
+        min(col("warc_ts")).as("warc_ts"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Atomic manifest ledger: commit semantics for checkpointed resume
+  * (SURVEY.md §7.3). No Iceberg runtime jar is available offline, so the
+  * snapshot-commit semantics are realized as partitioned Parquet plus a
+  * `_ledger/` directory of per-partition commit files written via
+  * temp-file + atomic rename AFTER the partition's output is fully
+  * written — the same move-after-success contract as the reference's
+  * archive step (api.py:63-82, background task api.py:455).
+  *
+  * The ledger rows double as per-partition lineage + metrics (north rule):
+  * each carries row/char/error counts and wall time.
+  *
+  * Driver-side plain-JVM I/O; the partition key space is small (days), so
+  * this never becomes a scaling bottleneck at 10^12 rows.
+  */
+object Ledger {
+
+  final case class Entry(
+      partition: String, // e.g. "p_day=2025-01-07"
+      rows: Long,
+      chars: Long,
+      errors: Long,
+      wallMs: Long,
+      committedAtMs: Long)
+
+  private def enc(partition: String): String =
+    java.net.URLEncoder.encode(partition, "UTF-8")
+
+  private def ledgerPath(dir: String): Path = Paths.get(dir)
+
+  def committed(dir: String): Map[String, Entry] = {
+    val p = ledgerPath(dir)
+    if (!Files.isDirectory(p)) Map.empty
+    else
+      Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .flatMap(f => parse(new String(Files.readAllBytes(f), UTF_8)))
+        .map(e => e.partition -> e)
+        .toMap
+  }
+
+  def commit(dir: String, e: Entry): Unit = {
+    val p = ledgerPath(dir)
+    Files.createDirectories(p)
+    val json =
+      s"""{"partition":${q(e.partition)},"rows":${e.rows},"chars":${e.chars},""" +
+        s""""errors":${e.errors},"wall_ms":${e.wallMs},"committed_at_ms":${e.committedAtMs}}"""
+    val tmp = p.resolve(s".tmp-${enc(e.partition)}-${Thread.currentThread().getId}")
+    Files.write(tmp, json.getBytes(UTF_8))
+    // atomic rename = the commit point (move-after-success)
+    Files.move(tmp, p.resolve(s"${enc(e.partition)}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def drop(dir: String, partition: String): Unit = {
+    val f = ledgerPath(dir).resolve(s"${enc(partition)}.json")
+    Files.deleteIfExists(f)
+    ()
+  }
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Tiny flat-JSON reader for our own writer's output (no JSON lib on the
+    * offline classpath worth pulling in for 6 fixed fields).
+    */
+  private[pipeline] def parse(json: String): Option[Entry] = {
+    def str(k: String): Option[String] = {
+      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(json)
+      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    }
+    def num(k: String): Option[Long] = {
+      val m = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(json)
+      m.map(_.group(1).toLong)
+    }
+    for {
+      p <- str("partition")
+      r <- num("rows")
+    } yield Entry(p, r, num("chars").getOrElse(0L), num("errors").getOrElse(0L),
+      num("wall_ms").getOrElse(0L), num("committed_at_ms").getOrElse(0L))
+  }
+}
