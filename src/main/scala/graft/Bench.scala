@@ -1,24 +1,96 @@
 package graft
+
+import graft.gen.PagesGen
+import graft.pipeline.ExtractPipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line on stdout with
+  * per-query timings over SPARK_GRAFT_SF_DIR plus the north rule's
+  * two-cluster-size scaling evidence — the same extraction job at
+  * local[8] and local[32] on identical input, reporting docs/s at both
+  * and efficiency = (t8/t32)/4 (sandbox proxy for N→4N executors; no real
+  * cluster here, see BASELINE.md).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministic bench corpus parquet (generated once per JVM run;
+    * generation is outside the timed window).
+    */
+  private def ensureCorpus(spark: SparkSession, n: Int): String = {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_pages_$n"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.range(n)
+        .repartition(32)
+        .mapPartitions(_.map(i => PagesGen.genPage(i, seed = 42L, hosts = 200).row))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Timed full-extraction pass; count() forces every kernel invocation. */
+  private def timeExtract(spark: SparkSession, corpusDir: String, repartition: Int): (Double, Long) = {
+    val pages = spark.read.parquet(corpusDir)
+    val t0 = System.nanoTime()
+    val n = ExtractPipeline
+      .extract(spark, pages, ExtractPipeline.Conf(repartition = repartition))
+      .filter(_.error == null)
+      .count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // sized so the extraction pass runs ~20 s at local[8]: large enough
+    // that task scheduling amortizes and thread scaling is measurable
+    val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "150000").toInt
+
+    // ---- per-query timings at the requested parallelism
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val corpusDir = ensureCorpus(spark, benchDocs)
+    // warmup (JIT + parquet footers) before any timed extraction
+    timeExtract(spark, corpusDir, cpus)
+    val (tMain, nOk) = timeExtract(spark, corpusDir, cpus)
     spark.stop()
+
+    // ---- two-parallelism scaling (N=8 vs 4N=32 threads, same input)
+    val s8 = session(8)
+    timeExtract(s8, corpusDir, 8) // warmup in this session too
+    val (t8, _) = timeExtract(s8, corpusDir, 8)
+    s8.stop()
+    val s32 = session(32)
+    timeExtract(s32, corpusDir, 32)
+    val (t32, _) = timeExtract(s32, corpusDir, 32)
+    s32.stop()
+    val eff = (t8 / t32) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scaling =
+      f"""{"docs":$benchDocs,"docs_ok":$nOk,"t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,""" +
+        f""""docs_per_sec_local8":${benchDocs / t8}%.1f,"docs_per_sec_local32":${benchDocs / t32}%.1f,""" +
+        f""""docs_per_sec_main":${benchDocs / tMain}%.1f,"scaling_efficiency_8_to_32":$eff%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_scaling":$scaling}""")
   }
 }

@@ -62,7 +62,9 @@ object ExtractJob {
 
     // per-partition lineage/metrics from the WRITTEN data (cheap column
     // scan — parquet column pruning reads only p_day/n_chars/error)
+    // partition-dir type inference reads p_day back as DATE — normalize
     val stats = spark.read.parquet(outDir)
+      .withColumn("p_day", col("p_day").cast("string"))
       .filter(!col("p_day").isin(committedDays.toSeq: _*))
       .groupBy(col("p_day"))
       .agg(

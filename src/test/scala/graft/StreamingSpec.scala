@@ -1,0 +1,63 @@
+package graft
+
+import graft.gen.PagesGen
+import graft.pipeline.ExtractPipeline
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming extraction (AvailableNow) matches the batch pipeline") {
+    val corpus = PagesGen.corpus(120, seed = 42L)
+    val srcDir = tmpDir("graft-stream-src")
+    // land the corpus as multiple files (multiple micro-batches)
+    corpus.map(_.row).toDS().repartition(6).write.mode("overwrite").parquet(srcDir)
+
+    val stream = StreamingOps.pagesStream(spark, srcDir)
+    assert(stream.isStreaming)
+    val extracted = StreamingOps.extractStream(spark, stream)
+    val q = extracted.writeStream
+      .format("memory")
+      .queryName("ext_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("ext_stream")
+      .select("url", "text", "error").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got.size == corpus.size)
+    corpus.foreach { gp =>
+      val (text, err) = got(gp.row.url)
+      assert(err == null && text == gp.expected, gp.row.url)
+    }
+  }
+
+  test("streaming windowed rollup with watermark") {
+    val corpus = PagesGen.corpus(150, seed = 7L)
+    val srcDir = tmpDir("graft-stream-win")
+    corpus.map(_.row).toDS().repartition(3).write.mode("overwrite").parquet(srcDir)
+
+    val counts = StreamingOps.hourlyDocCounts(
+      StreamingOps.extractStream(spark, StreamingOps.pagesStream(spark, srcDir)))
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("win_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val total = spark.table("win_stream").agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect().head.getLong(0)
+    assert(total == corpus.size)
+    // batch equivalence of the same aggregation
+    val batch = ExtractPipeline.extract(spark, corpus.map(_.row).toDS().toDF()).toDF()
+    val batchCounts = batch
+      .groupBy(org.apache.spark.sql.functions.window($"warc_ts", "1 hour"), $"doc_kind")
+      .count().count()
+    assert(spark.table("win_stream").count() == batchCounts)
+  }
+}
