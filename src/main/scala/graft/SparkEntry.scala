@@ -33,7 +33,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtractionOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries
+      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
+      ScalarOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Column names + types match the Spark side
@@ -41,5 +42,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ExtractionOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
-      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles
+      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
+      ScalarOps.oracles
 }

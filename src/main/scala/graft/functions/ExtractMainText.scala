@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.kernels.{ExtractKernel, MainTextExtractor, PdfTextExtractor}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** SQL-callable main-content extraction (SURVEY §4.3 / §7.4 phase-2 item):
+  * `extract_main_text(html binary) -> string` as a native Catalyst
+  * [[UnaryExpression]] with [[CodegenFallback]] — the kernel itself is an
+  * opaque tree/string routine, so codegen of the call gains nothing, but a
+  * native expression (vs a Scala UDF) keeps null handling, eval, and the
+  * surrounding projection inside Catalyst: the enclosing stage still
+  * whole-stage-codegens and only this call falls back.
+  *
+  * Dispatch mirrors ExtractKernel.sniff (content sniffing on magic bytes,
+  * reference analog api.py:123-125): `%PDF-` → PDF kernel (pages joined
+  * with '\n'), anything else → HTML boilerplate-strip, null/empty → null.
+  */
+case class ExtractMainText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  // null is produced even for non-null input (empty bytes, PDF with no
+  // extractable pages), so nullability can't be inherited from the child
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"extract_main_text expects BINARY, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    ExtractKernel.sniff(bytes) match {
+      case ExtractKernel.KindPassthrough => null // no bytes, nothing to extract
+      case ExtractKernel.KindPdf =>
+        val res = PdfTextExtractor.extract(bytes)
+        if (res.pages.isEmpty) null
+        else UTF8String.fromString(res.pages.map(_.text).mkString("\n"))
+      case _ =>
+        UTF8String.fromString(MainTextExtractor.extract(new String(bytes, UTF_8)).text)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractMainText =
+    copy(child = newChild)
+
+  override def prettyName: String = "extract_main_text"
+}
+
+object ExtractMainText {
+
+  val fnName: FunctionIdentifier = FunctionIdentifier("extract_main_text")
+
+  val fnInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ExtractMainText].getName, "extract_main_text")
+
+  val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "extract_main_text takes exactly 1 argument")
+    ExtractMainText(args.head)
+  }
+
+  /** Imperative registration for sessions built without extensions
+    * (idempotent — registerFunction overwrites).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(fnName, fnInfo, builder)
+}

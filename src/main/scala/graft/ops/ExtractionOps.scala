@@ -94,7 +94,21 @@ object ExtractionOps {
       |  CAST(length(text) AS BIGINT) - ((len(string_split(text, ' ')) + 39) // 40 - 1) AS span_chars
       |FROM documents""".stripMargin
 
+  /** Same HTML extraction, but through the SQL-callable native Catalyst
+    * expression (graft.functions.ExtractMainText) instead of the
+    * mapPartitions kernel — proves the FunctionRegistry/extensions path
+    * produces byte-identical text.
+    */
+  def extractSqlExpr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExtractMainText.register(spark)
+    DocPages.htmlSingle(spark, dir).toDF()
+      .selectExpr(
+        "cast(substring_index(url, '/', -1) as long) as doc_id",
+        "extract_main_text(html) as extracted_text")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_extract_sql_expr" -> (extractSqlExpr(_, _)),
     "q_extract_html" -> (extractHtml(_, _)),
     "q_extract_html_chunked" -> (extractHtmlChunked(_, _)),
     "q_extract_pdf" -> (extractPdf(_, _)),
@@ -104,6 +118,7 @@ object ExtractionOps {
     "q_extract_spans" -> (extractSpans(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_extract_sql_expr" -> extractHtmlSql,
     "q_extract_html" -> extractHtmlSql,
     "q_extract_html_chunked" -> extractHtmlChunkedSql,
     "q_extract_pdf" -> extractPdfSql,

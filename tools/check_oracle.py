@@ -36,7 +36,7 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}.parquet/*.parquet'")
             s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
             o_rel = con.sql(sql)
             o_cols, o_rows = canon(o_rel.fetchall(), o_rel.columns)
