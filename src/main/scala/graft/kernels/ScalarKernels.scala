@@ -1,0 +1,112 @@
+package graft.kernels
+
+import java.util.Locale
+
+/** Exact 1:1 ports of the reference's deterministic text-normalization
+  * ladder (SURVEY §2.8) — the functions whose byte-level semantics the
+  * golden corpus binds to. Pure Scala, zero Spark imports; invoked from
+  * typed Dataset transforms (FormOps) and unit-tested against cases lifted
+  * from the reference's fixture corpus.
+  *
+  * Locale-independence: only ASCII-explicit case mapping
+  * (`toLowerCase(Locale.ROOT)`), no default-locale calls (SURVEY §7.4
+  * hard part #2).
+  */
+object ScalarKernels {
+
+  /** clean_ocr_text (convert_to_json.py:16-34), per line: if the line is
+    * `[...]`-bracketed, drop `'` and turn `,` into a space inside the
+    * brackets; otherwise drop both `'` and `,`. Lines re-join with '\n'.
+    */
+  def cleanOcrText(text: String): String =
+    text.split("\n", -1).map(cleanOcrLine).mkString("\n")
+
+  def cleanOcrLine(line: String): String =
+    if (line.startsWith("[") && line.endsWith("]") && line.length >= 2) {
+      val inner = line.substring(1, line.length - 1)
+      "[" + inner.replace("'", "").replace(",", " ") + "]"
+    } else line.replace("'", "").replace(",", " ")
+  // both branches turn ',' into a SPACE (convert_to_json.py:27,30) —
+  // SURVEY §2.8's "drop" phrasing was imprecise; the code is the truth
+
+  /** process_checkboxes (convert_to_json.py:36-88), per line:
+    * 1. first matching checkbox field with `field[:]? (Yes|No)` rewrites
+    *    that occurrence to `field: true/false` and RETURNS (no paren pass);
+    * 2. otherwise every `(content)` group becomes true/false when a
+    *    checkbox field name occurs within the 3 whitespace-tokens before
+    *    the `(` — `()` → false, single-char content → true; other content
+    *    (or no preceding field) keeps `(content)`.
+    */
+  val CheckboxFields: Seq[String] = Seq(
+    "single", "married", "newVisit", "followUp", "refill", "walkIn",
+    "inpatient", "outpatient", "emergencyCase", "chronic", "congenital",
+    "rta", "workRelated", "vaccination", "checkUp", "psychiatric",
+    "infertility", "pregnancy", "approved", "notApproved")
+
+  private val yesNoPatterns = CheckboxFields.map { f =>
+    f -> ("(?i)\\b" + java.util.regex.Pattern.quote(f) + ":?\\s+(Yes|No)\\b").r
+  }
+  private val parenRe = "\\((.*?)\\)".r
+  private val lowerFields = CheckboxFields.map(_.toLowerCase(Locale.ROOT))
+
+  def processCheckboxes(text: String): String =
+    text.split("\n", -1).map(processCheckboxLine).mkString("\n")
+
+  def processCheckboxLine(line: String): String = {
+    // pass 1: explicit Yes/No — first field that matches wins, then return
+    yesNoPatterns.foreach { case (field, re) =>
+      re.findFirstMatchIn(line).foreach { m =>
+        val value = m.group(1).toLowerCase(Locale.ROOT) == "yes"
+        return line.replace(m.matched, s"$field: $value")
+      }
+    }
+    // pass 2: parenthesis checkboxes with a 3-token lookbehind window
+    parenRe.replaceAllIn(line, { m =>
+      val content = m.group(1).trim
+      val preContext =
+        if (m.start > 0) line.substring(0, m.start).split("\\s+").filter(_.nonEmpty).takeRight(3)
+        else Array.empty[String]
+      val preLower = preContext.map(_.toLowerCase(Locale.ROOT))
+      val isCheckbox = lowerFields.exists(f => preLower.exists(_.contains(f)))
+      val out =
+        if (isCheckbox && content.isEmpty) "false"
+        else if (isCheckbox && content.length == 1) "true"
+        else s"($content)"
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+  }
+
+  /** Fragment re-join ladder (convert_to_json.py:647-664): repair
+    * OCR-split word suffixes `stem SUFFIX` → `stemSUFFIX` for the
+    * reference's 9 suffixes, applied in its order.
+    */
+  val FragmentSuffixes: Seq[String] =
+    Seq("um", "er", "ing", "ed", "al", "sis", "tion", "phy", "gram")
+
+  private val fragmentRes =
+    FragmentSuffixes.map(s => ("(\\w+)\\s+" + s + "\\b").r -> ("$1" + s))
+
+  def rejoinFragments(s: String): String =
+    fragmentRes.foldLeft(s) { case (acc, (re, rep)) => re.replaceAllIn(acc, rep) }
+
+  /** clean_service_description (convert_to_json.py:453-478): cut the
+    * description at the earliest occurrence of any marker substring, then
+    * collapse whitespace runs to single spaces and trim.
+    */
+  val DescriptionMarkers: Seq[String] = Seq(
+    "services Providers", "Providers Approval", "Approval/Coding",
+    "Staff must", "review/code", "completethe following",
+    "Completed/Coded", "Signature", "Date", "Medication",
+    "Type Req", "Req. Qty", "Req. Cost", "Gross amount", "App. Qty",
+    "App. Cost", "App. Gross", "Note",
+    "Providers", "Staff", "Generic", "Signature", "Coded By")
+
+  def cleanServiceDescription(desc: String): String = {
+    val cut = DescriptionMarkers
+      .map(desc.indexOf(_))
+      .filter(_ >= 0)
+      .minOption
+      .fold(desc)(desc.substring(0, _))
+    cut.replaceAll("\\s+", " ").trim
+  }
+}

@@ -147,17 +147,58 @@ object DedupOps {
        |SELECT doc_id, $bits AS simhash16 FROM a""".stripMargin
   }
 
+  // ------------------------------------------------ embedding-cosine near-dup
+
+  /** Embedding-cosine near-dup: candidate pairs share an 8-bit sign-LSH
+    * bucket (shuffle on the bucket key only — the 100 TB path; identical
+    * blocking to SimilarityOps.annLsh), then cosine >= 0.3 within bucket.
+    * Pairs emitted once (a < b); sims rounded so engine summation order
+    * can't flip the compare.
+    */
+  def embedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long) as vec_id", "embedding",
+        "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)) as nrm",
+        (1 to 8).map(i =>
+          s"(case when element_at(embedding, $i) >= cast(0 as float) then '1' else '0' end)")
+          .mkString("concat(", ", ", ") as bucket"))
+    val a = e.toDF("a_id", "a_emb", "a_nrm", "bucket")
+    val b = e.toDF("b_id", "b_emb", "b_nrm", "b_bucket")
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("sim", round(
+        expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)") /
+          sqrt(col("a_nrm") * col("b_nrm")), 4))
+      .filter(col("sim") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  val embedCosineSql: String = {
+    val bucket = (1 to 8)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH n AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS e,
+       |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm,
+       |    $bucket AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(list_inner_product(a.e, b.e) / sqrt(a.nrm * b.nrm), 4) AS sim
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_inner_product(a.e, b.e) / sqrt(a.nrm * b.nrm), 4) >= 0.3""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact(_, _)),
     "q_dedup_jaccard" -> (jaccard(_, _)),
     "q_dedup_minhash_lsh" -> (minhashLsh(_, _)),
-    "q_dedup_simhash" -> (simhash(_, _)))
+    "q_dedup_simhash" -> (simhash(_, _)),
+    "q_dedup_embed_cosine" -> (embedCosine(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash_lsh" -> minhashLshSql,
-    "q_dedup_simhash" -> simhashSql)
+    "q_dedup_simhash" -> simhashSql,
+    "q_dedup_embed_cosine" -> embedCosineSql)
 }

@@ -1,0 +1,373 @@
+package graft.ops
+
+import graft.kernels.ScalarKernels
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second §2.8 batch: the form-normalization ladder ported 1:1 in
+  * [[ScalarKernels]] (clean_ocr_text, process_checkboxes, fragment
+  * re-join, clean_service_description — convert_to_json.py:16-34,36-88,
+  * 647-664,453-478) driven through typed Dataset maps, plus the remaining
+  * pure-Catalyst ladder ops (multi-format dates, ICD-10 heads,
+  * chief-complaint, name split, base64, JSON carve, n-gram chunker,
+  * payer-line aggregation).
+  *
+  * Form-like inputs are synthesized inside the query from the testdata
+  * tables with the identical expression on both engines, so every oracle
+  * compare is exact. All non-kernel queries are built-in expressions —
+  * inside whole-stage codegen, column-pruned at the scan.
+  */
+object FormOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // first three words as columns (documents always have >= 10 words)
+  private def w3(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "element_at(split(text, ' '), 1) as w1",
+      "element_at(split(text, ' '), 2) as w2",
+      "element_at(split(text, ' '), 3) as w3")
+
+  private val W3Sql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  string_split(text, ' ')[1] AS w1,
+      |  string_split(text, ' ')[2] AS w2,
+      |  string_split(text, ' ')[3] AS w3
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- clean_ocr_text kernel
+
+  /** Two-line input exercising both branches: a fully-bracketed line
+    * (bracket branch: quotes dropped, commas→space inside brackets) and a
+    * trailing-text line (else branch).
+    */
+  def cleanOcr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w3(spark, dir)
+      .selectExpr("doc_id",
+        "concat('[''', w1, ''', ''', w2, ''']', '\n', '[''', w1, ''', ''', w2, '''] ', w3, '''s,') as raw")
+      .as[(Long, String)]
+      .map { case (id, raw) => (id, ScalarKernels.cleanOcrText(raw)) }
+      .toDF("doc_id", "cleaned")
+  }
+
+  val cleanOcrSql: String =
+    s"""WITH b AS ($W3Sql)
+       |SELECT doc_id,
+       |  '[' || w1 || '  ' || w2 || ']' || chr(10) ||
+       |  '[' || w1 || '  ' || w2 || '] ' || w3 || 's ' AS cleaned
+       |FROM b""".stripMargin
+
+  // --------------------------------------------- process_checkboxes kernel
+
+  /** Exercises: Yes/No field rewrite (first-match-wins, early return),
+    * paren checkbox with 3-token lookbehind ((x)→true, ()→false,
+    * multi-char content kept), non-checkbox parens untouched.
+    */
+  def checkboxKernel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        """concat('Married (',
+          |  case cast(doc_id % 3 as int) when 0 then 'x' when 1 then '' else 'ab' end,
+          |  ') Status (ok)', '\n',
+          |  'refill: ', case when doc_id % 2 = 0 then 'Yes' else 'No' end, ' extra') as raw""".stripMargin)
+      .as[(Long, String)]
+      .map { case (id, raw) => (id, ScalarKernels.processCheckboxes(raw)) }
+      .toDF("doc_id", "checked")
+  }
+
+  val checkboxKernelSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'Married ' ||
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'true' WHEN 1 THEN 'false' ELSE '(ab)' END ||
+      |  ' Status (ok)' || chr(10) ||
+      |  'refill: ' || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END || ' extra' AS checked
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- fragment rejoin kernel
+
+  /** Split suffixes off words with a mirrored injection expression, then
+    * repair with the reference's 9-regex ladder (kernel); the oracle runs
+    * the identical 9 replacements in the same order in DuckDB.
+    */
+  private val InjectSpark =
+    "regexp_replace(text, '([a-z])(ing|ed|er|al)\\\\b', '$1 $2')"
+  private val InjectDuck =
+    """regexp_replace(text, '([a-z])(ing|ed|er|al)\b', '\1 \2', 'g')"""
+
+  def fragmentRejoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", s"$InjectSpark as injected")
+      .as[(Long, String)]
+      .map { case (id, inj) => (id, inj.length.toLong, ScalarKernels.rejoinFragments(inj)) }
+      .toDF("doc_id", "injected_len", "rejoined")
+  }
+
+  val fragmentRejoinSql: String = {
+    val rejoined = ScalarKernels.FragmentSuffixes.foldLeft(InjectDuck) { (acc, s) =>
+      s"""regexp_replace($acc, '(\\w+)\\s+$s\\b', '\\1$s', 'g')"""
+    }
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(length($InjectDuck) AS BIGINT) AS injected_len,
+       |  $rejoined AS rejoined
+       |FROM documents""".stripMargin
+  }
+
+  // ------------------------------------- clean_service_description kernel
+
+  /** Cut at earliest marker ('Date' here), collapse whitespace runs, trim
+    * — both the marker and the no-cut path.
+    */
+  def serviceDesc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w3(spark, dir)
+      .selectExpr("doc_id",
+        """case when doc_id % 2 = 0
+          |  then concat(w1, '   ', w2, ' Date 2025 ', w3)
+          |  else concat(w1, '   ', w2, '  ', w3) end as raw""".stripMargin)
+      .as[(Long, String)]
+      .map { case (id, raw) => (id, ScalarKernels.cleanServiceDescription(raw)) }
+      .toDF("doc_id", "description")
+  }
+
+  val serviceDescSql: String =
+    s"""WITH b AS ($W3Sql)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN w1 || ' ' || w2
+       |       ELSE w1 || ' ' || w2 || ' ' || w3 END AS description
+       |FROM b""".stripMargin
+
+  // ------------------------------------------------ multi-format date parse
+
+  /** endpoint_upload.py:1342-1354: try formats in order via coalesce of
+    * try-parses — the Catalyst form of the reference's sequential
+    * try/except ladder.
+    */
+  def dateMulti(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("cast(o_orderkey as long) as o_orderkey",
+        """case cast(o_orderkey % 3 as int)
+          |  when 0 then date_format(o_orderdate, 'yyyy-MM-dd')
+          |  when 1 then date_format(o_orderdate, 'dd/MM/yyyy')
+          |  else date_format(o_orderdate, 'dd-MM-yyyy') end as raw_date""".stripMargin)
+      .selectExpr("o_orderkey", "raw_date",
+        """date_format(coalesce(
+          |  try_to_timestamp(raw_date, 'yyyy-MM-dd'),
+          |  try_to_timestamp(raw_date, 'dd/MM/yyyy'),
+          |  try_to_timestamp(raw_date, 'dd-MM-yyyy')), 'yyyy-MM-dd') as parsed""".stripMargin)
+
+  val dateMultiSql: String =
+    """WITH r AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |    CASE CAST(o_orderkey % 3 AS INT)
+      |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |      WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+      |      ELSE strftime(o_orderdate, '%d-%m-%Y') END AS raw_date
+      |  FROM orders)
+      |SELECT o_orderkey, raw_date,
+      |  strftime(coalesce(
+      |    try_strptime(raw_date, '%Y-%m-%d'),
+      |    try_strptime(raw_date, '%d/%m/%Y'),
+      |    try_strptime(raw_date, '%d-%m-%Y')), '%Y-%m-%d') AS parsed
+      |FROM r""".stripMargin
+
+  // ------------------------------------------------------- ICD-10 assembly
+
+  /** endpoint_upload.py:1381-1388: diagnosis fields → array; per code the
+    * head before '-' then before ' '.
+    */
+  def icd10(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+      .selectExpr("cast(p_partkey as long) as p_partkey",
+        """concat_ws(',', transform(
+          |  array(concat(cast(p_partkey as string), '-A1'),
+          |        concat('X', cast(p_partkey as string), ' B2'),
+          |        'NOCODE'),
+          |  c -> element_at(split(element_at(split(c, '-'), 1), ' '), 1))) as icd_heads""".stripMargin)
+
+  val icd10Sql: String =
+    """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+      |  array_to_string(list_transform(
+      |    [CAST(p_partkey AS VARCHAR) || '-A1',
+      |     'X' || CAST(p_partkey AS VARCHAR) || ' B2',
+      |     'NOCODE'],
+      |    c -> string_split(string_split(c, '-')[1], ' ')[1]), ',') AS icd_heads
+      |FROM part""".stripMargin
+
+  // ---------------------------------------------------- chief complaint
+
+  /** endpoint_upload.py:1392-1404: split ' - ', drop the leading code
+    * part, strip parens, re-join.
+    */
+  def chiefComplaint(spark: SparkSession, dir: String): DataFrame =
+    w3(spark, dir)
+      .selectExpr("doc_id", "concat('A12 - (', w1, ') ', w2, ' - ', w3) as cc")
+      .selectExpr("doc_id",
+        """array_join(transform(slice(split(cc, ' - '), 2, 100),
+          |  p -> regexp_replace(p, '[()]', '')), ' - ') as complaint""".stripMargin)
+
+  val chiefComplaintSql: String =
+    s"""WITH b AS ($W3Sql),
+       |c AS (SELECT doc_id, 'A12 - (' || w1 || ') ' || w2 || ' - ' || w3 AS cc FROM b)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(
+       |    list_slice(string_split(cc, ' - '), 2, len(string_split(cc, ' - '))),
+       |    p -> regexp_replace(p, '[()]', '', 'g')), ' - ') AS complaint
+       |FROM c""".stripMargin
+
+  // --------------------------------------------------------- name split
+
+  /** endpoint_upload.py:1323-1326 arity rules: 2 words → no middle;
+    * 3+ words → second is middle, last is last.
+    */
+  def nameSplit(spark: SparkSession, dir: String): DataFrame =
+    w3(spark, dir)
+      .selectExpr("doc_id",
+        "case when doc_id % 3 = 0 then concat(w1, ' ', w2) else concat(w1, ' ', w2, ' ', w3) end as full_name")
+      .selectExpr("doc_id", "full_name",
+        "element_at(split(full_name, ' '), 1) as first_name",
+        "case when size(split(full_name, ' ')) > 2 then element_at(split(full_name, ' '), 2) else '' end as middle_name",
+        "element_at(split(full_name, ' '), size(split(full_name, ' '))) as last_name")
+
+  val nameSplitSql: String =
+    s"""WITH b AS ($W3Sql),
+       |n AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN w1 || ' ' || w2
+       |         ELSE w1 || ' ' || w2 || ' ' || w3 END AS full_name FROM b)
+       |SELECT doc_id, full_name,
+       |  string_split(full_name, ' ')[1] AS first_name,
+       |  CASE WHEN len(string_split(full_name, ' ')) > 2
+       |       THEN string_split(full_name, ' ')[2] ELSE '' END AS middle_name,
+       |  string_split(full_name, ' ')[len(string_split(full_name, ' '))] AS last_name
+       |FROM n""".stripMargin
+
+  // ------------------------------------------------------------- base64
+
+  /** endpoint_upload.py:834-855,899-913 base64 payload decode: encode →
+    * decode round-trip must be exact.
+    */
+  def base64Roundtrip(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        // Spark's base64 emits MIME-chunked output (CRLF every 76 chars);
+        // strip the chunking for the canonical unchunked form
+        "replace(base64(cast(text as binary)), '\r\n', '') as b64",
+        "cast(cast(unbase64(base64(cast(text as binary))) as string) = text as boolean) as roundtrip_ok")
+
+  val base64RoundtripSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  base64(encode(text)) AS b64,
+      |  (decode(from_base64(base64(encode(text)))) = text) AS roundtrip_ok
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- JSON carve
+
+  /** convert_to_json.py:548-557: carve the {...} block out of a noisy
+    * reply, then extract fields.
+    */
+  def jsonCarve(spark: SparkSession, dir: String): DataFrame =
+    w3(spark, dir)
+      .selectExpr("doc_id",
+        """concat('noise {"k": ', cast(doc_id as string), ', "v": "', w1, '"} tail') as reply""".stripMargin)
+      .selectExpr("doc_id",
+        "regexp_extract(reply, '\\\\{.*\\\\}', 0) as carved")
+      .selectExpr("doc_id",
+        "cast(get_json_object(carved, '$.k') as long) as k",
+        "get_json_object(carved, '$.v') as v")
+
+  val jsonCarveSql: String =
+    s"""WITH b AS ($W3Sql),
+       |r AS (SELECT doc_id,
+       |    'noise {"k": ' || CAST(doc_id AS VARCHAR) || ', "v": "' || w1 || '"}' || ' tail' AS reply
+       |  FROM b),
+       |c AS (SELECT doc_id, regexp_extract(reply, '\\{.*\\}') AS carved FROM r)
+       |SELECT doc_id, CAST(carved->>'$$.k' AS BIGINT) AS k, carved->>'$$.v' AS v FROM c""".stripMargin
+
+  // ------------------------------------------------------- n-gram chunker
+
+  /** endpoint_upload.py:124-165 n-gram chunker (relational analog): all
+    * 2-word chunks via sequence+slice.
+    */
+  def ngramChunks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "split(text, ' ') as ws")
+      .selectExpr("doc_id",
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2))) as grams")
+      .selectExpr("doc_id",
+        "cast(size(grams) as long) as n_bigrams",
+        "element_at(grams, 1) as first_bigram",
+        "element_at(grams, -1) as last_bigram")
+
+  val ngramChunksSql: String =
+    """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |    list_transform(range(1, len(ws)), i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS grams
+      |  FROM w)
+      |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_bigrams,
+      |  grams[1] AS first_bigram, grams[len(grams)] AS last_bigram
+      |FROM g""".stripMargin
+
+  // ---------------------------------------------------- payer-line rollup
+
+  /** find_payer_info (convert_to_json.py:268-292): chunk the doc into
+    * 8-word lines, keep lines matching the payer vocabulary, concatenate
+    * in document order — order-deterministic because the fold stays inside
+    * one row's arrays (no collect_list).
+    */
+  def payerLines(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "split(text, ' ') as ws")
+      .selectExpr("doc_id",
+        """filter(
+          |  transform(sequence(0, cast(ceil(size(ws) / 8.0) as int) - 1),
+          |    i -> concat_ws(' ', slice(ws, i * 8 + 1, 8))),
+          |  c -> array_contains(split(c, ' '), 'value') or array_contains(split(c, ' '), 'hash')) as hits""".stripMargin)
+      .selectExpr("doc_id",
+        "cast(size(hits) as long) as n_payer_lines",
+        "array_join(hits, ' ') as payer_text")
+
+  val payerLinesSql: String =
+    """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id,
+      |    list_filter(
+      |      list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS INT)),
+      |        i -> array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')),
+      |      c -> list_contains(string_split(c, ' '), 'value') OR list_contains(string_split(c, ' '), 'hash')) AS hits
+      |  FROM w)
+      |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_payer_lines,
+      |  coalesce(array_to_string(hits, ' '), '') AS payer_text
+      |FROM c""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clean_ocr" -> (cleanOcr(_, _)),
+    "q_checkbox_kernel" -> (checkboxKernel(_, _)),
+    "q_fragment_rejoin" -> (fragmentRejoin(_, _)),
+    "q_service_desc" -> (serviceDesc(_, _)),
+    "q_date_multi" -> (dateMulti(_, _)),
+    "q_icd10" -> (icd10(_, _)),
+    "q_chief_complaint" -> (chiefComplaint(_, _)),
+    "q_name_split" -> (nameSplit(_, _)),
+    "q_base64" -> (base64Roundtrip(_, _)),
+    "q_json_carve" -> (jsonCarve(_, _)),
+    "q_ngram_chunks" -> (ngramChunks(_, _)),
+    "q_payer_lines" -> (payerLines(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_clean_ocr" -> cleanOcrSql,
+    "q_checkbox_kernel" -> checkboxKernelSql,
+    "q_fragment_rejoin" -> fragmentRejoinSql,
+    "q_service_desc" -> serviceDescSql,
+    "q_date_multi" -> dateMultiSql,
+    "q_icd10" -> icd10Sql,
+    "q_chief_complaint" -> chiefComplaintSql,
+    "q_name_split" -> nameSplitSql,
+    "q_base64" -> base64RoundtripSql,
+    "q_json_carve" -> jsonCarveSql,
+    "q_ngram_chunks" -> ngramChunksSql,
+    "q_payer_lines" -> payerLinesSql)
+}

@@ -76,9 +76,35 @@ object MultimodalOps {
       |  CASE CAST(length(text) AS BIGINT) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt
       |FROM documents""".stripMargin
 
+  /** Frame-sampling plumbing (video frame-sample analog): every 16th byte
+    * of the payload is a "frame"; emit frame count + a deterministic
+    * checksum over the sampled bytes. Pure higher-order functions — the
+    * batch shape a real frame sampler (mapInPandas equivalent) would use,
+    * with the decode swapped for byte indexing.
+    */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as media_id", "text as payload")
+      .selectExpr("media_id",
+        "cast(floor((length(payload) + 15) / 16) as long) as n_frames",
+        """aggregate(
+          |  transform(sequence(0, cast(floor((length(payload) + 15) / 16) as int) - 1),
+          |    i -> cast(ascii(substring(payload, i * 16 + 1, 1)) as long)),
+          |  0L, (acc, x) -> acc + x) as frame_checksum""".stripMargin)
+
+  val mediaFramesSql: String =
+    """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text AS payload FROM documents)
+      |SELECT media_id,
+      |  CAST((length(payload) + 15) // 16 AS BIGINT) AS n_frames,
+      |  CAST(list_sum(list_transform(range(0, CAST((length(payload) + 15) // 16 AS INT)),
+      |    i -> ascii(substr(payload, i * 16 + 1, 1)))) AS BIGINT) AS frame_checksum
+      |FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_meta" -> (mediaMeta(_, _)))
+    "q_media_meta" -> (mediaMeta(_, _)),
+    "q_media_frames" -> (mediaFrames(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "q_media_meta" -> mediaMetaSql)
+    "q_media_meta" -> mediaMetaSql,
+    "q_media_frames" -> mediaFramesSql)
 }
