@@ -38,6 +38,61 @@ object StreamingOps {
       conf: ExtractPipeline.Conf = ExtractPipeline.Conf()): DataFrame =
     ExtractPipeline.extract(spark, pages, conf).toDF()
 
+  // ------------------------------------------- custom state: streaming dedup
+
+  final case class PageKeyed(host: String, url: String, fp: String)
+  final case class FirstSeen(host: String, url: String, fp: String)
+
+  /** Streaming first-seen dedup with explicit state
+    * (`flatMapGroupsWithState`): keyed by host, state = set of content
+    * fingerprints already emitted for that host; duplicates within and
+    * across micro-batches are suppressed.
+    *
+    * `stateTtl` (e.g. Some("1 hour")) enables ProcessingTimeTimeout
+    * eviction of idle hosts — the knob that bounds total state to the
+    * active-host working set when the key space is the whole crawl's host
+    * list. NOTE a TTL forces the engine to keep firing empty micro-batches
+    * to evaluate timeouts, so it belongs with a real processing-time
+    * trigger in a long-lived job; for AvailableNow / test runs pass None
+    * (NoTimeout) or the query never drains.
+    */
+  def firstSeenByHost(spark: SparkSession, pages: DataFrame,
+      stateTtl: Option[String] = None): Dataset[FirstSeen] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = pages
+      .selectExpr(
+        "regexp_extract(url, '^[a-z]+://([^/]+)', 1) as host",
+        "url",
+        "md5(coalesce(cast(html as string), text, '')) as fp")
+      .as[PageKeyed]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    keyed
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[Set[String], FirstSeen](
+        OutputMode.Append, timeoutConf) {
+        (host: String, rows: Iterator[PageKeyed], state: GroupState[Set[String]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Set.empty[String])
+            val out = Seq.newBuilder[FirstSeen]
+            rows.foreach { r =>
+              if (!seen.contains(r.fp)) {
+                seen += r.fp
+                out += FirstSeen(host, r.url, r.fp)
+              }
+            }
+            state.update(seen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Event-time tumbling-window rollup with a watermark: docs per hour per
     * kind — the monitoring aggregation a crawl pipeline runs beside the
     * extraction sink. Late pages beyond 2 hours are dropped by watermark.

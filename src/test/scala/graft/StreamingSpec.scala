@@ -35,6 +35,29 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stateful first-seen dedup (flatMapGroupsWithState) across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[graft.model.PageRow]
+    def row(url: String, text: String) =
+      graft.model.PageRow(url, new java.sql.Timestamp(0), null, text, "en")
+    // batch 1: two distinct texts on one host, one on another
+    ms.addData(
+      row("http://a.com/1", "alpha"), row("http://a.com/2", "beta"),
+      row("http://b.com/1", "alpha"))
+    val deduped = StreamingOps.firstSeenByHost(spark, ms.toDF())
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("dedup_stream").count() == 3) // b.com/1 distinct per host
+    // batch 2: duplicate of a.com's alpha (suppressed by state), one new
+    ms.addData(row("http://a.com/3", "alpha"), row("http://a.com/4", "gamma"))
+    q.processAllAvailable()
+    val urls = spark.table("dedup_stream").select("url").collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(urls == Set("http://a.com/1", "http://a.com/2", "http://b.com/1", "http://a.com/4"))
+  }
+
   test("streaming windowed rollup with watermark") {
     val corpus = PagesGen.corpus(150, seed = 7L)
     val srcDir = tmpDir("graft-stream-win")
