@@ -38,17 +38,20 @@ object DedupOps {
 
   // --------------------------------------------------------- n-gram jaccard
 
-  /** Pairwise token-set Jaccard within a `source` group (the blocking key
-    * bounds the quadratic blowup — at scale the blocking key would be an
-    * LSH bucket, which is exactly the next operator).
+  /** Pairwise token-set Jaccard within a (source, length-bucket) block —
+    * the compound blocking key bounds the quadratic blowup (near-dups have
+    * near-equal lengths, so a length bucket is a sound blocking heuristic);
+    * at scale the blocking key would be an LSH bucket, which is exactly
+    * the next operator.
     */
   def jaccard(spark: SparkSession, dir: String): DataFrame = {
     val sets = docs(spark, dir).selectExpr(
-      "cast(doc_id as long) as doc_id", "source",
+      "cast(doc_id as long) as doc_id",
+      "concat(source, '#', cast(cast(floor(n_chars / 100.0) as long) as string)) as blk",
       "array_distinct(split(text, ' ')) as ws")
-    val a = sets.toDF("a_id", "source", "a_ws")
-    val b = sets.toDF("b_id", "b_source", "b_ws")
-    a.join(b, col("source") === col("b_source") && col("a_id") < col("b_id"))
+    val a = sets.toDF("a_id", "blk", "a_ws")
+    val b = sets.toDF("b_id", "b_blk", "b_ws")
+    a.join(b, col("blk") === col("b_blk") && col("a_id") < col("b_id"))
       .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))))
       .withColumn("jac", round(
         col("inter").cast("double") /
@@ -58,12 +61,13 @@ object DedupOps {
   }
 
   val jaccardSql: String =
-    """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+    """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    source || '#' || CAST(n_chars // 100 AS VARCHAR) AS blk,
       |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS inter,
       |    len(a.ws) AS na, len(b.ws) AS nb
-      |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |  FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
       |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jac
       |FROM p WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5""".stripMargin
 

@@ -141,6 +141,36 @@ object FormOps {
        |       ELSE w1 || ' ' || w2 || ' ' || w3 END AS description
        |FROM b""".stripMargin
 
+  // ------------------------------------------------- service-code predicates
+
+  /** Row-validity predicate ladder (convert_to_json.py:360,428,437-441):
+    * code-cell regex `\((\d+[^)]*-\d+[^)]*)\)`, numeric-cell regex,
+    * status vocabulary.
+    */
+  def serviceCodes(spark: SparkSession, dir: String): DataFrame =
+    w3(spark, dir)
+      .selectExpr("doc_id",
+        "concat(w1, ' (', cast(doc_id as string), '-', cast(doc_id % 97 as string), 'X) ', w2) as line",
+        "case cast(doc_id % 3 as int) when 0 then '42.5' when 1 then '17' else 'n/a' end as cell",
+        "case cast(doc_id % 4 as int) when 0 then 'Approved' when 1 then 'Not Approved' when 2 then 'Pending' else w3 end as status")
+      .selectExpr("doc_id",
+        "regexp_extract(line, '\\\\(([0-9]+[^)]*-[0-9]+[^)]*)\\\\)', 1) as code",
+        "cell rlike '^[0-9]+\\\\.?[0-9]*$' as is_numeric",
+        "status in ('Approved', 'Not Approved', 'Pending') as is_status")
+
+  val serviceCodesSql: String =
+    s"""WITH b AS ($W3Sql),
+       |r AS (SELECT doc_id,
+       |    w1 || ' (' || CAST(doc_id AS VARCHAR) || '-' || CAST(doc_id % 97 AS VARCHAR) || 'X) ' || w2 AS line,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '42.5' WHEN 1 THEN '17' ELSE 'n/a' END AS cell,
+       |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'Approved' WHEN 1 THEN 'Not Approved' WHEN 2 THEN 'Pending' ELSE w3 END AS status
+       |  FROM b)
+       |SELECT doc_id,
+       |  regexp_extract(line, '\\(([0-9]+[^)]*-[0-9]+[^)]*)\\)', 1) AS code,
+       |  regexp_matches(cell, '^[0-9]+\\.?[0-9]*$$') AS is_numeric,
+       |  status IN ('Approved', 'Not Approved', 'Pending') AS is_status
+       |FROM r""".stripMargin
+
   // ------------------------------------------------ multi-format date parse
 
   /** endpoint_upload.py:1342-1354: try formats in order via coalesce of
@@ -348,6 +378,7 @@ object FormOps {
     "q_checkbox_kernel" -> (checkboxKernel(_, _)),
     "q_fragment_rejoin" -> (fragmentRejoin(_, _)),
     "q_service_desc" -> (serviceDesc(_, _)),
+    "q_service_codes" -> (serviceCodes(_, _)),
     "q_date_multi" -> (dateMulti(_, _)),
     "q_icd10" -> (icd10(_, _)),
     "q_chief_complaint" -> (chiefComplaint(_, _)),
@@ -362,6 +393,7 @@ object FormOps {
     "q_checkbox_kernel" -> checkboxKernelSql,
     "q_fragment_rejoin" -> fragmentRejoinSql,
     "q_service_desc" -> serviceDescSql,
+    "q_service_codes" -> serviceCodesSql,
     "q_date_multi" -> dateMultiSql,
     "q_icd10" -> icd10Sql,
     "q_chief_complaint" -> chiefComplaintSql,

@@ -49,6 +49,13 @@ object ExtractPipeline {
     * `{page_count, pages:[...]}` JSON of the reference (api.py:261-269).
     */
   def mergePages(row: PageRow, pages: Seq[ExtractedPage]): ExtractedDoc = {
+    if (pages.length == 1) {
+      // fast path for the dominant single-page case: no text re-copy, no
+      // span re-offset — cuts per-doc allocation in the hot loop
+      val p = pages.head
+      return ExtractedDoc(row.url, row.warc_ts, p.doc_kind, 1, p.text,
+        p.spans, p.text.length, row.lang, p.error)
+    }
     val sorted = pages.sortBy(_.page_no)
     val sb = new java.lang.StringBuilder(256)
     val spans = Seq.newBuilder[Span]
