@@ -187,7 +187,10 @@ object PagesGen {
     val h0 = mix(seed ^ (i * 0x9E3779B97F4A7C15L + 1))
     val host = hostOf(mix(h0 + 1), hosts)
     val url = s"https://host-$host.example/p/$i"
-    val ts = new Timestamp(Epoch + (mix(h0 + 2) >>> 40) % (30L * 86400 * 1000))
+    // floorMod over the full 64-bit mix: spreads warc_ts across the whole
+    // 30-day window (a >>>40 shift here once capped the offset at ~4.6 h,
+    // silently collapsing the corpus onto a single day partition)
+    val ts = new Timestamp(Epoch + Math.floorMod(mix(h0 + 2), 30L * 86400 * 1000))
     val kindU = u01(mix(h0 + 3))
     val arabic = u01(mix(h0 + 4)) < 0.1
     val lang = if (arabic) "ar" else "en"

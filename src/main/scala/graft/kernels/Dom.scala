@@ -1,7 +1,6 @@
 package graft.kernels
 
 import java.util.regex.Pattern
-import scala.collection.mutable.ArrayBuffer
 
 /** Lightweight immutable array-backed DOM (SURVEY.md §7.1 "DOM builder").
   *
@@ -51,32 +50,48 @@ object Dom {
     "table", "blockquote", "pre", "section", "article", "aside", "nav",
     "header", "footer", "main", "form", "hr", "figure", "dl")
 
-  /** Streaming DOM builder: implements the tokenizer sink. */
+  /** Streaming DOM builder: implements the tokenizer sink. Node columns
+    * are growable PRIMITIVE arrays — a generic ArrayBuffer[Byte/Int]
+    * boxes every element, and at 10^12 pages the per-node boxes dominate
+    * young-gen churn.
+    */
   final class Builder extends HtmlTokenizer.Sink {
-    private val kinds = new ArrayBuffer[Byte](64)
-    private val names = new ArrayBuffer[String](64)
-    private val hints = new ArrayBuffer[Byte](64)
-    private val parents = new ArrayBuffer[Int](64)
-    private val texts = new ArrayBuffer[String](64)
+    private var n = 0
+    private var kinds = new Array[Byte](64)
+    private var names = new Array[String](64)
+    private var hints = new Array[Byte](64)
+    private var parents = new Array[Int](64)
+    private var texts = new Array[String](64)
     // open-element stack: node indices
     private var stack = new Array[Int](32)
     private var stackNames = new Array[String](32)
     private var sp = 0
 
     private def top: String = if (sp == 0) null else stackNames(sp - 1)
-    private def push(idx: Int, n: String): Unit = {
+    private def push(idx: Int, nm: String): Unit = {
       if (sp == stack.length) {
         stack = java.util.Arrays.copyOf(stack, sp * 2)
         stackNames = java.util.Arrays.copyOf(stackNames, sp * 2)
       }
-      stack(sp) = idx; stackNames(sp) = n; sp += 1
+      stack(sp) = idx; stackNames(sp) = nm; sp += 1
     }
 
-    private def addNode(k: Byte, n: String, h: Byte, t: String): Int = {
-      val idx = kinds.length
-      kinds += k; names += n; hints += h
-      parents += (if (sp == 0) -1 else stack(sp - 1))
-      texts += t
+    private def grow(): Unit = {
+      val cap = n * 2
+      kinds = java.util.Arrays.copyOf(kinds, cap)
+      names = java.util.Arrays.copyOf(names, cap)
+      hints = java.util.Arrays.copyOf(hints, cap)
+      parents = java.util.Arrays.copyOf(parents, cap)
+      texts = java.util.Arrays.copyOf(texts, cap)
+    }
+
+    private def addNode(k: Byte, nm: String, h: Byte, t: String): Int = {
+      if (n == kinds.length) grow()
+      val idx = n
+      kinds(idx) = k; names(idx) = nm; hints(idx) = h
+      parents(idx) = if (sp == 0) -1 else stack(sp - 1)
+      texts(idx) = t
+      n += 1
       idx
     }
 
@@ -108,8 +123,7 @@ object Dom {
     }
 
     def result(): Dom =
-      new Dom(kinds.length, kinds.toArray, names.toArray, hints.toArray,
-        parents.toArray, texts.toArray)
+      new Dom(n, kinds, names, hints, parents, texts)
   }
 
   def parse(html: String): Dom = {
