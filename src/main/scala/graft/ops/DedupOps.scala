@@ -151,6 +151,42 @@ object DedupOps {
        |SELECT doc_id, $bits AS simhash16 FROM a""".stripMargin
   }
 
+  // ------------------------------------------- LSH candidate verification
+
+  /** Candidate-verification stage of the LSH pipeline: for every
+    * MinHash+LSH candidate pair, compute the TRUE token-set Jaccard and
+    * classify (the accept/reject pass that follows blocking at scale —
+    * candidates are tiny relative to the corpus, so the exact measure is
+    * affordable exactly here and nowhere else).
+    */
+  def lshVerify(spark: SparkSession, dir: String): DataFrame = {
+    val sets = docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id", "array_distinct(split(text, ' ')) as ws")
+    val cand = minhashLsh(spark, dir)
+    cand
+      .join(sets.toDF("a_id", "a_ws"), "a_id")
+      .join(sets.toDF("b_id", "b_ws"), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_ws"), col("b_ws"))))
+      .withColumn("jac", round(
+        col("inter").cast("double") /
+          (size(col("a_ws")) + size(col("b_ws")) - col("inter")), 6))
+      .select(col("a_id"), col("b_id"), col("jac"),
+        (col("jac") >= 0.5).as("accepted"))
+  }
+
+  val lshVerifySql: String =
+    s"""WITH cand AS ($minhashLshSql),
+       |sets AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
+       |j AS (SELECT c.a_id, c.b_id,
+       |    len(list_filter(a.ws, w -> list_contains(b.ws, w))) AS inter,
+       |    len(a.ws) AS na, len(b.ws) AS nb
+       |  FROM cand c JOIN sets a ON a.doc_id = c.a_id JOIN sets b ON b.doc_id = c.b_id)
+       |SELECT a_id, b_id,
+       |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jac,
+       |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5 AS accepted
+       |FROM j""".stripMargin
+
   // ------------------------------------------------ embedding-cosine near-dup
 
   /** Embedding-cosine near-dup: candidate pairs share an 8-bit sign-LSH
@@ -197,12 +233,14 @@ object DedupOps {
     "q_dedup_jaccard" -> (jaccard(_, _)),
     "q_dedup_minhash_lsh" -> (minhashLsh(_, _)),
     "q_dedup_simhash" -> (simhash(_, _)),
-    "q_dedup_embed_cosine" -> (embedCosine(_, _)))
+    "q_dedup_embed_cosine" -> (embedCosine(_, _)),
+    "q_dedup_lsh_verify" -> (lshVerify(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash_lsh" -> minhashLshSql,
     "q_dedup_simhash" -> simhashSql,
-    "q_dedup_embed_cosine" -> embedCosineSql)
+    "q_dedup_embed_cosine" -> embedCosineSql,
+    "q_dedup_lsh_verify" -> lshVerifySql)
 }

@@ -214,8 +214,23 @@ object RelationalOps {
       |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
 
+  /** ROLLUP subtotals (Catalyst grouping-sets freebie, SURVEY §2.4 "Partial
+    * +final agg, grouping sets ... Catalyst built-ins suffice"): per
+    * (flag, status), per flag, and grand total in one pass.
+    */
+  def rollupTotals(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+
+  val rollupTotalsSql: String =
+    """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "q_rollup_totals" -> (rollupTotals(_, _)),
     "q_page_rollup" -> (pageRollup(_, _)),
     "q_derived_fields" -> (derivedFields(_, _)),
     "q_resume_antijoin" -> (resumeAntijoin(_, _)),
@@ -228,6 +243,7 @@ object RelationalOps {
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q_rollup_totals" -> rollupTotalsSql,
     "q_page_rollup" -> pageRollupSql,
     "q_derived_fields" -> derivedFieldsSql,
     "q_resume_antijoin" -> resumeAntijoinSql,

@@ -129,13 +129,67 @@ object SimilarityOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn FROM v)
        |SELECT q_id, label AS pred_label, votes FROM r WHERE rn = 1""".stripMargin
 
+  /** IVF-style ANN: a deterministic 8-centroid codebook (the embeddings
+    * with vec_id 0..7 — a fixed "trained" codebook stand-in), every vector
+    * assigned to its nearest centroid (broadcast argmin — one narrow
+    * pass), then each query searches ONLY its own cell: top-3 by cosine.
+    * At 100 TB the cell assignment is a write-time partition column and a
+    * probe touches 1/K of the data; here the cell join IS that pruning.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = embeddings(spark, dir)
+    val cents = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val cDot =
+      "aggregate(zip_with(c_emb, embedding, (a, b) -> cast(a as double) * cast(b as double)), 0D, (acc, x) -> acc + x)"
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("c_id").asc)
+    val assigned = all.crossJoin(broadcast(cents))
+      .withColumn("c_sim", round(expr(cDot) / sqrt(col("c_nrm") * col("nrm")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(q), col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr(DotExpr) / sqrt(col("q_nrm") * col("nrm")), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rn"), col("sim"))
+  }
+
+  val annIvfSql: String =
+    """WITH n AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS e,
+      |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, e AS ce, nrm AS cnrm FROM n WHERE vec_id < 8),
+      |sc AS (SELECT n.vec_id, n.e, n.nrm, c.c_id,
+      |    round(list_inner_product(n.e, c.ce) / sqrt(c.cnrm * n.nrm), 6) AS c_sim
+      |  FROM n, c),
+      |asg AS (SELECT vec_id, e, nrm, c_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, c_id) AS rn
+      |    FROM sc) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, e AS qe, nrm AS qnrm, cell AS q_cell
+      |  FROM asg WHERE vec_id % 100 = 0),
+      |s AS (SELECT q.q_id, p.vec_id AS n_id,
+      |    round(list_inner_product(q.qe, p.e) / sqrt(q.qnrm * p.nrm), 4) AS sim
+      |  FROM q JOIN asg p ON p.cell = q.q_cell AND p.vec_id <> q.q_id),
+      |r AS (SELECT q_id, n_id, sim,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rn
+      |  FROM s)
+      |SELECT q_id, n_id, rn, sim FROM r WHERE rn <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> (annBrute(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
+    "q_ann_ivf" -> (annIvf(_, _)),
     "q_knn_label" -> (knnLabel(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_ann_brute" -> annBruteSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_knn_label" -> knnLabelSql)
 }
