@@ -371,6 +371,33 @@ object FormOps {
       |  coalesce(array_to_string(hits, ' '), '') AS payer_text
       |FROM c""".stripMargin
 
+  // ------------------------------------------------- bracketed-list parse
+
+  /** clean_line (test_extraction.py:18-37) parsed `['w1', 'w2']` OCR lines
+    * with eval(!); the engine's analog is a pure string pipeline: strip the
+    * outer `['...']`, split on `', '` (never eval).
+    */
+  def bracketParse(spark: SparkSession, dir: String): DataFrame =
+    w3(spark, dir)
+      .selectExpr("doc_id",
+        "concat('[''', w1, ''', ''', w2, ''', ''', w3, ''']') as line")
+      .selectExpr("doc_id",
+        "split(regexp_replace(line, '^\\\\[''|''\\\\]$', ''), ''', ''') as words")
+      .selectExpr("doc_id",
+        "cast(size(words) as long) as n_words",
+        "array_join(words, ' ') as joined")
+
+  val bracketParseSql: String =
+    s"""WITH b AS ($W3Sql),
+       |l AS (SELECT doc_id,
+       |    '[''' || w1 || ''', ''' || w2 || ''', ''' || w3 || ''']' AS line FROM b),
+       |p AS (SELECT doc_id,
+       |    string_split(regexp_replace(line, '^\\[''|''\\]$$', '', 'g'), ''', ''') AS words
+       |  FROM l)
+       |SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |  array_to_string(words, ' ') AS joined
+       |FROM p""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -386,7 +413,8 @@ object FormOps {
     "q_base64" -> (base64Roundtrip(_, _)),
     "q_json_carve" -> (jsonCarve(_, _)),
     "q_ngram_chunks" -> (ngramChunks(_, _)),
-    "q_payer_lines" -> (payerLines(_, _)))
+    "q_payer_lines" -> (payerLines(_, _)),
+    "q_bracket_parse" -> (bracketParse(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_clean_ocr" -> cleanOcrSql,
@@ -401,5 +429,6 @@ object FormOps {
     "q_base64" -> base64RoundtripSql,
     "q_json_carve" -> jsonCarveSql,
     "q_ngram_chunks" -> ngramChunksSql,
-    "q_payer_lines" -> payerLinesSql)
+    "q_payer_lines" -> payerLinesSql,
+    "q_bracket_parse" -> bracketParseSql)
 }
