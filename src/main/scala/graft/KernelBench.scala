@@ -1,0 +1,43 @@
+package graft
+
+import graft.gen.PagesGen
+import graft.kernels.{Dom, HtmlTokenizer, MainTextExtractor}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Single-threaded kernel microbenchmark (no Spark): isolates per-stage
+  * cost — tokenize, DOM build, full extract — so optimization targets the
+  * real hot spot. Usage: runMain graft.KernelBench [nDocs]
+  */
+object KernelBench {
+
+  private object NullSink extends HtmlTokenizer.Sink {
+    var n = 0
+    override def open(name: String, classId: String, selfClosing: Boolean): Unit = n += 1
+    override def close(name: String): Unit = n += 1
+    override def text(s: String): Unit = n += s.length
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(20000)
+    val pages = (0 until nDocs).map { i =>
+      val gp = PagesGen.genPage(i.toLong, seed = 42L, hosts = 200)
+      if (gp.kind == "html") new String(gp.row.html, UTF_8) else null
+    }.filter(_ != null).toArray
+    val totalChars = pages.map(_.length.toLong).sum
+
+    def bench(label: String)(f: String => Unit): Unit = {
+      (0 until 2).foreach(_ => pages.foreach(f)) // warmup
+      val best = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        pages.foreach(f)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"KBENCH $label%-12s ${pages.length / best}%9.0f docs/s  " +
+        f"${totalChars / best / 1e6}%7.1f Mchar/s  (${best * 1e6 / pages.length}%6.1f us/doc)")
+    }
+
+    bench("tokenize")(h => HtmlTokenizer.tokenize(h, NullSink))
+    bench("dom")(h => { Dom.parse(h); () })
+    bench("extract")(h => { MainTextExtractor.extract(h); () })
+  }
+}

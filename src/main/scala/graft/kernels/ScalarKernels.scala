@@ -76,6 +76,37 @@ object ScalarKernels {
     })
   }
 
+  /** format_key_values (convert_to_json.py:90-114), per bracketed line:
+    * PHARMACY- → PHARMACY:, insert ': ' after bare known keys (negative
+    * lookahead — no colon already), ' & ' splits to a newline, true/false
+    * lowercased. Non-bracketed lines pass through.
+    */
+  private val KeyColonRe =
+    java.util.regex.Pattern.compile("\\b(Name|ID|No|Date|Status|Type|Sex|Age|Class)\\s+(?!:)")
+  private val TfRe =
+    java.util.regex.Pattern.compile("\\b(true|false)\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  def formatKeyValues(text: String): String =
+    text.split("\n", -1).map { line0 =>
+      var line = line0
+      if (line.startsWith("[") && line.endsWith("]")) {
+        if (line.contains("PHARMACY-") || line.contains("PHARMACY -"))
+          line = line.replace("PHARMACY-", "PHARMACY:")
+        line = KeyColonRe.matcher(line).replaceAll("$1: ")
+        if (line.contains(" & ")) line = line.replace(" & ", "\n")
+        val m = TfRe.matcher(line)
+        val sb = new java.lang.StringBuffer
+        while (m.find()) m.appendReplacement(sb, m.group(0).toLowerCase(Locale.ROOT))
+        m.appendTail(sb)
+        line = sb.toString
+      }
+      line
+    }.mkString("\n")
+
+  /** preprocess_ocr_text (convert_to_json.py:130-135): the full ladder. */
+  def preprocessOcrText(text: String): String =
+    formatKeyValues(processCheckboxes(cleanOcrText(text)))
+
   /** Fragment re-join ladder (convert_to_json.py:647-664): repair
     * OCR-split word suffixes `stem SUFFIX` → `stemSUFFIX` for the
     * reference's 9 suffixes, applied in its order.

@@ -371,6 +371,47 @@ object FormOps {
       |  coalesce(array_to_string(hits, ' '), '') AS payer_text
       |FROM c""".stripMargin
 
+  // ------------------------------------------------- service-table ladder
+
+  /** The full service-extraction ladder (ServiceExtractor.extractLadder =
+    * find_service_table_section → extract_simple_services → legacy
+    * fallback) over a synthesized vertical headers-then-cells layout; the
+    * parse result is deterministic by construction so the oracle composes
+    * the expected row directly.
+    */
+  def serviceTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w3(spark, dir)
+      .selectExpr("doc_id", "w1", "w2")
+      .as[(Long, String, String)]
+      .map { case (id, w1, w2) =>
+        val lines = IndexedSeq(
+          "(Code) Service", "Type", "Req.Qty", "Req.Cost", "Gross Amount",
+          "App.Qty", "App.Cost", "App.Gross", "Note",
+          s"($id-00-01) $w1 scan", "Imaging", "1", "345.5", "600", "2",
+          "340", "680", s"note $w2")
+        val (rows, method) = graft.kernels.ServiceExtractor.extractLadder(lines)
+        val r = rows.head
+        (id, method, r("code").toString, r("description").toString,
+          r("type").toString, r("reqQty").asInstanceOf[java.lang.Double].doubleValue,
+          r("appGross").asInstanceOf[java.lang.Double].doubleValue,
+          r("note").toString)
+      }
+      .toDF("doc_id", "method", "code", "description", "svc_type",
+        "req_qty", "app_gross", "note")
+  }
+
+  val serviceTableSql: String =
+    s"""WITH b AS ($W3Sql)
+       |SELECT doc_id, 'vertical' AS method,
+       |  CAST(doc_id AS VARCHAR) || '-00-01' AS code,
+       |  w1 || ' scan' AS description,
+       |  'imaging' AS svc_type,
+       |  CAST(1.0 AS DOUBLE) AS req_qty,
+       |  CAST(680.0 AS DOUBLE) AS app_gross,
+       |  'note ' || w2 AS note
+       |FROM b""".stripMargin
+
   // ------------------------------------------------- bracketed-list parse
 
   /** clean_line (test_extraction.py:18-37) parsed `['w1', 'w2']` OCR lines
@@ -414,7 +455,8 @@ object FormOps {
     "q_json_carve" -> (jsonCarve(_, _)),
     "q_ngram_chunks" -> (ngramChunks(_, _)),
     "q_payer_lines" -> (payerLines(_, _)),
-    "q_bracket_parse" -> (bracketParse(_, _)))
+    "q_bracket_parse" -> (bracketParse(_, _)),
+    "q_service_table" -> (serviceTable(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_clean_ocr" -> cleanOcrSql,
@@ -430,5 +472,6 @@ object FormOps {
     "q_json_carve" -> jsonCarveSql,
     "q_ngram_chunks" -> ngramChunksSql,
     "q_payer_lines" -> payerLinesSql,
-    "q_bracket_parse" -> bracketParseSql)
+    "q_bracket_parse" -> bracketParseSql,
+    "q_service_table" -> serviceTableSql)
 }
