@@ -521,6 +521,171 @@ object ServiceExtractor {
     services.toList
   }
 
+  // ------------------------------------- scored variant (ocr_json.py)
+
+  /** find_service_table_section scored variant (ocr_json.py:167-259):
+    * accumulates format1/format2 indicator scores while locating the
+    * section, classifies the layout, falls back to a middle window when
+    * no section is found. Returns (window, formatType).
+    */
+  def findServiceTableSectionScored(lines: IndexedSeq[String]): (IndexedSeq[String], String) = {
+    var startIdx = -1
+    var endIdx = -1
+    var f1 = 0
+    var f2 = 0
+    var i = 0
+    var broke = false
+    while (i < lines.length && !broke) {
+      val ll = lower(lines(i))
+      // format 1 indicator chain
+      if (ll.contains("(code)") && ll.contains("service")) {
+        f1 += 5; if (startIdx < 0) startIdx = i
+      } else if (CodeRe.matcher(ll).find()) {
+        f1 += 3; if (startIdx < 0) startIdx = i
+      } else if (ll.contains("req.") || ll.contains("app.")) f1 += 2
+      else if (ll.contains("gross") && ll.contains("amount")) f1 += 2
+      // format 2 indicator chain (independent)
+      if (ll == "code" || ll.startsWith("code ")) {
+        f2 += 3; if (startIdx < 0) startIdx = i
+      } else if (ll.contains("non standard code")) f2 += 4
+      else if (ll.contains("description/service")) f2 += 3
+      else if (ll.contains("approved quantity") || ll.contains("approved cost")) f2 += 2
+      // end markers
+      if (startIdx >= 0 && List("no data to be shown", "in case management",
+        "i hereby").exists(ll.contains)) {
+        endIdx = i; broke = true
+      }
+      i += 1
+    }
+    var formatType =
+      if (f1 > f2) "format1"
+      else if (f2 > f1) "format2"
+      else {
+        if (lines.exists(l => CodeRe.matcher(l).find())) "format1" else "format1"
+      }
+    if (startIdx >= 0) {
+      if (endIdx < 0) endIdx = math.min(startIdx + 30, lines.length)
+      (lines.slice(math.max(0, startIdx - 5), endIdx), formatType)
+    } else if (lines.length > 10) {
+      val middle = lines.length / 2
+      (lines.slice(math.max(0, middle - 15), math.min(lines.length, middle + 15)), "format1")
+    } else (lines, "format1")
+  }
+
+  /** extract_service_format2 (ocr_json.py:370-477): "code, non-standard
+    * code" horizontal layout — header rows collected until a status /
+    * approved-cost header, then data lines assigned to fields by position,
+    * a bare code line (`^\d+[^a-zA-Z]*$`) starting each new row.
+    */
+  private val F2CodeRe = Pattern.compile("^\\d+[^a-zA-Z]*$")
+  private val F2HeaderMapping: List[(String, String)] = List(
+    "code" -> "code",
+    "non standard code" -> "nonStandardCode",
+    "description/service" -> "description",
+    "type" -> "type",
+    "total quantity" -> "reqQty",
+    "cost" -> "reqCost",
+    "approved quantity" -> "appQty",
+    "approved cost" -> "appCost",
+    "status" -> "status",
+    "(code) service" -> "codeService",
+    "gross amount" -> "grossAmount",
+    "app. gross" -> "appGross",
+    "app.gross" -> "appGross",
+    "note" -> "note")
+  private val F2NumericFields = Set("reqQty", "reqCost", "appQty", "appCost",
+    "grossAmount", "appGross", "note")
+
+  def extractServiceFormat2(tableLines: IndexedSeq[String]): List[Service] = {
+    val services = ListBuffer.empty[Service]
+    var headers = ListBuffer.empty[String]
+    var headerFound = false
+    var dataStart = 0
+
+    var i = 0
+    var broke = false
+    while (i < tableLines.length && !broke) {
+      val ll = lower(tableLines(i))
+      if (!headerFound) {
+        if (ll.contains("code") || ll.contains("description") || ll.contains("type")) {
+          headers += tableLines(i)
+          if (ll.contains("status") || ll.contains("approved cost")) {
+            headerFound = true
+            dataStart = i + 1
+          }
+        }
+      } else broke = true
+      i += 1
+    }
+
+    if (!headerFound && headers.length < 3) {
+      headers = ListBuffer("Code", "Non Standard Code", "Description/Service",
+        "Type", "Total Quantity", "Cost", "Approved Quantity", "Approved Cost",
+        "Status")
+      dataStart = 0
+      var k = 0
+      var found = false
+      while (k < tableLines.length && !found) {
+        if (F2CodeRe.matcher(tableLines(k).strip()).matches()) {
+          dataStart = k; found = true
+        }
+        k += 1
+      }
+    }
+
+    var current = LinkedHashMap.empty[String, Any]
+    var fieldIndex = 0
+    var j = dataStart
+    while (j < tableLines.length) {
+      val line = tableLines(j).strip()
+      if (line.nonEmpty) {
+        if (F2CodeRe.matcher(line).matches() &&
+          (fieldIndex == 0 || fieldIndex >= headers.length)) {
+          if (current.nonEmpty && current.contains("code")) {
+            services += current
+            current = LinkedHashMap.empty[String, Any]
+          }
+          current("code") = line
+          fieldIndex = 1
+        } else if (current.nonEmpty) {
+          if (fieldIndex < headers.length) {
+            val header = lower(headers(fieldIndex))
+            val fieldName = F2HeaderMapping
+              .find { case (k, _) => header.contains(k) }.map(_._2).orNull
+            if (fieldName != null) {
+              if (F2NumericFields.contains(fieldName) &&
+                NumRe.matcher(line).matches()) {
+                current(fieldName) = java.lang.Double.valueOf(line)
+              } else current(fieldName) = line
+            }
+            fieldIndex += 1
+          }
+          if (fieldIndex >= headers.length) fieldIndex = 0
+        }
+      }
+      j += 1
+    }
+    if (current.nonEmpty && current.contains("code")) services += current
+    services.toList
+  }
+
+  /** ocr_json.py's ladder (ocr_json.py:624-637): scored section + format
+    * classification, then format1 ⇄ format2 with cross-fallback.
+    * Returns (services, methodThatProduced).
+    */
+  def extractLadderV2(lines: IndexedSeq[String]): (List[Service], String) = {
+    val (tableLines, formatType) = findServiceTableSectionScored(lines)
+    if (tableLines.isEmpty) return (Nil, "none")
+    val primary =
+      if (formatType == "format1") extractServiceFormat(tableLines)
+      else extractServiceFormat2(tableLines)
+    if (primary.nonEmpty) return (primary, formatType)
+    val (fallback, method) =
+      if (formatType == "format1") (extractServiceFormat2(tableLines), "format2")
+      else (extractServiceFormat(tableLines), "format1")
+    if (fallback.nonEmpty) (fallback, method) else (Nil, "none")
+  }
+
   /** The reference's extraction ladder (convert_to_json.py:589-604):
     * section window → vertical parser, legacy parser as fallback.
     * Returns (services, method).

@@ -109,6 +109,52 @@ class ServiceExtractorSpec extends AnyFunSuite {
       IndexedSeq("p", "q"))
   }
 
+  test("scored classifier: format2 indicators beat format1, middle-window fallback") {
+    val f2Lines = IndexedSeq("Code", "Non Standard Code", "Description/Service",
+      "Type", "Total Quantity", "Cost", "Approved Quantity", "Approved Cost",
+      "Status", "83600", "CON0002", "Consult", "Services", "1", "100", "1",
+      "100", "partial")
+    val (win, fmt) = ServiceExtractor.findServiceTableSectionScored(f2Lines)
+    assert(fmt === "format2")
+    assert(win.nonEmpty)
+    // 11 lines with no indicators → middle window, format1 default
+    val blank = IndexedSeq.tabulate(11)(i => s"x$i")
+    val (w2, f2) = ServiceExtractor.findServiceTableSectionScored(blank)
+    assert(f2 === "format1" && w2.nonEmpty)
+  }
+
+  test("format2 parser: positional assignment matches the reference exactly (python-verified)") {
+    // Ground truth obtained by running the reference's
+    // extract_service_format2 on this exact input. Faithful quirks:
+    // headers stop at Type (only code/description/type lines collect, so
+    // header_found stays False and parsing starts at line 0); the ordered
+    // header_mapping checks 'code' FIRST, so the "Non Standard Code"
+    // header maps to 'code' and overwrites the real code — the
+    // nonStandardCode field is unreachable in this parser; numeric lines
+    // at fieldIndex 0 start bogus extra rows.
+    val lines = IndexedSeq("Code", "Non Standard Code", "Description/Service",
+      "Type", "Total Quantity", "Cost", "Approved Quantity", "Approved Cost",
+      "Status",
+      "83600", "CON0002", "Consultation visit", "Services", "1", "100.5",
+      "1", "100.5", "partial")
+    val rows = ServiceExtractor.extractServiceFormat2(lines)
+    assert(rows.length === 2)
+    assert(rows(0).toMap === Map("code" -> "CON0002",
+      "description" -> "Consultation visit", "type" -> "Services"))
+    assert(rows(1).toMap === Map("code" -> "partial",
+      "description" -> "1", "type" -> "100.5"))
+  }
+
+  test("V2 ladder: format classification routes to the right parser, cross-fallback works") {
+    // a format1-looking section parsed by the legacy parser
+    val f1Lines = IndexedSeq("(Code) Service", "Req. Qty",
+      "(90911-00-00) Duplex ultrasound", "(14013) Scrotum", "Imaging", "1",
+      "345")
+    val (rows, method) = ServiceExtractor.extractLadderV2(f1Lines)
+    assert(method === "format1")
+    assert(rows.head("code") === "90911-00-00")
+  }
+
   test("format_key_values: colon insertion, PHARMACY, ' & ' split, tf lowercase") {
     assert(ScalarKernels.formatKeyValues("[Name Ali & Age 7]") === "[Name: Ali\nAge: 7]")
     assert(ScalarKernels.formatKeyValues("[PHARMACY- X]") === "[PHARMACY: X]")
