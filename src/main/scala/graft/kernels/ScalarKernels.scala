@@ -120,6 +120,104 @@ object ScalarKernels {
   def rejoinFragments(s: String): String =
     fragmentRes.foldLeft(s) { case (acc, (re, rep)) => re.replaceAllIn(acc, rep) }
 
+  /** find_payer_info (convert_to_json.py:268-292, dup ocr_json.py:139-163):
+    * collect `payer:` tails and boilerplate payer-message lines, join with
+    * a single space.
+    */
+  private val PayerPatterns = List(
+    "please note", "amount of", "requested services", "do not require",
+    "prior approval", "policy's terms", "kindly provide",
+    "necessary medical services")
+
+  def findPayerInfo(lines: IndexedSeq[String]): String = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    lines.foreach { line =>
+      val ll = line.toLowerCase(Locale.ROOT)
+      if (ll.contains("payer:")) {
+        val parts = line.split("(?i)payer\\s*:", -1)
+        if (parts.length > 1) out += parts(1).strip()
+      } else if (PayerPatterns.exists(ll.contains)) out += line
+    }
+    out.mkString(" ")
+  }
+
+  /** extract_key_words (endpoint_upload.py:60-85, dup automate_upload.py:
+    * 61-86): parens → spaces, 'Al' prefix re-spaced, camelCase split
+    * (aB → a B; ABc → A Bc), generic insurance stopwords dropped.
+    */
+  private val GenericTerms = Set("the", "and", "company", "reinsurance",
+    "cooperative", "complex", "insurance")
+
+  def extractKeyWords(value: String): String = {
+    if (value == null || value.isEmpty) return ""
+    val v = value.replace("(", " ").replace(")", " ").strip()
+    val result =
+      if (v.toLowerCase(Locale.ROOT).startsWith("al") && v.length > 2)
+        "Al " + v.substring(2).stripLeading()
+      else v
+    val sb = new java.lang.StringBuilder(result.length + 8)
+    var i = 0
+    while (i < result.length) {
+      val c = result.charAt(i)
+      val splitHere = i > 0 && Character.isUpperCase(c) &&
+        (Character.isLowerCase(result.charAt(i - 1)) ||
+          (Character.isUpperCase(result.charAt(i - 1)) &&
+            i < result.length - 1 && Character.isLowerCase(result.charAt(i + 1))))
+      if (splitHere) sb.append(' ')
+      sb.append(c)
+      i += 1
+    }
+    sb.toString.split("\\s+").filter(_.nonEmpty)
+      .filter(w => !GenericTerms.contains(w.toLowerCase(Locale.ROOT)))
+      .mkString(" ")
+  }
+
+  /** n-gram chunk priority order (endpoint_upload.py:124-165, the pure
+    * core of select_or_type_dropdown): all 1..max-word chunks of the key
+    * words, emitted 2-word first, then 3, singles last; within each size,
+    * chunks derived from parenthesised content lead; paren singles lead
+    * the single block.
+    */
+  def orderedChunks(value: String, maxChunkSize: Int): List[String] = {
+    import scala.collection.mutable.ListBuffer
+    val keyWords = extractKeyWords(value).split(" ").filter(_.nonEmpty)
+    val parenChunks = ListBuffer.empty[String]
+    val parenWords = scala.collection.mutable.Set.empty[String]
+    val m = java.util.regex.Pattern.compile("\\((.*?)\\)").matcher(value)
+    while (m.find()) {
+      val mw = extractKeyWords(m.group(1)).split(" ").filter(_.nonEmpty)
+      var size = 1
+      while (size <= mw.length) {
+        var i = 0
+        while (i <= mw.length - size) {
+          val c = mw.slice(i, i + size).mkString(" ")
+          parenChunks += c
+          if (size == 1) parenWords += c
+          i += 1
+        }
+        size += 1
+      }
+    }
+    val bySize: Map[Int, List[String]] = (1 to maxChunkSize).map { size =>
+      size -> (0 to keyWords.length - size)
+        .map(i => keyWords.slice(i, i + size).mkString(" ")).toList
+    }.toMap
+    var ordered = ListBuffer.empty[String]
+    List(2, 3, 1).filter(_ <= maxChunkSize).foreach { size =>
+      val (p, o) = bySize(size).partition(parenChunks.contains)
+      ordered ++= p; ordered ++= o
+    }
+    (4 to maxChunkSize).foreach { size =>
+      val (p, o) = bySize(size).partition(parenChunks.contains)
+      ordered ++= p; ordered ++= o
+    }
+    if (bySize.contains(1)) {
+      val (ps, os) = bySize(1).partition(parenWords.contains)
+      ordered = ordered.filter(_.split(" ").length != 1) ++ ps ++ os
+    }
+    ordered.toList
+  }
+
   /** clean_service_description (convert_to_json.py:453-478): cut the
     * description at the earliest occurrence of any marker substring, then
     * collapse whitespace runs to single spaces and trim.

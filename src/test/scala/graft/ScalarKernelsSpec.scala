@@ -62,6 +62,39 @@ class ScalarKernelsSpec extends AnyFunSuite {
     assert(rejoinFragments("CT scan of head") === "CT scan of head")
   }
 
+  test("extractKeyWords: camelCase split, Al prefix, generic drop (python-verified)") {
+    assert(extractKeyWords(
+      "The Mediterranean and Gulf Cooperative Insurance and Reinsurance Company (MedGulf)") ===
+      "Mediterranean Gulf Med Gulf")
+    assert(extractKeyWords("AlRajhi Takaful") === "Al Rajhi Takaful")
+    assert(extractKeyWords("BUPA Arabia") === "BUPA Arabia") // all-caps run kept
+    assert(extractKeyWords("alinma") === "Al inma")
+    assert(extractKeyWords("Al") === "Al")
+    assert(extractKeyWords("") === "")
+  }
+
+  test("orderedChunks: 2,3,1 priority with paren-derived chunks first (python-verified)") {
+    assert(orderedChunks(
+      "The Mediterranean and Gulf Cooperative Insurance and Reinsurance Company (MedGulf)", 2) ===
+      List("Med Gulf", "Mediterranean Gulf", "Gulf Med", "Gulf", "Med", "Gulf", "Mediterranean"))
+    assert(orderedChunks("Tawuniya National Care", 3) ===
+      List("Tawuniya National", "National Care", "Tawuniya National Care",
+        "Tawuniya", "National", "Care"))
+  }
+
+  test("findPayerInfo: payer tails + boilerplate lines joined with spaces") {
+    val lines = IndexedSeq(
+      "Payer: MedGulf TPA",
+      "irrelevant line",
+      "Please note that prior approval is required",
+      // guard wants literal 'payer:' — a spaced colon misses it even
+      // though the split regex would tolerate it (reference quirk)
+      "PAYER : skipped")
+    assert(findPayerInfo(lines) ===
+      "MedGulf TPA Please note that prior approval is required")
+    assert(findPayerInfo(IndexedSeq("nothing here")) === "")
+  }
+
   test("cleanServiceDescription: cut at earliest marker, collapse whitespace") {
     assert(cleanServiceDescription("MRI brain   scan Signature John") === "MRI brain scan")
     assert(cleanServiceDescription("X-ray chest Req. Qty 2") === "X-ray chest")
