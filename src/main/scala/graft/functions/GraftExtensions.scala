@@ -12,5 +12,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (ExtractMainText.fnName, ExtractMainText.fnInfo, ExtractMainText.builder))
+    ext.injectFunction(
+      (TokenSortRatio.fnName, TokenSortRatio.fnInfo, TokenSortRatio.builder))
   }
 }

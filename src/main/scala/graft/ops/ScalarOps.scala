@@ -176,6 +176,30 @@ object ScalarOps {
       |    row_number() OVER (PARTITION BY p_partkey ORDER BY dist, n_name) AS rn FROM s)
       |SELECT p_partkey, n_name AS best_option, dist FROM r WHERE rn = 1""".stripMargin
 
+  // --------------------------------------------- token_sort_ratio parity
+
+  /** The native token_sort_ratio expression running distributed:
+    * self-score and permutation-invariance are analytically 100 (the
+    * nontrivial score parity is pinned by FuzzyKernelsSpec's
+    * difflib-ground-truth vectors).
+    */
+  def tokenSortScores(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenSortRatio.register(spark)
+    t(spark, dir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "element_at(split(text, ' '), 1) as w1",
+        "element_at(split(text, ' '), 2) as w2",
+        "element_at(split(text, ' '), 3) as w3")
+      .selectExpr("doc_id",
+        "token_sort_ratio(concat_ws(' ', w1, w2, w3), concat_ws(' ', w3, w1, w2)) as perm_score",
+        "token_sort_ratio(w1, w1) as self_score")
+  }
+
+  val tokenSortScoresSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  100 AS perm_score, 100 AS self_score
+      |FROM documents""".stripMargin
+
   // ----------------------------------------------------- set ops (union)
 
   /** §2.7: unionByName merge of the HTML-branch and PDF-branch outputs
@@ -232,6 +256,7 @@ object ScalarOps {
     "q_demographics" -> (demographics(_, _)),
     "q_referral_clean" -> (referralClean(_, _)),
     "q_fuzzy_top1" -> (fuzzyTop1(_, _)),
+    "q_token_sort_scores" -> (tokenSortScores(_, _)),
     "q_union_branches" -> (unionBranches(_, _)),
     "q_rolling_fp" -> (rollingFp(_, _)))
 
@@ -242,6 +267,7 @@ object ScalarOps {
     "q_demographics" -> demographicsSql,
     "q_referral_clean" -> referralCleanSql,
     "q_fuzzy_top1" -> fuzzyTop1Sql,
+    "q_token_sort_scores" -> tokenSortScoresSql,
     "q_union_branches" -> unionBranchesSql,
     "q_rolling_fp" -> rollingFpSql)
 }

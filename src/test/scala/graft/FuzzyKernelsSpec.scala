@@ -1,0 +1,38 @@
+package graft
+
+import graft.kernels.FuzzyKernels._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity tests against CPython difflib/fuzzywuzzy ground truth (vectors
+  * computed by running stdlib difflib with the fuzzywuzzy formulas).
+  */
+class FuzzyKernelsSpec extends AnyFunSuite {
+
+  test("ratio: exact difflib parity incl. half-even rounding") {
+    assert(ratio("new york mets", "new york mets") === 100)
+    assert(ratio("new york mets", "new YORK mets!!") === 64)
+    assert(ratio("great is scala", "scala is great") === 36)
+    assert(ratio("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear") === 91)
+    assert(ratio("mediterranean gulf", "gulf med") === 31)
+    assert(ratio("dammam scan center", "DAMMAM SCAN CENTER - DAMMAM") === 9)
+    assert(ratio("consultation", "consultation visit") === 80)
+    assert(ratio("abcd", "zyxw") === 0)
+    assert(ratio("", "") === 100) // difflib ratio of two empties is 1.0
+    assert(ratio("a", "") === 0)
+  }
+
+  test("token_sort_ratio: exact fuzzywuzzy parity") {
+    assert(tokenSortRatio("new york mets", "new YORK mets!!") === 100)
+    assert(tokenSortRatio("great is scala", "scala is great") === 100)
+    assert(tokenSortRatio("mediterranean gulf", "gulf med") === 62)
+    assert(tokenSortRatio("dammam scan center", "DAMMAM SCAN CENTER - DAMMAM") === 84)
+    assert(tokenSortRatio("consultation", "consultation visit") === 80)
+    assert(tokenSortRatio("Duplex ultrasound of vessels", "duplex ultrasound vessels of") === 100)
+    assert(tokenSortRatio("", "") === 100)
+  }
+
+  test("fullProcess: non-word to space, lowercase, strip") {
+    assert(fullProcess("DAMMAM SCAN CENTER - DAMMAM") === "dammam scan center   dammam")
+    assert(fullProcess("  (MedGulf)!  ") === "medgulf")
+  }
+}
