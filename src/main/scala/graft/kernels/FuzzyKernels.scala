@@ -110,4 +110,99 @@ object FuzzyKernels {
       fullProcess(s).split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
     ratio(prep(a), prep(b))
   }
+
+  // ------------------------------------------- dropdown decision core
+
+  /** process.extractOne(query, choices, scorer=token_sort_ratio):
+    * first-wins max. Returns (choice, score); None on empty choices.
+    */
+  def extractOne(query: String, choices: Seq[String]): Option[(String, Int)] =
+    if (choices.isEmpty) None
+    else {
+      var best = choices.head
+      var bestScore = tokenSortRatio(query, choices.head)
+      choices.tail.foreach { c =>
+        val s = tokenSortRatio(query, c)
+        if (s > bestScore) { best = c; bestScore = s }
+      }
+      Some((best, bestScore))
+    }
+
+  /** Option cleaning for carrier dropdowns (endpoint_upload.py:197-207):
+    * `A-B-C-D` → `C-D`, `A-B` → `B`, else unchanged.
+    */
+  def cleanOptionCarrier(option: String): String = {
+    val parts = option.split("-", -1)
+    if (parts.length >= 3) parts.drop(2).mkString("-").strip()
+    else if (parts.length == 2) parts(1).strip()
+    else option
+  }
+
+  /** Generic option cleaning (endpoint_upload.py:209): separators →
+    * spaces.
+    */
+  def cleanOptionGeneric(option: String): String =
+    option.replace("-", " ").replace(",", " ")
+      .replace("(", " ").replace(")", " ").strip()
+
+  /** The chunk-ladder match decision (endpoint_upload.py:211-235): best
+    * chunk score (strictly-greater wins), accept at >= 60 with a
+    * double-check of the full key input at >= 50 (original overrides only
+    * when it beats the chunk score and misses 50). Returns the ORIGINAL
+    * (uncleaned) option, or None when no chunk reaches 60.
+    */
+  def bestDropdownMatch(
+      chunks: Seq[String], keyInput: String,
+      availableOptions: Seq[String], carrierStyle: Boolean): Option[String] = {
+    val cleaned =
+      if (carrierStyle) availableOptions.map(cleanOptionCarrier)
+      else availableOptions.map(cleanOptionGeneric)
+    if (cleaned.isEmpty) return None
+    var bestMatchCleaned: String = null
+    var bestScore = 0
+    chunks.foreach { chunk =>
+      extractOne(chunk, cleaned).foreach { case (m, s) =>
+        if (s > bestScore) { bestMatchCleaned = m; bestScore = s }
+      }
+    }
+    if (bestScore >= 60) {
+      val (origMatch, origScore) = extractOne(keyInput, cleaned).get
+      val pick =
+        if (origScore >= 50) bestMatchCleaned
+        else if (origScore > bestScore) origMatch
+        else bestMatchCleaned
+      Some(availableOptions(cleaned.indexOf(pick)))
+    } else None
+  }
+
+  /** Word-vote modality matcher (select_or_type_modality,
+    * endpoint_upload.py:496-517): per option, count input words with any
+    * option word at fuzz.ratio >= 90; argmax (first-wins). Option key =
+    * text before the first '-', punctuation → spaces, whitespace
+    * collapsed. Returns (option, voteCount).
+    */
+  def wordVoteBest(inputWords: Seq[String], options: Seq[String]): Option[(String, Int)] = {
+    // python dict keyed by cleaned name: later duplicates overwrite
+    val cleanedPairs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    options.foreach { option =>
+      val name = option.split("-", -1)(0).strip()
+      val cleaned = name.replace("(", " ").replace(")", " ")
+        .replace(".", " ").replace(",", " ").strip()
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      cleanedPairs(cleaned) = option
+    }
+    if (cleanedPairs.isEmpty) return None
+    var best: (String, Int) = null
+    cleanedPairs.foreach { case (cleanedOpt, fullOpt) =>
+      val optWords = cleanedOpt.split(" ").filter(_.nonEmpty)
+      var matches = 0
+      inputWords.foreach { iw =>
+        if (optWords.exists(ow =>
+          ratio(iw.toLowerCase(Locale.ROOT), ow.toLowerCase(Locale.ROOT)) >= 90))
+          matches += 1
+      }
+      if (best == null || matches > best._2) best = (fullOpt, matches)
+    }
+    Some(best)
+  }
 }

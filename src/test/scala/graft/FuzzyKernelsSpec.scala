@@ -31,6 +31,32 @@ class FuzzyKernelsSpec extends AnyFunSuite {
     assert(tokenSortRatio("", "") === 100)
   }
 
+  test("bestDropdownMatch: carrier cleaning, 60-threshold, double-check (python-verified)") {
+    val chunks = List("Med Gulf", "Mediterranean Gulf", "Gulf Med", "Gulf",
+      "Med", "Gulf", "Mediterranean")
+    val keyInput = "Mediterranean Gulf Med Gulf"
+    val far = Seq("01-SA-MedGulf Insurance-Riyadh", "02-SA-Bupa Arabia", "Tawuniya")
+    // best chunk score is 38 (< 60) → no selection
+    assert(bestDropdownMatch(chunks, keyInput, far, carrierStyle = true).isEmpty)
+    // an exact-cleaned option pushes a chunk to 100 → original returned
+    val near = far :+ "03-SA-Med Gulf"
+    assert(bestDropdownMatch(chunks, keyInput, near, carrierStyle = true)
+      === Some("03-SA-Med Gulf"))
+    assert(cleanOptionCarrier("01-SA-MedGulf Insurance-Riyadh") === "MedGulf Insurance-Riyadh")
+    assert(cleanOptionCarrier("02-SA-Bupa Arabia") === "Bupa Arabia")
+    assert(cleanOptionCarrier("Tawuniya") === "Tawuniya")
+  }
+
+  test("wordVoteBest: >=90 ratio word votes, argmax first-wins (python-verified)") {
+    val options = Seq("CT Scan - radiology", "MRI Brain - radiology",
+      "Ultrasound (US) - radiology")
+    assert(wordVoteBest(Seq("ultrasound", "scrotum", "doppler"), options)
+      === Some(("Ultrasound (US) - radiology", 1)))
+    // no votes anywhere → first option with 0 (python max first-wins)
+    assert(wordVoteBest(Seq("zzz"), options) === Some(("CT Scan - radiology", 0)))
+    assert(wordVoteBest(Seq("x"), Nil).isEmpty)
+  }
+
   test("fullProcess: non-word to space, lowercase, strip") {
     assert(fullProcess("DAMMAM SCAN CENTER - DAMMAM") === "dammam scan center   dammam")
     assert(fullProcess("  (MedGulf)!  ") === "medgulf")
