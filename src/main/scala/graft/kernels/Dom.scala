@@ -26,21 +26,22 @@ object Dom {
   final val HintNeg: Byte = 2
 
   // readability.js-style class/id vocabularies (public algorithm), tuned
-  // down to the boilerplate families our corpus exercises.
+  // down to the boilerplate families our corpus exercises. (?i) instead of
+  // a lowercased copy: hint checks run once per element at 10^12 pages,
+  // and the String copy + fresh Matcher per call dominate the cost.
   private val Neg = Pattern.compile(
-    "nav|menu|footer|banner|cookie|consent|sidebar|share|social|comment|" +
+    "(?i)nav|menu|footer|banner|cookie|consent|sidebar|share|social|comment|" +
       "breadcrumb|related|widget|promo|advert|\\bad\\b|\\bads\\b|sponsor|" +
       "masthead|pagination|pager|popup|modal|subscribe|newsletter|skip|" +
       "disclaimer|legal|copyright")
   private val Pos = Pattern.compile(
-    "\\barticle\\b|\\bcontent\\b|\\bmain\\b|\\bpost\\b|\\bentry\\b|" +
+    "(?i)\\barticle\\b|\\bcontent\\b|\\bmain\\b|\\bpost\\b|\\bentry\\b|" +
       "\\bstory\\b|\\bbody-?text\\b|\\btext-?body\\b|\\bpage-?body\\b")
 
   def hintOf(classId: String): Byte = {
     if (classId == null || classId.isEmpty) return HintNone
-    val lc = classId.toLowerCase(java.util.Locale.ROOT)
-    if (Neg.matcher(lc).find()) HintNeg
-    else if (Pos.matcher(lc).find()) HintPos
+    if (Neg.matcher(classId).find()) HintNeg
+    else if (Pos.matcher(classId).find()) HintPos
     else HintNone
   }
 
@@ -66,6 +67,15 @@ object Dom {
     private var stack = new Array[Int](32)
     private var stackNames = new Array[String](32)
     private var sp = 0
+    // reusable matchers: one Matcher per element-with-class otherwise
+    private val negM = Neg.matcher("")
+    private val posM = Pos.matcher("")
+
+    private def hintFast(classId: String): Byte =
+      if (classId == null || classId.isEmpty) HintNone
+      else if (negM.reset(classId).find()) HintNeg
+      else if (posM.reset(classId).find()) HintPos
+      else HintNone
 
     private def top: String = if (sp == 0) null else stackNames(sp - 1)
     private def push(idx: Int, nm: String): Unit = {
@@ -107,7 +117,7 @@ object Dom {
         else if (t == "dd" && (name == "dd" || name == "dt")) sp -= 1
         else if (t == "dt" && (name == "dd" || name == "dt")) sp -= 1
       }
-      val idx = addNode(Elem, name, hintOf(classId), null)
+      val idx = addNode(Elem, name, hintFast(classId), null)
       if (!selfClosing) push(idx, name)
     }
 

@@ -9,7 +9,14 @@ package graft.kernels
   * for script/style/textarea/title/xmp.
   *
   * Totality: never throws on arbitrary input (property-tested in
-  * HtmlKernelSpec); garbage degrades to text.
+  * KernelPropertySpec); garbage degrades to text.
+  *
+  * Allocation discipline (the kernel runs once per page at 10^12 pages, so
+  * per-tag garbage dominates young-gen churn): tag names are interned
+  * against a static open-addressed table of the HTML vocabulary (zero
+  * allocation for known tags), attribute values are never materialized
+  * unless the attribute is `class`/`id`, and attribute names are matched
+  * in place against the two names we care about.
   *
   * Zero Spark imports — pure Scala so it unit-tests without a session and
   * runs inside `mapPartitions` with no driver involvement.
@@ -41,9 +48,47 @@ object HtmlTokenizer {
   private def lower(c: Char): Char =
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
 
-  /** Decode one entity starting at `&` (index i). Returns (decoded, nextIdx);
-    * on failure returns ("&", i+1). Handles numeric + the named entities that
-    * matter for text fidelity; unknown entities pass through verbatim.
+  // ------------------------------------------------------------- interning
+  // Open-addressed table of the (lowercase) HTML tag vocabulary. Lookup
+  // compares the lowercased scratch chars against the candidate — known
+  // tags cost zero allocations; unknown tags fall back to one String.
+  private val InternMask = 511
+  private val internTable: Array[String] = {
+    val t = new Array[String](InternMask + 1)
+    val known = Array(
+      "a", "abbr", "address", "area", "article", "aside", "audio", "b",
+      "base", "bdi", "bdo", "big", "blockquote", "body", "br", "button",
+      "canvas", "caption", "center", "cite", "code", "col", "colgroup",
+      "data", "datalist", "dd", "details", "dfn", "dialog", "div", "dl",
+      "dt", "em", "embed", "fieldset", "figcaption", "figure", "font",
+      "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+      "header", "hgroup", "hr", "html", "i", "iframe", "img", "input",
+      "ins", "kbd", "label", "legend", "li", "link", "main", "map", "mark",
+      "meta", "meter", "nav", "noframes", "noscript", "object", "ol",
+      "optgroup", "option", "output", "p", "param", "picture", "pre",
+      "progress", "q", "rp", "rt", "ruby", "s", "samp", "script",
+      "section", "select", "small", "source", "span", "strike", "strong",
+      "style", "sub", "summary", "sup", "svg", "table", "tbody", "td",
+      "template", "textarea", "tfoot", "th", "thead", "time", "title",
+      "tr", "track", "tt", "u", "ul", "var", "video", "wbr", "xmp", "del")
+    known.foreach { s =>
+      var idx = stringHash(s) & InternMask
+      while (t(idx) != null) idx = (idx + 1) & InternMask
+      t(idx) = s
+    }
+    t
+  }
+
+  private def stringHash(s: String): Int = {
+    var h = 0
+    var k = 0
+    while (k < s.length) { h = h * 31 + s.charAt(k); k += 1 }
+    h
+  }
+
+  /** Decode one entity starting at `&` (index i). Returns nextIdx;
+    * on failure appends "&" and returns i+1. Handles numeric + the named
+    * entities that matter for text fidelity; unknown entities pass through.
     */
   private def decodeEntity(s: String, i: Int, out: java.lang.StringBuilder): Int = {
     val n = s.length
@@ -86,7 +131,7 @@ object HtmlTokenizer {
           case "gt"     => ">"
           case "quot"   => "\""
           case "apos"   => "'"
-          case "nbsp"   => " "
+          case "nbsp"   => " "
           case "copy"   => "©"
           case "reg"    => "®"
           case "trade"  => "™"
@@ -112,144 +157,190 @@ object HtmlTokenizer {
   }
 
   /** Main entry. `html` is already UTF-8 decoded by the caller. */
-  def tokenize(html: String, sink: Sink): Unit = {
-    val n = html.length
-    var i = 0
-    val text = new java.lang.StringBuilder(256)
+  def tokenize(html: String, sink: Sink): Unit =
+    new Lexer(html, sink).run()
 
-    def flushText(): Unit =
+  private final class Lexer(html: String, sink: Sink) {
+    private val n = html.length
+    private val text = new java.lang.StringBuilder(256)
+    // scratch buffer for lowercased tag names (grown on demand; tag names
+    // are short, so this never reallocates in practice)
+    private var nameBuf = new Array[Char](32)
+
+    /** Scan a tag name (ASCII alnum, lowercased) starting at `from` into
+      * nameBuf; returns the index after the name and leaves (len, hash) in
+      * the two fields below.
+      */
+    private var nameLen = 0
+    private var nameHash = 0
+    private def scanName(from: Int): Int = {
+      var i = from
+      var len = 0
+      var h = 0
+      while (i < n && { val ch = html.charAt(i); isAsciiLetter(ch) || (ch >= '0' && ch <= '9') }) {
+        if (len == nameBuf.length) nameBuf = java.util.Arrays.copyOf(nameBuf, len * 2)
+        val lc = lower(html.charAt(i))
+        nameBuf(len) = lc
+        h = h * 31 + lc
+        len += 1
+        i += 1
+      }
+      nameLen = len
+      nameHash = h
+      i
+    }
+
+    /** Intern the scanned name against the static vocabulary. */
+    private def internedName(): String = {
+      val len = nameLen
+      var idx = nameHash & InternMask
+      var probes = 0
+      while (probes <= InternMask) {
+        val cand = internTable(idx)
+        if (cand == null) return new String(nameBuf, 0, len)
+        if (cand.length == len) {
+          var k = 0
+          var eq = true
+          while (eq && k < len) { eq = cand.charAt(k) == nameBuf(k); k += 1 }
+          if (eq) return cand
+        }
+        idx = (idx + 1) & InternMask
+        probes += 1
+      }
+      new String(nameBuf, 0, len)
+    }
+
+    private def flushText(): Unit =
       if (text.length > 0) { sink.text(text.toString); text.setLength(0) }
 
-    while (i < n) {
-      val c = html.charAt(i)
-      if (c == '&') {
-        i = decodeEntity(html, i, text)
-      } else if (c != '<') {
-        text.append(c)
-        i += 1
-      } else if (i + 1 >= n) {
-        text.append('<'); i += 1
-      } else {
-        val c1 = html.charAt(i + 1)
-        if (c1 == '!') {
-          flushText()
-          if (html.startsWith("<!--", i)) {
-            val end = html.indexOf("-->", i + 4)
-            i = if (end < 0) n else end + 3
-          } else { // doctype, CDATA, other <! ... >
+    def run(): Unit = {
+      var i = 0
+      while (i < n) {
+        val c = html.charAt(i)
+        if (c == '&') {
+          i = decodeEntity(html, i, text)
+        } else if (c != '<') {
+          text.append(c)
+          i += 1
+        } else if (i + 1 >= n) {
+          text.append('<'); i += 1
+        } else {
+          val c1 = html.charAt(i + 1)
+          if (c1 == '!') {
+            flushText()
+            if (html.startsWith("<!--", i)) {
+              val end = html.indexOf("-->", i + 4)
+              i = if (end < 0) n else end + 3
+            } else { // doctype, CDATA, other <! ... >
+              val end = html.indexOf('>', i + 2)
+              i = if (end < 0) n else end + 1
+            }
+          } else if (c1 == '?') { // processing instruction
+            flushText()
             val end = html.indexOf('>', i + 2)
             i = if (end < 0) n else end + 1
+          } else if (c1 == '/') {
+            flushText()
+            var j = scanName(i + 2)
+            while (j < n && html.charAt(j) != '>') j += 1
+            i = if (j < n) j + 1 else n
+            if (nameLen > 0) sink.close(internedName())
+          } else if (isAsciiLetter(c1)) {
+            flushText()
+            i = parseOpenTag(i)
+          } else { // stray '<'
+            text.append('<'); i += 1
           }
-        } else if (c1 == '?') { // processing instruction
-          flushText()
-          val end = html.indexOf('>', i + 2)
-          i = if (end < 0) n else end + 1
-        } else if (c1 == '/') {
-          flushText()
-          var j = i + 2
-          val nameSb = new java.lang.StringBuilder(8)
-          while (j < n && { val ch = html.charAt(j); isAsciiLetter(ch) || (ch >= '0' && ch <= '9') }) {
-            nameSb.append(lower(html.charAt(j))); j += 1
-          }
-          while (j < n && html.charAt(j) != '>') j += 1
-          i = if (j < n) j + 1 else n
-          if (nameSb.length > 0) sink.close(nameSb.toString)
-        } else if (isAsciiLetter(c1)) {
-          flushText()
-          i = parseOpenTag(html, i, sink)
-        } else { // stray '<'
-          text.append('<'); i += 1
         }
       }
+      flushText()
     }
-    flushText()
-  }
 
-  /** Parse an open tag starting at `<`; returns index after the tag (and
-    * after raw-text content + its close tag for raw-text elements).
-    */
-  private def parseOpenTag(html: String, start: Int, sink: Sink): Int = {
-    val n = html.length
-    var i = start + 1
-    val nameSb = new java.lang.StringBuilder(8)
-    while (i < n && { val ch = html.charAt(i); isAsciiLetter(ch) || (ch >= '0' && ch <= '9') }) {
-      nameSb.append(lower(html.charAt(i))); i += 1
-    }
-    val name = nameSb.toString
-    var classId: String = ""
-    var selfClosing = false
-    // attribute loop
-    var done = false
-    while (!done && i < n) {
-      // skip whitespace
-      while (i < n && html.charAt(i).isWhitespace) i += 1
-      if (i >= n) done = true
-      else {
-        val ch = html.charAt(i)
-        if (ch == '>') { i += 1; done = true }
-        else if (ch == '/' && i + 1 < n && html.charAt(i + 1) == '>') {
-          selfClosing = true; i += 2; done = true
-        } else if (ch == '/') { i += 1 }
+    /** Parse an open tag starting at `<`; returns index after the tag (and
+      * after raw-text content + its close tag for raw-text elements).
+      */
+    private def parseOpenTag(start: Int): Int = {
+      var i = scanName(start + 1)
+      val name = internedName()
+      var classId: String = ""
+      var selfClosing = false
+      // attribute loop
+      var done = false
+      while (!done && i < n) {
+        // skip whitespace
+        while (i < n && html.charAt(i).isWhitespace) i += 1
+        if (i >= n) done = true
         else {
-          // attr name
-          val an = new java.lang.StringBuilder(8)
-          while (i < n && { val a = html.charAt(i)
-            a != '=' && a != '>' && a != '/' && !a.isWhitespace }) {
-            an.append(lower(html.charAt(i))); i += 1
-          }
-          while (i < n && html.charAt(i).isWhitespace) i += 1
-          var av: String = null
-          if (i < n && html.charAt(i) == '=') {
-            i += 1
+          val ch = html.charAt(i)
+          if (ch == '>') { i += 1; done = true }
+          else if (ch == '/' && i + 1 < n && html.charAt(i + 1) == '>') {
+            selfClosing = true; i += 2; done = true
+          } else if (ch == '/') { i += 1 }
+          else {
+            // attr name: matched in place — only `class`/`id` matter
+            val aStart = i
+            while (i < n && { val a = html.charAt(i)
+              a != '=' && a != '>' && a != '/' && !a.isWhitespace }) i += 1
+            val aLen = i - aStart
+            val isClassId =
+              (aLen == 5 && html.regionMatches(true, aStart, "class", 0, 5)) ||
+                (aLen == 2 && html.regionMatches(true, aStart, "id", 0, 2))
             while (i < n && html.charAt(i).isWhitespace) i += 1
-            if (i < n) {
-              val q = html.charAt(i)
-              if (q == '"' || q == '\'') {
-                val end = html.indexOf(q, i + 1)
-                if (end < 0) { av = html.substring(i + 1); i = n }
-                else { av = html.substring(i + 1, end); i = end + 1 }
-              } else {
-                val vs = new java.lang.StringBuilder(8)
-                while (i < n && { val a = html.charAt(i); a != '>' && !a.isWhitespace }) {
-                  vs.append(html.charAt(i)); i += 1
+            var av: String = null
+            if (i < n && html.charAt(i) == '=') {
+              i += 1
+              while (i < n && html.charAt(i).isWhitespace) i += 1
+              if (i < n) {
+                val q = html.charAt(i)
+                if (q == '"' || q == '\'') {
+                  val end = html.indexOf(q, i + 1)
+                  if (end < 0) {
+                    if (isClassId) av = html.substring(i + 1)
+                    i = n
+                  } else {
+                    if (isClassId) av = html.substring(i + 1, end)
+                    i = end + 1
+                  }
+                } else {
+                  val vStart = i
+                  while (i < n && { val a = html.charAt(i); a != '>' && !a.isWhitespace }) i += 1
+                  if (isClassId) av = html.substring(vStart, i)
                 }
-                av = vs.toString
               }
             }
-          }
-          val a = an.toString
-          if (av != null && (a == "class" || a == "id")) {
-            classId = if (classId.isEmpty) av else classId + " " + av
+            if (av != null) {
+              classId = if (classId.isEmpty) av else classId + " " + av
+            }
           }
         }
       }
+      if (name.isEmpty) return i
+      val void = VoidTags.contains(name)
+      sink.open(name, classId, selfClosing || void)
+      if (!selfClosing && !void && RawText.contains(name)) {
+        // raw-text mode: find case-insensitive "</name"
+        val closeSeq = "</" + name
+        var j = i
+        var found = -1
+        while (found < 0 && j >= 0 && j < n) {
+          j = html.indexOf('<', j)
+          if (j < 0) found = -2
+          else if (j + closeSeq.length <= n &&
+            html.regionMatches(true, j, closeSeq, 0, closeSeq.length)) found = j
+          else j += 1
+        }
+        if (found >= 0) {
+          if (found > i) sink.text(html.substring(i, found))
+          var k = found + closeSeq.length
+          while (k < n && html.charAt(k) != '>') k += 1
+          sink.close(name)
+          if (k < n) k + 1 else n
+        } else {
+          if (i < n) sink.text(html.substring(i))
+          sink.close(name)
+          n
+        }
+      } else i
     }
-    if (name.isEmpty) return i
-    val void = VoidTags.contains(name)
-    sink.open(name, classId, selfClosing || void)
-    if (!selfClosing && !void && RawText.contains(name)) {
-      // raw-text mode: find case-insensitive "</name"
-      val closeSeq = "</" + name
-      var j = i
-      var found = -1
-      while (found < 0 && j >= 0 && j < n) {
-        j = html.indexOf('<', j)
-        if (j < 0) found = -2
-        else if (j + closeSeq.length <= n &&
-          html.regionMatches(true, j, closeSeq, 0, closeSeq.length)) found = j
-        else j += 1
-      }
-      if (found >= 0) {
-        if (found > i) sink.text(html.substring(i, found))
-        var k = found + closeSeq.length
-        while (k < n && html.charAt(k) != '>') k += 1
-        sink.close(name)
-        if (k < n) k + 1 else n
-      } else {
-        if (i < n) sink.text(html.substring(i))
-        sink.close(name)
-        n
-      }
-    } else i
   }
 }

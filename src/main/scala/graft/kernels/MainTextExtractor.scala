@@ -75,7 +75,9 @@ object MainTextExtractor {
     var dropDepth = 0
     var linkDepth = 0
     var posDepth = 0
-    var blockTagStack = List.empty[String]
+    // block-tag stack as a growable array (a List would cons per block tag)
+    var blockTags = new Array[String](32)
+    var btSp = 0
     var cur: Block = null
     var pendingSpace = false
 
@@ -93,7 +95,8 @@ object MainTextExtractor {
       if (nm == "br") pendingSpace = true
       if (BlockTags.contains(nm)) {
         flush()
-        blockTagStack = nm :: blockTagStack
+        if (btSp == blockTags.length) blockTags = java.util.Arrays.copyOf(blockTags, btSp * 2)
+        blockTags(btSp) = nm; btSp += 1
       }
     }
 
@@ -104,10 +107,7 @@ object MainTextExtractor {
       if (nm == "a") linkDepth -= 1
       if (BlockTags.contains(nm)) {
         flush()
-        blockTagStack = blockTagStack match {
-          case _ :: t => t
-          case Nil    => Nil
-        }
+        if (btSp > 0) btSp -= 1
       }
     }
 
@@ -134,7 +134,7 @@ object MainTextExtractor {
             pendingSpace = true
           } else {
             if (cur == null) {
-              val tag = blockTagStack.headOption.getOrElse("text")
+              val tag = if (btSp > 0) blockTags(btSp - 1) else "text"
               cur = new Block(tag, posDepth > 0)
               pendingSpace = false
               cur.words = 1
