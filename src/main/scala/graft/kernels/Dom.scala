@@ -7,8 +7,16 @@ import java.util.regex.Pattern
   * Nodes are stored in document order with parent pointers; traversal
   * reconstructs the ancestor stack linearly, so no per-node child lists are
   * allocated (allocation matters at 10^12 pages). Tag-name strings are the
-  * tokenizer's lowercase names; `hint` carries the class/id boilerplate
-  * signal (readability-style "unlikely candidates" heuristic).
+  * tokenizer's interned lowercase names; `hint` carries the class/id
+  * boilerplate signal (readability-style "unlikely candidates" heuristic).
+  *
+  * Parsing is factored as [[Dom.StreamParser]] — a tolerant-parse stack
+  * (implied end tags, close-tag matching) that emits enter/exit/text
+  * events to a [[Dom.NodeSink]]. Materializing a `Dom` is one sink;
+  * the extraction hot path ([[MainTextExtractor]]) attaches its segmenter
+  * directly, so per-page extraction never materializes node arrays — the
+  * traversal semantics stay identical by construction because both paths
+  * share the same parser.
   */
 final class Dom(
     val size: Int,
@@ -51,21 +59,25 @@ object Dom {
     "table", "blockquote", "pre", "section", "article", "aside", "nav",
     "header", "footer", "main", "form", "hr", "figure", "dl")
 
-  /** Streaming DOM builder: implements the tokenizer sink. Node columns
-    * are growable PRIMITIVE arrays — a generic ArrayBuffer[Byte/Int]
-    * boxes every element, and at 10^12 pages the per-node boxes dominate
-    * young-gen churn.
+  /** Receives the tolerant-parsed element event stream in document order.
+    * `enter`/`exit` pair for every element (self-closing elements get an
+    * immediate exit); `text` fires for non-empty text runs.
     */
-  final class Builder extends HtmlTokenizer.Sink {
-    private var n = 0
-    private var kinds = new Array[Byte](64)
-    private var names = new Array[String](64)
-    private var hints = new Array[Byte](64)
-    private var parents = new Array[Int](64)
-    private var texts = new Array[String](64)
-    // open-element stack: node indices
-    private var stack = new Array[Int](32)
+  trait NodeSink {
+    def enter(name: String, hint: Byte): Unit
+    def exit(name: String, hint: Byte): Unit
+    def text(s: String): Unit
+  }
+
+  /** Tolerant-parsing stack shared by DOM materialization and streaming
+    * extraction: implied end tags (HTML5 tolerance), close-tag matching
+    * that ignores unmatched closes, class/id hint classification with
+    * reusable matchers. Call `finish()` after tokenize to close dangling
+    * elements.
+    */
+  final class StreamParser(down: NodeSink) extends HtmlTokenizer.Sink {
     private var stackNames = new Array[String](32)
+    private var stackHints = new Array[Byte](32)
     private var sp = 0
     // reusable matchers: one Matcher per element-with-class otherwise
     private val negM = Neg.matcher("")
@@ -78,13 +90,65 @@ object Dom {
       else HintNone
 
     private def top: String = if (sp == 0) null else stackNames(sp - 1)
-    private def push(idx: Int, nm: String): Unit = {
-      if (sp == stack.length) {
-        stack = java.util.Arrays.copyOf(stack, sp * 2)
-        stackNames = java.util.Arrays.copyOf(stackNames, sp * 2)
-      }
-      stack(sp) = idx; stackNames(sp) = nm; sp += 1
+
+    private def popOne(): Unit = {
+      sp -= 1
+      down.exit(stackNames(sp), stackHints(sp))
     }
+
+    private def push(nm: String, h: Byte): Unit = {
+      if (sp == stackNames.length) {
+        stackNames = java.util.Arrays.copyOf(stackNames, sp * 2)
+        stackHints = java.util.Arrays.copyOf(stackHints, sp * 2)
+      }
+      stackNames(sp) = nm; stackHints(sp) = h; sp += 1
+    }
+
+    override def open(name: String, classId: String, selfClosing: Boolean): Unit = {
+      // implied end tags (tolerant parsing)
+      if (sp > 0) {
+        val t = top
+        if (t == "p" && ClosesP.contains(name)) popOne()
+        else if (t == "li" && name == "li") popOne()
+        else if ((t == "td" || t == "th") && (name == "td" || name == "th" || name == "tr")) popOne()
+        else if (t == "tr" && name == "tr") popOne()
+        else if (t == "option" && name == "option") popOne()
+        else if (t == "dd" && (name == "dd" || name == "dt")) popOne()
+        else if (t == "dt" && (name == "dd" || name == "dt")) popOne()
+      }
+      val h = hintFast(classId)
+      down.enter(name, h)
+      if (selfClosing) down.exit(name, h) else push(name, h)
+    }
+
+    override def close(name: String): Unit = {
+      // find matching open element; ignore unmatched close tags
+      var i = sp - 1
+      while (i >= 0 && stackNames(i) != name) i -= 1
+      if (i >= 0) while (sp > i) popOne()
+    }
+
+    override def text(s: String): Unit =
+      if (s.nonEmpty) down.text(s)
+
+    def finish(): Unit = while (sp > 0) popOne()
+  }
+
+  /** NodeSink that materializes the array-backed Dom. Node columns are
+    * growable PRIMITIVE arrays — a generic ArrayBuffer[Byte/Int] boxes
+    * every element, and at 10^12 pages the per-node boxes dominate
+    * young-gen churn.
+    */
+  private final class Storing extends NodeSink {
+    private var n = 0
+    private var kinds = new Array[Byte](64)
+    private var names = new Array[String](64)
+    private var hints = new Array[Byte](64)
+    private var parents = new Array[Int](64)
+    private var texts = new Array[String](64)
+    // open-element stack: node indices
+    private var stack = new Array[Int](32)
+    private var sp = 0
 
     private def grow(): Unit = {
       val cap = n * 2
@@ -105,40 +169,25 @@ object Dom {
       idx
     }
 
-    override def open(name: String, classId: String, selfClosing: Boolean): Unit = {
-      // implied end tags (tolerant parsing)
-      if (sp > 0) {
-        val t = top
-        if (t == "p" && ClosesP.contains(name)) sp -= 1
-        else if (t == "li" && name == "li") sp -= 1
-        else if ((t == "td" || t == "th") && (name == "td" || name == "th" || name == "tr")) sp -= 1
-        else if (t == "tr" && name == "tr") sp -= 1
-        else if (t == "option" && name == "option") sp -= 1
-        else if (t == "dd" && (name == "dd" || name == "dt")) sp -= 1
-        else if (t == "dt" && (name == "dd" || name == "dt")) sp -= 1
-      }
-      val idx = addNode(Elem, name, hintFast(classId), null)
-      if (!selfClosing) push(idx, name)
+    override def enter(name: String, hint: Byte): Unit = {
+      val idx = addNode(Elem, name, hint, null)
+      if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, sp * 2)
+      stack(sp) = idx; sp += 1
     }
 
-    override def close(name: String): Unit = {
-      // find matching open element; ignore unmatched close tags
-      var i = sp - 1
-      while (i >= 0 && stackNames(i) != name) i -= 1
-      if (i >= 0) sp = i
-    }
+    override def exit(name: String, hint: Byte): Unit =
+      if (sp > 0) sp -= 1
 
-    override def text(s: String): Unit = {
-      if (s.nonEmpty) { addNode(Text, null, HintNone, s); () }
-    }
+    override def text(s: String): Unit = { addNode(Text, null, HintNone, s); () }
 
-    def result(): Dom =
-      new Dom(n, kinds, names, hints, parents, texts)
+    def result(): Dom = new Dom(n, kinds, names, hints, parents, texts)
   }
 
   def parse(html: String): Dom = {
-    val b = new Builder
-    HtmlTokenizer.tokenize(html, b)
-    b.result()
+    val storing = new Storing
+    val p = new StreamParser(storing)
+    HtmlTokenizer.tokenize(html, p)
+    p.finish()
+    storing.result()
   }
 }

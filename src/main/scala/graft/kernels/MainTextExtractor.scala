@@ -3,16 +3,18 @@ package graft.kernels
 import graft.model.Span
 import scala.collection.mutable.ArrayBuffer
 
-/** Boilerplate-strip main-content extraction over the DOM
+/** Boilerplate-strip main-content extraction
   * (SURVEY.md §7.1: block segmentation → tag/link-density + text-block
   * scoring → readability-style prune → main text + spans).
   *
   * Algorithm (public boilerpipe/readability family, re-derived):
-  *  1. Linear DOM walk segments text into blocks at block-level element
-  *     boundaries, tracking per-block char count, link-char count
-  *     (chars under an `<a>` ancestor), tag kind, and class/id hints.
-  *     Content under drop-tags (script/style/nav/footer/...) or
-  *     negative-hint ancestors never reaches a block.
+  *  1. The tokenizer's tolerant-parsed event stream ([[Dom.StreamParser]])
+  *     segments text into blocks at block-level element boundaries,
+  *     tracking per-block char count, link-char count (chars under an
+  *     `<a>` ancestor), tag kind, and class/id hints. Content under
+  *     drop-tags (script/style/nav/footer/...) or negative-hint ancestors
+  *     never reaches a block. Streaming — no DOM is materialized on this
+  *     path (one less array copy + walk per page at 10^12 pages).
   *  2. Blocks classify as content by word-count/link-density rules, with
   *     positive-hint override and a neighbor-expansion pass (short blocks
   *     adjacent to content are kept); headings attach to following content.
@@ -58,39 +60,38 @@ object MainTextExtractor {
 
   /** Extract main text from an HTML string. */
   def extract(html: String): Extracted = {
-    val dom = Dom.parse(html)
-    val blocks = segment(dom)
+    val seg = new Segmenter
+    val parser = new Dom.StreamParser(seg)
+    HtmlTokenizer.tokenize(html, parser)
+    parser.finish()
+    val blocks = seg.result()
     val keep = classify(blocks)
     assemble(blocks, keep)
   }
 
   // ---------------------------------------------------------------- segment
 
-  private def segment(dom: Dom): ArrayBuffer[Block] = {
-    val blocks = new ArrayBuffer[Block](16)
-    val n = dom.size
-    // ancestor-state stack reconstruction (nodes are in document order)
-    var stack = new Array[Int](32) // node indices of open ancestors
-    var sp = 0
-    var dropDepth = 0
-    var linkDepth = 0
-    var posDepth = 0
+  /** Streaming block segmenter over the parsed element event stream. */
+  private final class Segmenter extends Dom.NodeSink {
+    private val blocks = new ArrayBuffer[Block](16)
+    private var dropDepth = 0
+    private var linkDepth = 0
+    private var posDepth = 0
     // block-tag stack as a growable array (a List would cons per block tag)
-    var blockTags = new Array[String](32)
-    var btSp = 0
-    var cur: Block = null
-    var pendingSpace = false
+    private var blockTags = new Array[String](32)
+    private var btSp = 0
+    private var cur: Block = null
+    private var pendingSpace = false
 
-    def flush(): Unit = {
+    private def flush(): Unit = {
       if (cur != null && cur.chars > 0) blocks += cur
       cur = null
       pendingSpace = false
     }
 
-    def enterNode(idx: Int): Unit = {
-      val nm = dom.name(idx)
-      if (dom.hint(idx) == Dom.HintNeg || DropTags.contains(nm)) dropDepth += 1
-      if (dom.hint(idx) == Dom.HintPos) posDepth += 1
+    override def enter(nm: String, hint: Byte): Unit = {
+      if (hint == Dom.HintNeg || DropTags.contains(nm)) dropDepth += 1
+      if (hint == Dom.HintPos) posDepth += 1
       if (nm == "a") linkDepth += 1
       if (nm == "br") pendingSpace = true
       if (BlockTags.contains(nm)) {
@@ -100,10 +101,9 @@ object MainTextExtractor {
       }
     }
 
-    def exitNode(idx: Int): Unit = {
-      val nm = dom.name(idx)
-      if (dom.hint(idx) == Dom.HintNeg || DropTags.contains(nm)) dropDepth -= 1
-      if (dom.hint(idx) == Dom.HintPos) posDepth -= 1
+    override def exit(nm: String, hint: Byte): Unit = {
+      if (hint == Dom.HintNeg || DropTags.contains(nm)) dropDepth -= 1
+      if (hint == Dom.HintPos) posDepth -= 1
       if (nm == "a") linkDepth -= 1
       if (BlockTags.contains(nm)) {
         flush()
@@ -111,50 +111,38 @@ object MainTextExtractor {
       }
     }
 
-    def isWs(c: Char): Boolean =
-      c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' || c == ' '
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' || c == ' '
 
-    var i = 0
-    while (i < n) {
-      val par = dom.parent(i)
-      // pop ancestors that are not on this node's parent chain
-      while (sp > 0 && stack(sp - 1) != par) { sp -= 1; exitNode(stack(sp)) }
-      if (dom.kind(i) == Dom.Elem) {
-        enterNode(i)
-        if (sp == stack.length) stack = java.util.Arrays.copyOf(stack, sp * 2)
-        stack(sp) = i; sp += 1
-      } else if (dropDepth == 0) {
-        // text node: whitespace-normalized append into the current block
-        val s = dom.text(i)
-        var k = 0
-        val len = s.length
-        while (k < len) {
-          val c = s.charAt(k)
-          if (isWs(c)) {
-            pendingSpace = true
-          } else {
-            if (cur == null) {
-              val tag = if (btSp > 0) blockTags(btSp - 1) else "text"
-              cur = new Block(tag, posDepth > 0)
-              pendingSpace = false
-              cur.words = 1
-            } else if (pendingSpace) {
-              cur.sb.append(' ')
-              if (linkDepth > 0) cur.linkChars += 1
-              cur.words += 1
-              pendingSpace = false
-            }
-            cur.sb.append(c)
+    override def text(s: String): Unit = {
+      if (dropDepth != 0) return
+      // whitespace-normalized append into the current block
+      var k = 0
+      val len = s.length
+      while (k < len) {
+        val c = s.charAt(k)
+        if (isWs(c)) {
+          pendingSpace = true
+        } else {
+          if (cur == null) {
+            val tag = if (btSp > 0) blockTags(btSp - 1) else "text"
+            cur = new Block(tag, posDepth > 0)
+            pendingSpace = false
+            cur.words = 1
+          } else if (pendingSpace) {
+            cur.sb.append(' ')
             if (linkDepth > 0) cur.linkChars += 1
+            cur.words += 1
+            pendingSpace = false
           }
-          k += 1
+          cur.sb.append(c)
+          if (linkDepth > 0) cur.linkChars += 1
         }
+        k += 1
       }
-      i += 1
     }
-    while (sp > 0) { sp -= 1; exitNode(stack(sp)) }
-    flush()
-    blocks
+
+    def result(): ArrayBuffer[Block] = { flush(); blocks }
   }
 
   // --------------------------------------------------------------- classify
