@@ -228,8 +228,47 @@ object RelationalOps {
       |  sum(l_quantity) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Co-located join via bucketed tables — the 100 TB story for repeated
+    * fact⊳fact joins: both sides written `bucketBy(8, custkey)` +
+    * `sortBy`, so the sort-merge join reads co-located buckets with NO
+    * Exchange on either side (PlanAudit shows the shuffle-free plan; AQE
+    * broadcast is bypassed via the MERGE hint to exercise the bucketed
+    * path). Result is identical to the plain parquet join, which is what
+    * the DuckDB oracle checks. Analog of pre-partitioned Iceberg layout
+    * for the extracted table keyed by url-hash (SURVEY §4.2/§7.3).
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = Integer.toHexString(dir.hashCode).takeRight(8)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    def ensure(name: String, df: => DataFrame, key: String): String = {
+      val tbl = s"graft_b_${name}_$tag"
+      if (!spark.catalog.tableExists(tbl)) {
+        df.write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$base/$name")
+          .saveAsTable(tbl)
+      }
+      tbl
+    }
+    val ot = ensure("orders", t(spark, dir, "orders"), "o_custkey")
+    val ct = ensure("customer", t(spark, dir, "customer"), "c_custkey")
+    spark.table(ot).hint("merge")
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "q_bucketed_join" -> (bucketedJoin(_, _)),
     "q_rollup_totals" -> (rollupTotals(_, _)),
     "q_page_rollup" -> (pageRollup(_, _)),
     "q_derived_fields" -> (derivedFields(_, _)),
@@ -243,6 +282,7 @@ object RelationalOps {
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q_bucketed_join" -> bucketedJoinSql,
     "q_rollup_totals" -> rollupTotalsSql,
     "q_page_rollup" -> pageRollupSql,
     "q_derived_fields" -> derivedFieldsSql,

@@ -130,15 +130,50 @@ object TextOps {
 
   // -------------------------------------------------------------- registry
 
+  // ------------------------------------------------------------- url parse
+
+  /** URL normalization — the first relational stage of any web-crawl
+    * pipeline over the north-rule `url` column: host / path / registered
+    * domain / path depth, all regexp_extract (codegen'd, no UDF). The
+    * url itself is synthesized deterministically from documents columns
+    * (the testdata tables carry no url; the shape is what matters).
+    * At 100 TB this is a narrow projection fused into the scan stage.
+    */
+  def urlParse(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr(
+        "cast(doc_id as long) as doc_id",
+        "concat('https://www.', source, '.example.com/', lang, '/doc-', cast(doc_id as string)) as url")
+      .selectExpr(
+        "doc_id",
+        "url",
+        "regexp_extract(url, '^https?://([^/]+)', 1) as host",
+        "regexp_extract(url, '^https?://[^/]+(/.*)$', 1) as path",
+        "regexp_extract(url, '^https?://(?:[^/.]+\\\\.)*([^/.]+\\\\.[^/.]+)/', 1) as reg_domain",
+        "cast(size(split(regexp_extract(url, '^https?://[^/]+(/.*)$', 1), '/')) - 1 as long) as path_depth")
+
+  val urlParseSql: String =
+    """SELECT doc_id, url,
+      |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path,
+      |  regexp_extract(url, '^https?://(?:[^/.]+\.)*([^/.]+\.[^/.]+)/', 1) AS reg_domain,
+      |  CAST(len(string_split(regexp_extract(url, '^https?://[^/]+(/.*)$', 1), '/')) - 1 AS BIGINT) AS path_depth
+      |FROM (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    concat('https://www.', source, '.example.com/', lang, '/doc-', CAST(doc_id AS VARCHAR)) AS url
+      |  FROM documents)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality" -> (quality(_, _)),
-    "q_fingerprint" -> (fingerprint(_, _)))
+    "q_fingerprint" -> (fingerprint(_, _)),
+    "q_url_parse" -> (urlParse(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
-    "q_fingerprint" -> fingerprintSql)
+    "q_fingerprint" -> fingerprintSql,
+    "q_url_parse" -> urlParseSql)
 }
