@@ -14,7 +14,7 @@ object KernelBench {
     var n = 0
     override def open(name: String, classId: String, selfClosing: Boolean): Unit = n += 1
     override def close(name: String): Unit = n += 1
-    override def text(s: String): Unit = n += s.length
+    override def text(s: CharSequence): Unit = n += s.length
   }
 
   def main(args: Array[String]): Unit = {

@@ -66,7 +66,9 @@ object Dom {
   trait NodeSink {
     def enter(name: String, hint: Byte): Unit
     def exit(name: String, hint: Byte): Unit
-    def text(s: String): Unit
+
+    /** Transient view — consume synchronously, `toString` to retain. */
+    def text(s: CharSequence): Unit
   }
 
   /** Tolerant-parsing stack shared by DOM materialization and streaming
@@ -128,8 +130,8 @@ object Dom {
       if (i >= 0) while (sp > i) popOne()
     }
 
-    override def text(s: String): Unit =
-      if (s.nonEmpty) down.text(s)
+    override def text(s: CharSequence): Unit =
+      if (s.length > 0) down.text(s)
 
     def finish(): Unit = while (sp > 0) popOne()
   }
@@ -178,7 +180,7 @@ object Dom {
     override def exit(name: String, hint: Byte): Unit =
       if (sp > 0) sp -= 1
 
-    override def text(s: String): Unit = { addNode(Text, null, HintNone, s); () }
+    override def text(s: CharSequence): Unit = { addNode(Text, null, HintNone, s.toString); () }
 
     def result(): Dom = new Dom(n, kinds, names, hints, parents, texts)
   }

@@ -25,11 +25,16 @@ object HtmlTokenizer {
 
   /** Push-based sink: the DOM builder implements this. Avoids materializing
     * a token buffer per page (the hot path at 10^12 rows).
+    *
+    * `text` receives a transient CharSequence view (the lexer's reusable
+    * buffer or a slice of the input) — consume it synchronously; call
+    * `toString` to retain. This keeps the streaming extraction path free
+    * of one String copy per text run.
     */
   trait Sink {
     def open(name: String, classId: String, selfClosing: Boolean): Unit
     def close(name: String): Unit
-    def text(s: String): Unit
+    def text(s: CharSequence): Unit
   }
 
   private val VoidTags: Set[String] = Set(
@@ -211,7 +216,7 @@ object HtmlTokenizer {
     }
 
     private def flushText(): Unit =
-      if (text.length > 0) { sink.text(text.toString); text.setLength(0) }
+      if (text.length > 0) { sink.text(text); text.setLength(0) }
 
     def run(): Unit = {
       var i = 0
@@ -330,13 +335,13 @@ object HtmlTokenizer {
           else j += 1
         }
         if (found >= 0) {
-          if (found > i) sink.text(html.substring(i, found))
+          if (found > i) sink.text(java.nio.CharBuffer.wrap(html, i, found))
           var k = found + closeSeq.length
           while (k < n && html.charAt(k) != '>') k += 1
           sink.close(name)
           if (k < n) k + 1 else n
         } else {
-          if (i < n) sink.text(html.substring(i))
+          if (i < n) sink.text(java.nio.CharBuffer.wrap(html, i, n))
           sink.close(name)
           n
         }

@@ -114,7 +114,7 @@ object MainTextExtractor {
     private def isWs(c: Char): Boolean =
       c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' || c == ' '
 
-    override def text(s: String): Unit = {
+    override def text(s: CharSequence): Unit = {
       if (dropDepth != 0) return
       // whitespace-normalized append into the current block
       var k = 0

@@ -228,8 +228,39 @@ object DedupOps {
 
   // -------------------------------------------------------------- registry
 
+  // ------------------------------------------------------- keep-newest dedup
+
+  /** Crawl-snapshot dedup: keep the newest row per key (a re-crawled url
+    * keeps its latest warc_ts capture; reference analog is the
+    * newest-file-wins queue scan, api.py:88-96). One shuffle on the key;
+    * row_number() beats groupBy+join (single window pass, no second
+    * shuffle). Exercised over events (user_id ⇔ url, ts ⇔ warc_ts);
+    * event_id is the deterministic tiebreak.
+    */
+  def keepNewest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .selectExpr("cast(user_id as long) as user_id",
+        "cast(event_id as long) as event_id",
+        // ts is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+  }
+
+  val keepNewestSql: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(event_id AS BIGINT) AS event_id, epoch_us(ts) AS ts_us
+      |FROM (SELECT user_id, event_id, ts,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact(_, _)),
+    "q_dedup_keep_newest" -> (keepNewest(_, _)),
     "q_dedup_jaccard" -> (jaccard(_, _)),
     "q_dedup_minhash_lsh" -> (minhashLsh(_, _)),
     "q_dedup_simhash" -> (simhash(_, _)),
@@ -238,6 +269,7 @@ object DedupOps {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
+    "q_dedup_keep_newest" -> keepNewestSql,
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash_lsh" -> minhashLshSql,
     "q_dedup_simhash" -> simhashSql,
