@@ -75,18 +75,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // sized so the extraction pass runs ~20 s at local[2]: fixed overheads
-    // (scan setup, scheduling, shuffle spin-up ~0.5-1 s) must be a small
-    // fraction of the measured window or they cap apparent thread scaling
-    val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "600000").toInt
+    // sized so the extraction pass runs ~15 s at local[2] AND ~5 s at
+    // local[8]: fixed overheads (scan setup, scheduling, shuffle spin-up
+    // ~0.5-1 s) must be a small fraction of the measured window at BOTH
+    // levels or they cap the apparent scaling (kernel speedups shrank the
+    // 600k window until overhead cost ~0.05 efficiency)
+    val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "1200000").toInt
+    val scalingOnly = sys.env.contains("GRAFT_BENCH_SCALING_ONLY")
 
     // ---- per-query timings at the requested parallelism
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results =
+      if (scalingOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val corpusDir = ensureCorpus(spark, benchDocs)
     val (tMain, nOk) = medianExtract(spark, corpusDir, cpus)
     spark.stop()

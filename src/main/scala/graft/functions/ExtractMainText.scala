@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.kernels.{ExtractKernel, MainTextExtractor, PdfTextExtractor}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.sql.SparkSession
@@ -11,18 +11,18 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 /** SQL-callable main-content extraction (SURVEY §4.3 / §7.4 phase-2 item):
   * `extract_main_text(html binary) -> string` as a native Catalyst
-  * [[UnaryExpression]] with [[CodegenFallback]] — the kernel itself is an
-  * opaque tree/string routine, so codegen of the call gains nothing, but a
-  * native expression (vs a Scala UDF) keeps null handling, eval, and the
-  * surrounding projection inside Catalyst: the enclosing stage still
-  * whole-stage-codegens and only this call falls back.
+  * [[UnaryExpression]]. The kernel itself is an opaque tree/string
+  * routine, so the generated code is a static call into it — but a real
+  * `doGenCode` (vs CodegenFallback) means the expression participates in
+  * whole-stage codegen and the enclosing projection stays one generated
+  * function instead of splitting at this call.
   *
   * Dispatch mirrors ExtractKernel.sniff (content sniffing on magic bytes,
   * reference analog api.py:123-125): `%PDF-` → PDF kernel (pages joined
   * with '\n'), anything else → HTML boilerplate-strip, null/empty → null.
   */
 case class ExtractMainText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   // null is produced even for non-null input (empty bytes, PDF with no
@@ -35,8 +35,33 @@ case class ExtractMainText(child: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"extract_main_text expects BINARY, got ${child.dataType.catalogString}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  override def nullSafeEval(input: Any): Any =
+    ExtractMainText.evalBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("extracted")
+      // the expression is nullable even for non-null input (empty bytes,
+      // PDF with no extractable pages), so map the helper's null to isNull
+      s"""
+         |org.apache.spark.unsafe.types.UTF8String $tmp =
+         |  graft.functions.ExtractMainText.evalBytes($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractMainText =
+    copy(child = newChild)
+
+  override def prettyName: String = "extract_main_text"
+}
+
+object ExtractMainText {
+
+  /** Shared by interpreted eval and generated code (static forwarder makes
+    * it callable from Janino-compiled Java). Null ⇔ nothing extractable.
+    */
+  def evalBytes(bytes: Array[Byte]): UTF8String =
     ExtractKernel.sniff(bytes) match {
       case ExtractKernel.KindPassthrough => null // no bytes, nothing to extract
       case ExtractKernel.KindPdf =>
@@ -46,15 +71,6 @@ case class ExtractMainText(child: Expression)
       case _ =>
         UTF8String.fromString(MainTextExtractor.extract(new String(bytes, UTF_8)).text)
     }
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): ExtractMainText =
-    copy(child = newChild)
-
-  override def prettyName: String = "extract_main_text"
-}
-
-object ExtractMainText {
 
   val fnName: FunctionIdentifier = FunctionIdentifier("extract_main_text")
 

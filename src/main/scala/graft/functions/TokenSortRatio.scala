@@ -4,7 +4,7 @@ import graft.kernels.FuzzyKernels
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,9 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * BinaryExpression so fuzzy joins stay in Catalyst null handling (the
   * reference's dropdown matcher, endpoint_upload.py:215,223). Registered
   * alongside extract_main_text via [[GraftExtensions]].
+  *
+  * Full `doGenCode` (static call into the kernel): the expression
+  * participates in whole-stage codegen instead of breaking the stage the
+  * way CodegenFallback would — fuzzy-join projections stay in one
+  * generated function.
   */
 case class TokenSortRatio(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -29,6 +34,10 @@ case class TokenSortRatio(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     FuzzyKernels.tokenSortRatio(
       a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.kernels.FuzzyKernels.tokenSortRatio($a.toString(), $b.toString())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TokenSortRatio =
