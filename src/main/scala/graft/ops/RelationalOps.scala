@@ -266,8 +266,76 @@ object RelationalOps {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** As-of join — the canonical operator Spark lacks natively (SURVEY §2.3
+    * "degenerate as-of join on mtime"): each click matched to the user's
+    * most recent purchase at-or-before its timestamp. Composed scalably as
+    * union-tag + one window pass (single shuffle on user_id, no theta
+    * join, no per-key collect): purchases sort before clicks at equal ts,
+    * `last(purchase_id, ignoreNulls)` carries the running match forward.
+    * At 100 TB this is shuffle-bounded by the key cardinality — the same
+    * plan a native as-of SparkStrategy would produce. Oracle: DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("user_id", "cast(ts as timestamp) as ts", "event_id",
+        "if(event_type = 'purchase', 0, 1) as side",
+        "if(event_type = 'purchase', event_id, null) as p_id")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("purchase_id", last(col("p_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .selectExpr("cast(user_id as long) as user_id",
+        "cast(event_id as long) as click_id",
+        "cast(purchase_id as long) as purchase_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |     purchases AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT CAST(c.user_id AS BIGINT) AS user_id,
+      |  CAST(c.event_id AS BIGINT) AS click_id,
+      |  CAST(p.event_id AS BIGINT) AS purchase_id
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
+  /** Range (band) join accelerated by chunking: events join irregular
+    * value bands. The naive form is a theta join (`value >= lo AND value
+    * < hi`) — O(n·m) nested-loop at scale. Chunking to width 25 expands
+    * each band to its covered chunk ids and the join becomes equi on
+    * chunk_id (+ residual filter): shuffle/broadcast-able, linear. This
+    * is the standard interval-join decomposition used by range-join hints.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = 25
+    val bands = spark.createDataFrame(Seq(
+      (0.0, 10.0, "tiny"), (10.0, 75.0, "small"),
+      (75.0, 200.0, "mid"), (200.0, 500.0, "large")))
+      .toDF("lo", "hi", "label")
+      .selectExpr("lo", "hi", "label",
+        s"explode(sequence(cast(floor(lo / $w) as int), cast(floor((hi - 0.001) / $w) as int))) as chunk")
+    t(spark, dir, "events")
+      .selectExpr("value", s"cast(floor(value / $w) as int) as chunk")
+      .join(broadcast(bands), "chunk")
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val rangeJoinSql: String =
+    """SELECT b.label, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(e.value), 4) AS sum_value
+      |FROM events e JOIN (VALUES (0.0, 10.0, 'tiny'), (10.0, 75.0, 'small'),
+      |  (75.0, 200.0, 'mid'), (200.0, 500.0, 'large')) b(lo, hi, label)
+      |  ON e.value >= b.lo AND e.value < b.hi
+      |GROUP BY b.label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "q_asof_join" -> (asofJoin(_, _)),
+    "q_range_join" -> (rangeJoin(_, _)),
     "q_bucketed_join" -> (bucketedJoin(_, _)),
     "q_rollup_totals" -> (rollupTotals(_, _)),
     "q_page_rollup" -> (pageRollup(_, _)),
@@ -282,6 +350,8 @@ object RelationalOps {
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q_asof_join" -> asofJoinSql,
+    "q_range_join" -> rangeJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,
     "q_rollup_totals" -> rollupTotalsSql,
     "q_page_rollup" -> pageRollupSql,
