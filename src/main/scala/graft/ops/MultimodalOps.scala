@@ -100,11 +100,73 @@ object MultimodalOps {
       |    i -> ascii(substr(payload, i * 16 + 1, 1)))) AS BIGINT) AS frame_checksum
       |FROM p""".stripMargin
 
+  /** Feature-extraction plumbing: the stub decoder's 8-bucket byte
+    * histogram exposed as columns (a real embedding model slots into
+    * decodeStub's partition-batched seam). Sampled (doc_id % 50) so the
+    * char-at-a-time DuckDB mirror stays cheap; the Spark side is the
+    * full typed mapPartitions path.
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+      .selectExpr("cast(doc_id as long) as media_id", "cast(text as binary) as payload")
+      .as[MediaRow]
+    decodeAll(spark, media)
+      .select(col("media_id") +:
+        (0 until 8).map(b => element_at(col("features"), b + 1).cast("long").as(s"f$b")): _*)
+  }
+
+  val mediaFeaturesSql: String = {
+    val buckets = (0 until 8)
+      .map(b => s"  CAST(len(list_filter(bs, x -> x = $b)) AS BIGINT) AS f$b")
+      .mkString(",\n")
+    s"""WITH s AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text
+       |           FROM documents WHERE doc_id % 50 = 0),
+       |h AS (SELECT media_id,
+       |        list_transform(range(1, length(text) + 1),
+       |          i -> ascii(substr(text, i, 1)) // 32) AS bs
+       |      FROM s)
+       |SELECT media_id,
+       |$buckets
+       |FROM h""".stripMargin
+  }
+
+  /** Resize plumbing (image-resize analog): fit the stub dimensions into
+    * a 224-box preserving aspect ratio, integer math only (identical in
+    * both engines — no float rounding to disagree on). A real resizer
+    * operates on the binary payload in the same batched seam.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as media_id", "cast(text as binary) as payload")
+      .as[MediaRow]
+    decodeAll(spark, media)
+      .selectExpr("media_id", "width", "height",
+        "width * 224L div greatest(width, height) as out_w",
+        "height * 224L div greatest(width, height) as out_h")
+  }
+
+  val mediaResizeSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  320 + CAST(length(text) AS BIGINT) % 320 AS width,
+      |  240 + CAST(length(text) AS BIGINT) % 240 AS height
+      |FROM documents)
+      |SELECT media_id, width, height,
+      |  width * 224 // greatest(width, height) AS out_w,
+      |  height * 224 // greatest(width, height) AS out_h
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta(_, _)),
-    "q_media_frames" -> (mediaFrames(_, _)))
+    "q_media_frames" -> (mediaFrames(_, _)),
+    "q_media_features" -> (mediaFeatures(_, _)),
+    "q_media_resize" -> (mediaResize(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_media_meta" -> mediaMetaSql,
-    "q_media_frames" -> mediaFramesSql)
+    "q_media_frames" -> mediaFramesSql,
+    "q_media_features" -> mediaFeaturesSql,
+    "q_media_resize" -> mediaResizeSql)
 }
