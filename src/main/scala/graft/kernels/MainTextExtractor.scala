@@ -116,14 +116,18 @@ object MainTextExtractor {
 
     override def text(s: CharSequence): Unit = {
       if (dropDepth != 0) return
-      // whitespace-normalized append into the current block
+      // whitespace-normalized append into the current block; non-ws runs
+      // are appended in bulk (StringBuilder sources hit the array-copy
+      // fast path) instead of char-at-a-time
       var k = 0
       val len = s.length
       while (k < len) {
-        val c = s.charAt(k)
-        if (isWs(c)) {
+        if (isWs(s.charAt(k))) {
           pendingSpace = true
+          k += 1
         } else {
+          var e = k + 1
+          while (e < len && !isWs(s.charAt(e))) e += 1
           if (cur == null) {
             val tag = if (btSp > 0) blockTags(btSp - 1) else "text"
             cur = new Block(tag, posDepth > 0)
@@ -135,10 +139,10 @@ object MainTextExtractor {
             cur.words += 1
             pendingSpace = false
           }
-          cur.sb.append(c)
-          if (linkDepth > 0) cur.linkChars += 1
+          cur.sb.append(s, k, e)
+          if (linkDepth > 0) cur.linkChars += e - k
+          k = e
         }
-        k += 1
       }
     }
 
