@@ -23,7 +23,7 @@ object PlanAudit {
       if (wanted.nonEmpty) wanted.toSeq.sorted
       else Seq("q1_agg", "q_derived_fields", "q_fuzzy_top1", "q_dedup_exact",
         "q_token_count", "q_ann_brute", "q_resume_antijoin", "q_topk_per_group",
-        "q_bucketed_join", "q_url_parse")
+        "q_bucketed_join", "q_url_parse", "q_asof_join", "q_range_join")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
