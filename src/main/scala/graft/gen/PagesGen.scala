@@ -79,7 +79,7 @@ object PagesGen {
     * block. The extractor must strip every chrome element (boilerplate-strip
     * monotonicity property, SURVEY §5.2).
     */
-  def htmlPage(paragraphs: Seq[String], heading: Option[String], seed: Long): String = {
+  def htmlPageRaw(mainInner: String, seed: Long): String = {
     val h = mix(seed)
     val navLinks = (0 until 6).map { k =>
       s"""<a href="/s/$k">${word(mix(h + k), arabic = false)}</a>"""
@@ -99,8 +99,7 @@ object PagesGen {
     body ++= s"""<aside class="sidebar"><ul>$sideLinks</ul></aside>\n"""
     body ++= s"""<p><a href="/promo">${sentence(h + 5, 4)}</a></p>\n"""
     body ++= "<main class=\"content\">\n"
-    heading.foreach(t => body ++= s"<h2>${escapeHtml(t)}</h2>\n")
-    paragraphs.foreach(p => body ++= s"<p>${escapeHtml(p)}</p>\n")
+    body ++= mainInner
     body ++= "</main>\n"
     body ++= s"""<div class="related"><ul><li><a href="/r/1">${sentence(h + 6, 3)}</a></li></ul></div>\n"""
     body ++= s"<footer>${sentence(h + 7, 8)} &copy; 2025 <a href=\"/legal\">legal</a></footer>\n"
@@ -109,9 +108,37 @@ object PagesGen {
     body.toString
   }
 
+  def htmlPage(paragraphs: Seq[String], heading: Option[String], seed: Long): String = {
+    val inner = new StringBuilder(512)
+    heading.foreach(t => inner ++= s"<h2>${escapeHtml(t)}</h2>\n")
+    paragraphs.foreach(p => inner ++= s"<p>${escapeHtml(p)}</p>\n")
+    htmlPageRaw(inner.toString, seed)
+  }
+
   /** Expected main text for [[htmlPage]]: heading + paragraphs, '\n'-joined. */
   def htmlExpected(paragraphs: Seq[String], heading: Option[String]): String =
     (heading.toSeq ++ paragraphs).mkString("\n")
+
+  /** List-main layout variant: lead paragraph + `<ul>` of ≥10-word items
+    * (each li a kept block of kind "li"); expected = lead + items.
+    */
+  def htmlListPage(lead: String, items: Seq[String], seed: Long): (String, String) = {
+    val inner = new StringBuilder(512)
+    inner ++= s"<p>${escapeHtml(lead)}</p>\n<ul>\n"
+    items.foreach(it => inner ++= s"<li>${escapeHtml(it)}</li>\n")
+    inner ++= "</ul>\n"
+    (htmlPageRaw(inner.toString, seed), (lead +: items).mkString("\n"))
+  }
+
+  /** Entity-rich paragraph: the source HTML carries named + numeric
+    * entities that must decode byte-exactly (mdash/hellip/copy/euro).
+    */
+  def entityPara(seed: Long): (String, String) = {
+    val a = sentence(seed, 8)
+    val b = sentence(seed + 99, 8)
+    (escapeHtml(a) + " &mdash; " + escapeHtml(b) + " &hellip; &copy; &#8364;",
+      a + " — " + b + " … © €")
+  }
 
   // ------------------------------------------------------------ PDF builder
 
@@ -195,15 +222,35 @@ object PagesGen {
     val arabic = u01(mix(h0 + 4)) < 0.1
     val lang = if (arabic) "ar" else "en"
     if (kindU < 0.90) {
-      val nPara = 1 + (mix(h0 + 5) >>> 33 % 7).toInt % 6
-      val paragraphs = (0 until nPara).map { p =>
-        val n = 5 + (mix(h0 + 10 + p) >>> 33).toInt.abs % 56
-        sentence(h0 + 20 + p * 31, n, arabic && p % 2 == 0)
+      val variantU = u01(mix(h0 + 60))
+      if (variantU < 0.70) {
+        // standard: heading? + paragraphs
+        val nPara = 1 + (mix(h0 + 5) >>> 33 % 7).toInt % 6
+        val paragraphs = (0 until nPara).map { p =>
+          val n = 5 + (mix(h0 + 10 + p) >>> 33).toInt.abs % 56
+          sentence(h0 + 20 + p * 31, n, arabic && p % 2 == 0)
+        }
+        val heading = if (u01(mix(h0 + 6)) < 0.5) Some(sentence(h0 + 7, 4)) else None
+        val html = htmlPage(paragraphs, heading, h0 + 8)
+        GenPage(PageRow(url, ts, html.getBytes(UTF_8), "", lang),
+          htmlExpected(paragraphs, heading), "html")
+      } else if (variantU < 0.85) {
+        // list-main: lead paragraph + ul items (each ≥10 words → kept)
+        val lead = sentence(h0 + 61, 12, arabic)
+        val nItems = 3 + (mix(h0 + 62) >>> 33).toInt.abs % 5
+        val items = (0 until nItems).map(k =>
+          sentence(h0 + 63 + k * 13, 10 + (mix(h0 + 70 + k) >>> 33).toInt.abs % 6))
+        val (html, expected) = htmlListPage(lead, items, h0 + 8)
+        GenPage(PageRow(url, ts, html.getBytes(UTF_8), "", lang), expected, "html")
+      } else {
+        // entity-rich paragraphs (named + numeric entity decoding)
+        val nPara = 1 + (mix(h0 + 64) >>> 33).toInt.abs % 3
+        val paras = (0 until nPara).map(p => entityPara(h0 + 65 + p * 29))
+        val inner = paras.map(p => s"<p>${p._1}</p>\n").mkString
+        val html = htmlPageRaw(inner, h0 + 8)
+        GenPage(PageRow(url, ts, html.getBytes(UTF_8), "", lang),
+          paras.map(_._2).mkString("\n"), "html")
       }
-      val heading = if (u01(mix(h0 + 6)) < 0.5) Some(sentence(h0 + 7, 4)) else None
-      val html = htmlPage(paragraphs, heading, h0 + 8)
-      GenPage(PageRow(url, ts, html.getBytes(UTF_8), "", lang),
-        htmlExpected(paragraphs, heading), "html")
     } else if (kindU < 0.98) {
       val nPages = if (u01(mix(h0 + 5)) < 0.2) 2 else 1
       val pages = (0 until nPages).map { p =>
