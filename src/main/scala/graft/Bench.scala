@@ -100,8 +100,14 @@ object Bench {
     // Interleaved rounds + min per level: noisy-neighbor steal in this
     // shared sandbox hits both levels in expectation, and the min
     // approximates the unloaded machine.
+    // 5 rounds; efficiency = MEDIAN of per-round ratios. The two levels of
+    // one round run back-to-back under similar external load, so the
+    // per-round ratio cancels host steal that min-per-level doesn't: mins
+    // taken from different load windows skewed the ratio by ±0.15 in both
+    // directions (observed 0.73..1.05 across bench invocations; the
+    // median-of-ratios sits stable near the true ~0.9).
     val times = scala.collection.mutable.Map(2 -> List.empty[Double], 8 -> List.empty[Double])
-    (1 to 3).foreach { round =>
+    (1 to 5).foreach { round =>
       Seq(2, 8).foreach { lvl =>
         val s = session(lvl)
         if (round == 1) timeExtract(s, corpusDir, lvl) // warmup first use
@@ -111,7 +117,8 @@ object Bench {
     }
     val t2 = times(2).min
     val t8 = times(8).min
-    val eff = (t2 / t8) / 4.0
+    val ratios = times(2).reverse.zip(times(8).reverse).map { case (a, b) => (a / b) / 4.0 }.sorted
+    val eff = ratios(ratios.length / 2)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
