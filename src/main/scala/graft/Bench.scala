@@ -39,7 +39,9 @@ object Bench {
     */
   private def ensureCorpus(spark: SparkSession, n: Int): String = {
     import spark.implicits._
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_pages_$n"
+    // v-tag ties the cached corpus to the generator version — bump when
+    // PagesGen output changes or stale parquet silently keeps being timed
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_pages_v2_$n"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       spark.range(n)
         .repartition(32)

@@ -39,5 +39,23 @@ object KernelBench {
     bench("tokenize")(h => HtmlTokenizer.tokenize(h, NullSink))
     bench("dom")(h => { Dom.parse(h); () })
     bench("extract")(h => { MainTextExtractor.extract(h); () })
+
+    // PDF stage: per-doc cost of the content-stream path (incl. Flate)
+    val pdfs = (0 until nDocs).map { i =>
+      val gp = PagesGen.genPage(i.toLong, seed = 42L, hosts = 200)
+      if (gp.kind == "pdf") gp.row.html else null
+    }.filter(_ != null).toArray
+    val pdfBytes = pdfs.map(_.length.toLong).sum
+    def benchPdf(label: String)(f: Array[Byte] => Unit): Unit = {
+      (0 until 2).foreach(_ => pdfs.foreach(f))
+      val best = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        pdfs.foreach(f)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"KBENCH $label%-12s ${pdfs.length / best}%9.0f docs/s  " +
+        f"${pdfBytes / best / 1e6}%7.1f MB/s  (${best * 1e6 / pdfs.length}%6.1f us/doc)")
+    }
+    benchPdf("pdf")(b => { graft.kernels.PdfTextExtractor.extract(b); () })
   }
 }

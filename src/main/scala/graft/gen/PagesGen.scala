@@ -225,7 +225,7 @@ object PagesGen {
       val variantU = u01(mix(h0 + 60))
       if (variantU < 0.70) {
         // standard: heading? + paragraphs
-        val nPara = 1 + (mix(h0 + 5) >>> 33 % 7).toInt % 6
+        val nPara = 1 + (mix(h0 + 5) >>> 33).toInt.abs % 6
         val paragraphs = (0 until nPara).map { p =>
           val n = 5 + (mix(h0 + 10 + p) >>> 33).toInt.abs % 56
           sentence(h0 + 20 + p * 31, n, arabic && p % 2 == 0)

@@ -136,7 +136,7 @@ object HtmlTokenizer {
           case "gt"     => ">"
           case "quot"   => "\""
           case "apos"   => "'"
-          case "nbsp"   => " "
+          case "nbsp"   => " "
           case "copy"   => "©"
           case "reg"    => "®"
           case "trade"  => "™"

@@ -112,7 +112,7 @@ object MainTextExtractor {
     }
 
     private def isWs(c: Char): Boolean =
-      c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' || c == ' '
+      c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' || c == ' '
 
     override def text(s: CharSequence): Unit = {
       if (dropDepth != 0) return

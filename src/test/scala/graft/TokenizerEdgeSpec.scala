@@ -94,6 +94,19 @@ class TokenizerEdgeSpec extends AnyFunSuite {
     assert(dom.parent(divIdx) == -1)
   }
 
+  test("nbsp entity, numeric U+00A0, and raw U+00A0 all normalize to one space") {
+    // regression: the segmenter's whitespace set must include U+00A0 and
+    // &nbsp; must decode to U+00A0 (not ASCII space) so all three spellings
+    // extract byte-identically
+    val tail = "words " * 12
+    val a = MainTextExtractor.extract(s"<p>price:&nbsp;100 $tail</p>").text
+    val b = MainTextExtractor.extract(s"<p>price:&#160;100 $tail</p>").text
+    val c = MainTextExtractor.extract(s"<p>price: 100 $tail</p>").text
+    val d = MainTextExtractor.extract(s"<p>price: 100 $tail</p>").text
+    assert(a == d && b == d && c == d)
+    assert(d.startsWith("price: 100"))
+  }
+
   test("class+id combine in document order for hint classification") {
     val ex = MainTextExtractor.extract(
       "<div id=\"x\" class=\"sidebar\"><p>" + ("drop " * 20) + "</p></div>" +
