@@ -163,7 +163,48 @@ object TextOps {
       |    concat('https://www.', source, '.example.com/', lang, '/doc-', CAST(doc_id AS VARCHAR)) AS url
       |  FROM documents)""".stripMargin
 
+  // ----------------------------------------------------------- corpus clean
+
+  /** The end-to-end training-data cleaning pass, composed as ONE plan:
+    * quality gate (codegen'd, map-side — rejected rows never shuffle) →
+    * exact-dedup keeper (single shuffle on the 32-byte fingerprint, never
+    * the text) → per-(source, lang) survivor stats (partial+final agg).
+    * At 100 TB this is the shape of the whole cleaning job: one shuffle
+    * on hashes, everything else narrow.
+    */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = hitsExpr(Stopwords)
+    val filtered = docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "source", "lang",
+        "cast(size(split(text, ' ')) as long) as n_words",
+        s"cast($stop as long) as stop_hits",
+        "md5(cast(text as binary)) as fp")
+      .filter(col("n_words").between(20, 2000) && col("stop_hits") > 0)
+    filtered
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keeper"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+  }
+
+  val corpusCleanSql: String = {
+    val stop = hitsSqlExpr(Stopwords)
+    s"""WITH q AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST($stop AS BIGINT) AS stop_hits,
+       |    md5(text) AS fp
+       |  FROM documents),
+       |f AS (SELECT * FROM q WHERE n_words BETWEEN 20 AND 2000 AND stop_hits > 0),
+       |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+       |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS total_words
+       |FROM k WHERE doc_id = keeper GROUP BY source, lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_clean" -> (corpusClean(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality" -> (quality(_, _)),
@@ -171,6 +212,7 @@ object TextOps {
     "q_url_parse" -> (urlParse(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_clean" -> corpusCleanSql,
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,

@@ -32,8 +32,16 @@ object ExtractPipeline {
     *                     right when the source is already well-bucketed.
     * @param maxBytes     poison-pill cap: larger blobs become error rows
     *                     (bounds kernel memory; SURVEY §4.3 spill row).
+    * @param hostSalt     0/1 = partition by url hash (uniform — the
+    *                     default; unique urls carry no skew). >1 =
+    *                     partition by (host, salt) instead: rows stay
+    *                     host-grouped (per-host downstream state /
+    *                     politeness) but a giant host spreads over
+    *                     `hostSalt` buckets instead of hot-spotting one
+    *                     reducer (SURVEY §4.3 skew salting).
     */
-  final case class Conf(repartition: Int = 0, maxBytes: Int = 64 << 20)
+  final case class Conf(repartition: Int = 0, maxBytes: Int = 64 << 20,
+      hostSalt: Int = 0)
 
   /** Task-side counters (lineage/metrics, BASELINE.json north rule). */
   final class Metrics(spark: SparkSession) extends Serializable {
@@ -96,7 +104,12 @@ object ExtractPipeline {
       metrics: Metrics = null): Dataset[ExtractedDoc] = {
     import spark.implicits._
     val keyed =
-      if (conf.repartition > 0)
+      if (conf.repartition > 0 && conf.hostSalt > 1)
+        // host-grouped with skew salt: tuple-hash of (host, salt bucket)
+        pages.repartition(conf.repartition,
+          regexp_extract(col("url"), "^https?://([^/]+)", 1),
+          pmod(xxhash64(col("url")), lit(conf.hostSalt)))
+      else if (conf.repartition > 0)
         // explicit url-hash exchange (north rule): aligns output
         // partitioning with the natural key and spreads host runs
         pages.repartition(conf.repartition, xxhash64(col("url")))

@@ -36,6 +36,25 @@ class PipelineSpec extends SparkTestBase {
     assert(metrics.docsFailed.value == 0)
   }
 
+  test("host salt spreads a giant host over multiple partitions, result unchanged") {
+    // one pathological host owning every row (the skew case salting exists for)
+    val rows = (0 until 200).map { i =>
+      val gp = PagesGen.genPage(i.toLong, seed = 9L, hosts = 1)
+      gp.row.copy(url = s"https://giant.example/p/$i")
+    }
+    val df = rows.toDS().toDF()
+    val salted = ExtractPipeline.extract(spark, df,
+      ExtractPipeline.Conf(repartition = 8, hostSalt = 4))
+    val nParts = salted.mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .collect().sum
+    assert(nParts >= 2, s"giant host stayed on $nParts partition(s)")
+    // salting only moves rows; extraction output is identical
+    val a = salted.collect().map(d => d.url -> d.text).toMap
+    val b = ExtractPipeline.extract(spark, df, ExtractPipeline.Conf(repartition = 8))
+      .collect().map(d => d.url -> d.text).toMap
+    assert(a == b)
+  }
+
   test("poison pill: oversized + garbage rows isolate as error rows") {
     val rows = Seq(
       PageRow("u://big", new java.sql.Timestamp(0), Array.fill[Byte](2048)('x'), "", "en"),
