@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   *     [--partitions N]            (url-hash repartition width; default
   *                                  3x defaultParallelism)
   *     [--max-bytes B]             (poison-pill size cap, default 64 MiB)
+  *     [--host-salt S]             (>1 = partition by (host, salt bucket)
+  *                                  instead of url hash — keeps rows
+  *                                  host-grouped while spreading giant
+  *                                  hosts over S buckets)
   * }}}
   *
   * On a cluster the session master/resources come from spark-submit; the
@@ -46,10 +50,12 @@ object Main {
     val partitions = opts.get("partitions").map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism * 3)
     val maxBytes = opts.get("max-bytes").map(_.toInt).getOrElse(64 << 20)
+    val hostSalt = opts.get("host-salt").map(_.toInt).getOrElse(0)
 
     val pages = spark.read.parquet(input)
     val res = ExtractJob.run(spark, pages, output, ledger,
-      ExtractPipeline.Conf(repartition = partitions, maxBytes = maxBytes))
+      ExtractPipeline.Conf(repartition = partitions, maxBytes = maxBytes,
+        hostSalt = hostSalt))
 
     println(
       s"""{"days_processed":${res.daysProcessed.length},"days_skipped":${res.daysSkipped},""" +
