@@ -57,5 +57,24 @@ object KernelBench {
         f"${pdfBytes / best / 1e6}%7.1f MB/s  (${best * 1e6 / pdfs.length}%6.1f us/doc)")
     }
     benchPdf("pdf")(b => { graft.kernels.PdfTextExtractor.extract(b); () })
+
+    // multi-threaded extract: aggregate docs/s with T raw JVM threads
+    // (no Spark) — isolates allocation/GC-bandwidth scaling of the kernel
+    Seq(1, 8, 32).foreach { t =>
+      val per = pages.grouped((pages.length + t - 1) / t).toArray
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        val threads = per.map { chunk =>
+          val th = new Thread(() => chunk.foreach(h => { MainTextExtractor.extract(h); () }))
+          th.start(); th
+        }
+        threads.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass() // warmup
+      val best = (0 until 3).map(_ => pass()).min
+      println(f"KBENCH mt$t%-10d ${pages.length / best}%9.0f docs/s  " +
+        f"(${pages.length / best / t}%8.0f per thread)")
+    }
   }
 }
