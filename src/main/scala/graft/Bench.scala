@@ -96,6 +96,18 @@ object Bench {
       }
     val corpusDir = ensureCorpus(spark, benchDocs)
     val (tMain, nOk) = medianExtract(spark, corpusDir, cpus)
+    // expression-only fast path at the same parallelism (no Dataset
+    // encoder; sum(n_chars) forces every extraction)
+    def timeExpr(): Double = {
+      val t0 = System.nanoTime()
+      ExtractPipeline
+        .extractText(spark, spark.read.parquet(corpusDir),
+          ExtractPipeline.Conf(repartition = cpus))
+        .agg(org.apache.spark.sql.functions.sum("n_chars")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeExpr() // warmup
+    val tExpr = (1 to Runs).map(_ => timeExpr()).sorted.apply(Runs / 2)
     spark.stop()
 
     // ---- two-parallelism scaling (N=2 vs 4N=8 cores, same input).
@@ -128,7 +140,8 @@ object Bench {
     val scaling =
       f"""{"docs":$benchDocs,"docs_ok":$nOk,"t_local2_sec":$t2%.3f,"t_local8_sec":$t8%.3f,""" +
         f""""docs_per_sec_local2":${benchDocs / t2}%.1f,"docs_per_sec_local8":${benchDocs / t8}%.1f,""" +
-        f""""docs_per_sec_main":${benchDocs / tMain}%.1f,"scaling_efficiency_2_to_8":$eff%.3f}"""
+        f""""docs_per_sec_main":${benchDocs / tMain}%.1f,"docs_per_sec_expr":${benchDocs / tExpr}%.1f,""" +
+        f""""scaling_efficiency_2_to_8":$eff%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_scaling":$scaling}""")
   }

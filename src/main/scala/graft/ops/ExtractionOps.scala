@@ -107,7 +107,17 @@ object ExtractionOps {
         "extract_main_text(html) as extracted_text")
   }
 
+  /** The expression-only fast path (ExtractPipeline.extractText — no
+    * Dataset encoder) over the same wrapped corpus; identity oracle.
+    */
+  def extractFastpath(spark: SparkSession, dir: String): DataFrame =
+    ExtractPipeline.extractText(spark, DocPages.htmlSingle(spark, dir).toDF())
+      .selectExpr(
+        "cast(substring_index(url, '/', -1) as long) as doc_id",
+        "text as extracted_text")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_extract_fastpath" -> (extractFastpath(_, _)),
     "q_extract_sql_expr" -> (extractSqlExpr(_, _)),
     "q_extract_html" -> (extractHtml(_, _)),
     "q_extract_html_chunked" -> (extractHtmlChunked(_, _)),
@@ -118,6 +128,7 @@ object ExtractionOps {
     "q_extract_spans" -> (extractSpans(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_extract_fastpath" -> extractHtmlSql,
     "q_extract_sql_expr" -> extractHtmlSql,
     "q_extract_html" -> extractHtmlSql,
     "q_extract_html_chunked" -> extractHtmlChunkedSql,

@@ -36,6 +36,20 @@ class PipelineSpec extends SparkTestBase {
     assert(metrics.docsFailed.value == 0)
   }
 
+  test("expression fast path matches the typed pipeline's text per url") {
+    val corpus = PagesGen.corpus(300, seed = 42L)
+    val df = corpus.map(_.row).toDS().toDF()
+    val typed = ExtractPipeline.extract(spark, df, ExtractPipeline.Conf(repartition = 4))
+      .collect().map(d => d.url -> d.text).toMap
+    val fast = ExtractPipeline.extractText(spark, df, ExtractPipeline.Conf(repartition = 4))
+      .collect().map(r => r.getAs[String]("url") ->
+        Option(r.getAs[String]("text")).getOrElse("")).toMap
+    assert(fast.keySet == typed.keySet)
+    corpus.foreach { gp =>
+      assert(fast(gp.row.url) == typed(gp.row.url), s"${gp.kind} ${gp.row.url}")
+    }
+  }
+
   test("host salt spreads a giant host over multiple partitions, result unchanged") {
     // one pathological host owning every row (the skew case salting exists for)
     val rows = (0 until 200).map { i =>
