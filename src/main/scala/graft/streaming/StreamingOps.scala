@@ -93,6 +93,19 @@ object StreamingOps {
       }
   }
 
+  /** Built-in watermarked url dedup — the Catalyst-native alternative to
+    * [[firstSeenByHost]] when the dedup key is the row key itself:
+    * re-crawls of a url arriving within the watermark horizon are
+    * suppressed, and per-key state evicts automatically once the
+    * watermark passes (bounded state without a custom TTL). Custom state
+    * remains the tool when the key (host) and the dedup criterion
+    * (content fingerprint set) differ.
+    */
+  def dedupUrlWithinWatermark(pages: DataFrame, delay: String = "1 hour"): DataFrame =
+    pages
+      .withWatermark("warc_ts", delay)
+      .dropDuplicatesWithinWatermark("url")
+
   /** Event-time tumbling-window rollup with a watermark: docs per hour per
     * kind — the monitoring aggregation a crawl pipeline runs beside the
     * extraction sink. Late pages beyond 2 hours are dropped by watermark.

@@ -35,6 +35,24 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("dropDuplicatesWithinWatermark suppresses url re-crawls across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[graft.model.PageRow]
+    def row(url: String, tsSec: Long) =
+      graft.model.PageRow(url, new java.sql.Timestamp(tsSec * 1000), null, "t", "en")
+    ms.addData(row("http://a.com/1", 100), row("http://a.com/2", 110))
+    val q = StreamingOps.dedupUrlWithinWatermark(ms.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup").outputMode("append").start()
+    q.processAllAvailable()
+    // same urls again within the watermark horizon → suppressed; one new
+    ms.addData(row("http://a.com/1", 120), row("http://a.com/3", 130))
+    q.processAllAvailable()
+    val urls = spark.table("wm_dedup").select("url").collect().map(_.getString(0))
+    q.stop()
+    assert(urls.sorted.toSeq == Seq("http://a.com/1", "http://a.com/2", "http://a.com/3"))
+  }
+
   test("stateful first-seen dedup (flatMapGroupsWithState) across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
