@@ -7,17 +7,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): one JSON line on stdout with
   * per-query timings over SPARK_GRAFT_SF_DIR plus the north rule's
   * two-cluster-size scaling evidence — the same extraction job at N=2 and
-  * 4N=8 cores on identical input, reporting docs/s at both and efficiency
-  * = (t2/t8)/4 (sandbox proxy for N→4N executors; no real cluster here).
+  * 4N=8 cores on identical input, reporting docs/s at both (from the best
+  * wall time per level) and `scaling_efficiency_2_to_8` = the MEDIAN over
+  * rounds of the per-round ratio (t2_r/t8_r)/4 — see the comment at the
+  * scaling loop for why ratios are paired per round. The min-level
+  * recomputation `(t_local2_sec/t_local8_sec)/4` is emitted separately as
+  * `eff_from_min_levels`; the two can differ by ±0.15 under asymmetric
+  * host load.
   *
   * Why 2→8 and not 8→32: cluster scale-out multiplies executor JVMs
   * (4-8 cores each), not threads inside one heap. In this single-JVM
-  * sandbox the kernel saturates shared memory/GC bandwidth between 8 and
-  * 32 threads (measured: per-thread throughput 15.7k docs/s at 2 cores,
-  * 14.1k at 8, 5.1k at 32), so 8→32 measures JVM memory contention, not
-  * the job's scaling behavior. 2→8 keeps the JVM in its linear region —
-  * the regime a per-executor JVM actually runs in. Full analysis +
-  * raw numbers for both pairs: BASELINE.md §C.
+  * sandbox 8→32 measures JVM memory contention and host steal, not the
+  * job's scaling behavior (the allocation-optimized kernel now reaches
+  * ~19k docs/s/thread at 32 raw threads — KernelBench mt stage — but
+  * 32-thread wall times remain the most load-sensitive). 2→8 keeps the
+  * JVM in its linear region — the regime a per-executor JVM actually
+  * runs in. Full analysis + raw numbers for both pairs: BASELINE.md §C.
   */
 object Bench {
 
@@ -39,9 +44,7 @@ object Bench {
     */
   private def ensureCorpus(spark: SparkSession, n: Int): String = {
     import spark.implicits._
-    // v-tag ties the cached corpus to the generator version — bump when
-    // PagesGen output changes or stale parquet silently keeps being timed
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_pages_v2_$n"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_pages_${PagesGen.CorpusVersion}_$n"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       spark.range(n)
         .repartition(32)
@@ -111,9 +114,6 @@ object Bench {
     spark.stop()
 
     // ---- two-parallelism scaling (N=2 vs 4N=8 cores, same input).
-    // Interleaved rounds + min per level: noisy-neighbor steal in this
-    // shared sandbox hits both levels in expectation, and the min
-    // approximates the unloaded machine.
     // 5 rounds; efficiency = MEDIAN of per-round ratios. The two levels of
     // one round run back-to-back under similar external load, so the
     // per-round ratio cancels host steal that min-per-level doesn't: mins
@@ -141,7 +141,7 @@ object Bench {
       f"""{"docs":$benchDocs,"docs_ok":$nOk,"t_local2_sec":$t2%.3f,"t_local8_sec":$t8%.3f,""" +
         f""""docs_per_sec_local2":${benchDocs / t2}%.1f,"docs_per_sec_local8":${benchDocs / t8}%.1f,""" +
         f""""docs_per_sec_main":${benchDocs / tMain}%.1f,"docs_per_sec_expr":${benchDocs / tExpr}%.1f,""" +
-        f""""scaling_efficiency_2_to_8":$eff%.3f}"""
+        f""""scaling_efficiency_2_to_8":$eff%.3f,"eff_from_min_levels":${(t2 / t8) / 4.0}%.3f}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_scaling":$scaling}""")
   }

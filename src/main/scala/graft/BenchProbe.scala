@@ -32,7 +32,7 @@ object BenchProbe {
 
   def main(args: Array[String]): Unit = {
     val docs = args.headOption.map(_.toInt).getOrElse(150000)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_pages_v2_$docs"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_pages_${graft.gen.PagesGen.CorpusVersion}_$docs"
     // generate with a 32-cpu session if absent
     locally {
       val s = session(32)

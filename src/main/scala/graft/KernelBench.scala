@@ -1,12 +1,13 @@
 package graft
 
 import graft.gen.PagesGen
-import graft.kernels.{Dom, HtmlTokenizer, MainTextExtractor}
+import graft.kernels.{Dom, HtmlTokenizer, MainTextExtractor, PdfTextExtractor}
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Single-threaded kernel microbenchmark (no Spark): isolates per-stage
-  * cost — tokenize, DOM build, full extract — so optimization targets the
-  * real hot spot. Usage: runMain graft.KernelBench [nDocs]
+/** Kernel microbenchmark (no Spark): isolates per-stage cost — tokenize,
+  * DOM build, full extract, PDF path — plus a raw multi-threaded extract
+  * stage that measures allocation/GC-bandwidth scaling of the kernel.
+  * Usage: runMain graft.KernelBench [nDocs]
   */
 object KernelBench {
 
@@ -17,50 +18,39 @@ object KernelBench {
     override def text(s: CharSequence): Unit = n += s.length
   }
 
+  /** Warmup ×2, best of 3 timed passes over `docs`; prints docs/s,
+    * unit-volume/s, us/doc. No-op when the doc set is empty.
+    */
+  private def bench[A](label: String, docs: Array[A], volume: Long, volumeUnit: String)(
+      f: A => Unit): Unit = {
+    if (docs.isEmpty) { println(s"KBENCH $label skipped (0 docs)"); return }
+    (0 until 2).foreach(_ => docs.foreach(f)) // warmup
+    val best = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      docs.foreach(f)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"KBENCH $label%-12s ${docs.length / best}%9.0f docs/s  " +
+      f"${volume / best / 1e6}%7.1f $volumeUnit%s/s  (${best * 1e6 / docs.length}%6.1f us/doc)")
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(20000)
-    val pages = (0 until nDocs).map { i =>
-      val gp = PagesGen.genPage(i.toLong, seed = 42L, hosts = 200)
-      if (gp.kind == "html") new String(gp.row.html, UTF_8) else null
-    }.filter(_ != null).toArray
+    // one generation pass feeds both the html and pdf stages
+    val gen = (0 until nDocs).map(i => PagesGen.genPage(i.toLong, seed = 42L, hosts = 200))
+    val pages = gen.collect { case gp if gp.kind == "html" => new String(gp.row.html, UTF_8) }.toArray
+    val pdfs = gen.collect { case gp if gp.kind == "pdf" => gp.row.html }.toArray
     val totalChars = pages.map(_.length.toLong).sum
-
-    def bench(label: String)(f: String => Unit): Unit = {
-      (0 until 2).foreach(_ => pages.foreach(f)) // warmup
-      val best = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        pages.foreach(f)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"KBENCH $label%-12s ${pages.length / best}%9.0f docs/s  " +
-        f"${totalChars / best / 1e6}%7.1f Mchar/s  (${best * 1e6 / pages.length}%6.1f us/doc)")
-    }
-
-    bench("tokenize")(h => HtmlTokenizer.tokenize(h, NullSink))
-    bench("dom")(h => { Dom.parse(h); () })
-    bench("extract")(h => { MainTextExtractor.extract(h); () })
-
-    // PDF stage: per-doc cost of the content-stream path (incl. Flate)
-    val pdfs = (0 until nDocs).map { i =>
-      val gp = PagesGen.genPage(i.toLong, seed = 42L, hosts = 200)
-      if (gp.kind == "pdf") gp.row.html else null
-    }.filter(_ != null).toArray
     val pdfBytes = pdfs.map(_.length.toLong).sum
-    def benchPdf(label: String)(f: Array[Byte] => Unit): Unit = {
-      (0 until 2).foreach(_ => pdfs.foreach(f))
-      val best = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        pdfs.foreach(f)
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"KBENCH $label%-12s ${pdfs.length / best}%9.0f docs/s  " +
-        f"${pdfBytes / best / 1e6}%7.1f MB/s  (${best * 1e6 / pdfs.length}%6.1f us/doc)")
-    }
-    benchPdf("pdf")(b => { graft.kernels.PdfTextExtractor.extract(b); () })
+
+    bench("tokenize", pages, totalChars, "Mchar")(h => HtmlTokenizer.tokenize(h, NullSink))
+    bench("dom", pages, totalChars, "Mchar")(h => { Dom.parse(h); () })
+    bench("extract", pages, totalChars, "Mchar")(h => { MainTextExtractor.extract(h); () })
+    bench("pdf", pdfs, pdfBytes, "MB")(b => { PdfTextExtractor.extract(b); () })
 
     // multi-threaded extract: aggregate docs/s with T raw JVM threads
     // (no Spark) — isolates allocation/GC-bandwidth scaling of the kernel
-    Seq(1, 8, 32).foreach { t =>
+    if (pages.nonEmpty) Seq(1, 8, 32).foreach { t =>
       val per = pages.grouped((pages.length + t - 1) / t).toArray
       def pass(): Double = {
         val t0 = System.nanoTime()

@@ -60,17 +60,22 @@ object ExtractMainText {
 
   /** Shared by interpreted eval and generated code (static forwarder makes
     * it callable from Janino-compiled Java). Null ⇔ nothing extractable.
+    * Catches per row (the kernels are property-tested total, but a
+    * pathological document must poison-pill to null — never fail the
+    * task; mirrors ExtractKernel.extractPages' catch-all).
     */
   def evalBytes(bytes: Array[Byte]): UTF8String =
-    ExtractKernel.sniff(bytes) match {
-      case ExtractKernel.KindPassthrough => null // no bytes, nothing to extract
-      case ExtractKernel.KindPdf =>
-        val res = PdfTextExtractor.extract(bytes)
-        if (res.pages.isEmpty) null
-        else UTF8String.fromString(res.pages.map(_.text).mkString("\n"))
-      case _ =>
-        UTF8String.fromString(MainTextExtractor.extract(new String(bytes, UTF_8)).text)
-    }
+    try {
+      ExtractKernel.sniff(bytes) match {
+        case ExtractKernel.KindPassthrough => null // no bytes, nothing to extract
+        case ExtractKernel.KindPdf =>
+          val res = PdfTextExtractor.extract(bytes)
+          if (res.pages.isEmpty) null
+          else UTF8String.fromString(res.pages.map(_.text).mkString("\n"))
+        case _ =>
+          UTF8String.fromString(MainTextExtractor.extract(new String(bytes, UTF_8)).text)
+      }
+    } catch { case _: Throwable => null }
 
   val fnName: FunctionIdentifier = FunctionIdentifier("extract_main_text")
 

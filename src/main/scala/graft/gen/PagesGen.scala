@@ -16,6 +16,11 @@ import java.sql.Timestamp
   */
 object PagesGen {
 
+  /** Bump whenever generated output changes — cache dirs (Bench,
+    * BenchProbe) embed it so stale corpora are never silently re-timed.
+    */
+  final val CorpusVersion = "v2"
+
   // ------------------------------------------------------------- randomness
 
   /** splitmix64 — public-domain PRNG step (Steele et al.). */

@@ -165,27 +165,26 @@ object TextOps {
 
   // ----------------------------------------------------------- corpus clean
 
-  /** The end-to-end training-data cleaning pass, composed as ONE plan:
+  /** The end-to-end training-data cleaning pass, composed as one plan:
     * quality gate (codegen'd, map-side — rejected rows never shuffle) →
-    * exact-dedup keeper (single shuffle on the 32-byte fingerprint, never
-    * the text) → per-(source, lang) survivor stats (partial+final agg).
-    * At 100 TB this is the shape of the whole cleaning job: one shuffle
-    * on hashes, everything else narrow.
+    * exact-dedup keeper via `min_by` (partial+final agg on the 16-byte
+    * md5 digest, never the text; no window sort) → per-(source, lang)
+    * survivor stats. Two exchanges total, both on small keys, both with
+    * map-side partial aggregation — the shape of the whole cleaning job
+    * at 100 TB.
     */
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val stop = hitsExpr(Stopwords)
-    val filtered = docs(spark, dir)
+    docs(spark, dir)
       .selectExpr("cast(doc_id as long) as doc_id", "source", "lang",
         "cast(size(split(text, ' ')) as long) as n_words",
         s"cast($stop as long) as stop_hits",
         "md5(cast(text as binary)) as fp")
       .filter(col("n_words").between(20, 2000) && col("stop_hits") > 0)
-    filtered
-      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("keeper"))
-      .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+      .groupBy(col("fp"))
+      .agg(min_by(struct(col("source"), col("lang"), col("n_words")), col("doc_id")).as("k"))
+      .groupBy(col("k.source").as("source"), col("k.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("k.n_words")).as("total_words"))
   }
 
   val corpusCleanSql: String = {

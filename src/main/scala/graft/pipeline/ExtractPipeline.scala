@@ -126,20 +126,23 @@ object ExtractPipeline {
     * (`extract_main_text`), no Dataset encoder round-trip — measured ~38%
     * faster than the typed path at local[32] (297k vs 215k docs/s on the
     * 1.2M-doc corpus). Emits (url, warc_ts, lang, text, n_chars) only:
-    * consumers needing spans, page counts, or the error column use
-    * [[extract]]. The poison-pill size cap maps to text=null (kernels are
-    * total, so null is the only failure shape on this path); passthrough
-    * rows surface the crawl-provided `text`.
+    * consumers needing spans, page counts, or the error string use
+    * [[extract]]. text=null is the single failure shape here — oversized
+    * blobs, failed PDFs, and kernel faults (the expression catches
+    * per-row, mirroring the typed path's poison-pill isolation) all map
+    * to null. Crawl-provided `text` surfaces ONLY for rows with no html
+    * bytes (the passthrough branch), never as a fallback for failed
+    * extraction — same branch the typed path takes.
     */
   def extractText(spark: SparkSession, pages: DataFrame, conf: Conf = Conf()): DataFrame = {
     graft.functions.ExtractMainText.register(spark) // idempotent
+    val htmlLen = coalesce(length(col("html")), lit(0))
     keyedBy(pages, conf)
       .select(
         col("url"), col("warc_ts"), col("lang"),
-        when(coalesce(length(col("html")), lit(0)) <= conf.maxBytes,
-          coalesce(
-            call_function("extract_main_text", col("html")),
-            when(col("text") =!= "", col("text"))))
+        when(htmlLen === 0, when(col("text") =!= "", col("text")))
+          .otherwise(when(htmlLen <= conf.maxBytes,
+            call_function("extract_main_text", col("html"))))
           .as("text"))
       .withColumn("n_chars", coalesce(length(col("text")), lit(0)))
   }

@@ -36,18 +36,32 @@ class PipelineSpec extends SparkTestBase {
     assert(metrics.docsFailed.value == 0)
   }
 
-  test("expression fast path matches the typed pipeline's text per url") {
+  test("expression fast path matches the typed pipeline's text per url (null = failure shape)") {
     val corpus = PagesGen.corpus(300, seed = 42L)
     val df = corpus.map(_.row).toDS().toDF()
-    val typed = ExtractPipeline.extract(spark, df, ExtractPipeline.Conf(repartition = 4))
-      .collect().map(d => d.url -> d.text).toMap
     val fast = ExtractPipeline.extractText(spark, df, ExtractPipeline.Conf(repartition = 4))
-      .collect().map(r => r.getAs[String]("url") ->
-        Option(r.getAs[String]("text")).getOrElse("")).toMap
-    assert(fast.keySet == typed.keySet)
+      .collect().map(r => r.getAs[String]("url") -> Option(r.getAs[String]("text"))).toMap
+    assert(fast.size == corpus.size)
     corpus.foreach { gp =>
-      assert(fast(gp.row.url) == typed(gp.row.url), s"${gp.kind} ${gp.row.url}")
+      // exact shape: empty rows → null, everything else → the golden text
+      val expected = if (gp.kind == "empty") None else Some(gp.expected)
+      assert(fast(gp.row.url) == expected, s"${gp.kind} ${gp.row.url}")
     }
+  }
+
+  test("fast path does NOT surface crawl text for failed (non-empty-html) extraction") {
+    // a failed PDF with crawl-provided text must stay null on the fast
+    // path (the typed path marks it error='pdf_empty'), and a no-html row
+    // must surface the crawl text (passthrough branch)
+    val rows = Seq(
+      PageRow("https://x.example/badpdf", new java.sql.Timestamp(0),
+        "%PDF-1.4 no streams here".getBytes, "crawl text A", "en"),
+      PageRow("https://x.example/pass", new java.sql.Timestamp(0),
+        Array.emptyByteArray, "crawl text B", "en"))
+    val out = ExtractPipeline.extractText(spark, rows.toDS().toDF())
+      .collect().map(r => r.getAs[String]("url") -> Option(r.getAs[String]("text"))).toMap
+    assert(out("https://x.example/badpdf").isEmpty)
+    assert(out("https://x.example/pass").contains("crawl text B"))
   }
 
   test("host salt spreads a giant host over multiple partitions, result unchanged") {
