@@ -62,6 +62,20 @@ object DocPages {
     }
   }
 
+  /** Arabic/RTL byte-fidelity wrap: prefixes Arabic text + typographic
+    * punctuation before the chrome wrap — the kernel must return it
+    * byte-identically (input_hint invariant; the reference demands exact
+    * Arabic preservation, convert_to_json.py:489-497, prompt.py:169).
+    */
+  def htmlArabic(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val t = "نص تجريبي — " + d.text
+      PageRow(s"doc://a/${d.doc_id}", Ts0,
+        PagesGen.htmlPage(Seq(t), None, d.doc_id).getBytes(UTF_8), "", d.lang)
+    }
+  }
+
   /** Empty html → crawl-text passthrough branch. */
   def passthrough(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._

@@ -116,7 +116,18 @@ object ExtractionOps {
         "cast(substring_index(url, '/', -1) as long) as doc_id",
         "text as extracted_text")
 
+  /** Arabic/RTL round trip through the real kernel (UTF-8 multi-byte in
+    * the html binary column end-to-end); identity-plus-prefix oracle.
+    */
+  def extractArabic(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.htmlArabic(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
+  val extractArabicSql: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'نص تجريبي — ' || text AS extracted_text FROM documents"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_extract_arabic" -> (extractArabic(_, _)),
     "q_extract_fastpath" -> (extractFastpath(_, _)),
     "q_extract_sql_expr" -> (extractSqlExpr(_, _)),
     "q_extract_html" -> (extractHtml(_, _)),
@@ -128,6 +139,7 @@ object ExtractionOps {
     "q_extract_spans" -> (extractSpans(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_extract_arabic" -> extractArabicSql,
     "q_extract_fastpath" -> extractHtmlSql,
     "q_extract_sql_expr" -> extractHtmlSql,
     "q_extract_html" -> extractHtmlSql,
