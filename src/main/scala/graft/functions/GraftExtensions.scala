@@ -14,5 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (ExtractMainText.fnName, ExtractMainText.fnInfo, ExtractMainText.builder))
     ext.injectFunction(
       (TokenSortRatio.fnName, TokenSortRatio.fnInfo, TokenSortRatio.builder))
+    ext.injectFunction(
+      (ExtractDoc.fnName, ExtractDoc.fnInfo, ExtractDoc.builder))
   }
 }

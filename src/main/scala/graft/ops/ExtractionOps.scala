@@ -126,7 +126,29 @@ object ExtractionOps {
   val extractArabicSql: String =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'نص تجريبي — ' || text AS extracted_text FROM documents"
 
+  /** Struct-returning `extract_doc` expression over the mixed wrap: one
+    * codegen'd call yields text + n_chars + sniffed kind for all three
+    * dispatch branches; crawl text fills the passthrough branch.
+    */
+  def extractDocStruct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ExtractDoc.register(spark)
+    DocPages.mixed(spark, dir).toDF()
+      .selectExpr(
+        "cast(substring_index(url, '/', -1) as long) as doc_id",
+        "extract_doc(html) as d", "text as crawl_text")
+      .selectExpr("doc_id",
+        "coalesce(d.text, case when crawl_text <> '' then crawl_text end) as extracted_text",
+        "d.kind as kind")
+  }
+
+  val extractDocStructSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS extracted_text,
+      |  CASE CAST(doc_id AS BIGINT) % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'pdf'
+      |    ELSE 'passthrough' END AS kind
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_extract_doc_struct" -> (extractDocStruct(_, _)),
     "q_extract_arabic" -> (extractArabic(_, _)),
     "q_extract_fastpath" -> (extractFastpath(_, _)),
     "q_extract_sql_expr" -> (extractSqlExpr(_, _)),
@@ -139,6 +161,7 @@ object ExtractionOps {
     "q_extract_spans" -> (extractSpans(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_extract_doc_struct" -> extractDocStructSql,
     "q_extract_arabic" -> extractArabicSql,
     "q_extract_fastpath" -> extractHtmlSql,
     "q_extract_sql_expr" -> extractHtmlSql,
