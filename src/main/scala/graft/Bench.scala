@@ -88,17 +88,24 @@ object Bench {
     val benchDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "1200000").toInt
     val scalingOnly = sys.env.contains("GRAFT_BENCH_SCALING_ONLY")
 
-    // ---- per-query timings at the requested parallelism
+    // ---- per-query timings at the requested parallelism. A query that
+    // throws records timing -1 and lands in `failed` — a regression must
+    // be visible in the artifact, not masquerade as a fast query.
     val spark = session(cpus)
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results =
       if (scalingOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+        }
       }
     val corpusDir = ensureCorpus(spark, benchDocs)
-    val (tMain, nOk) = medianExtract(spark, corpusDir, cpus)
+    medianExtract(spark, corpusDir, cpus) // warmup (JIT + parquet footers)
     // expression-only fast path at the same parallelism (no Dataset
     // encoder; sum(n_chars) forces every extraction)
     def timeExpr(): Double = {
@@ -113,36 +120,71 @@ object Bench {
     val tExpr = (1 to Runs).map(_ => timeExpr()).sorted.apply(Runs / 2)
     spark.stop()
 
-    // ---- two-parallelism scaling (N=2 vs 4N=8 cores, same input).
+    // ---- two-parallelism scaling (N=2 vs 4N=8 cores, same input), plus
+    // the local[cpus] main-path number INTERLEAVED into the same rounds.
+    // Round-1 postmortem: the standalone local[32] median ran in its own
+    // load window and recorded a 10x-steal outlier (26k docs/s vs 273k at
+    // local[8] in the same artifact). Interleaving all levels per round and
+    // taking min-per-level makes a single steal window unable to corrupt
+    // the recorded number.
     // 5 rounds; efficiency = MEDIAN of per-round ratios. The two levels of
     // one round run back-to-back under similar external load, so the
     // per-round ratio cancels host steal that min-per-level doesn't: mins
     // taken from different load windows skewed the ratio by ±0.15 in both
     // directions (observed 0.73..1.05 across bench invocations; the
     // median-of-ratios sits stable near the true ~0.9).
-    val times = scala.collection.mutable.Map(2 -> List.empty[Double], 8 -> List.empty[Double])
+    val levels = (Seq(2, 8) ++ (if (cpus != 2 && cpus != 8) Seq(cpus) else Nil)).distinct
+    val times = scala.collection.mutable.Map(levels.map(_ -> List.empty[Double]): _*)
+    var nOk = 0L
     (1 to 5).foreach { round =>
-      Seq(2, 8).foreach { lvl =>
+      levels.foreach { lvl =>
         val s = session(lvl)
         if (round == 1) timeExtract(s, corpusDir, lvl) // warmup first use
-        times(lvl) = timeExtract(s, corpusDir, lvl)._1 :: times(lvl)
+        val (t, n) = timeExtract(s, corpusDir, lvl)
+        times(lvl) = t :: times(lvl)
+        nOk = n
         s.stop()
       }
     }
     val t2 = times(2).min
     val t8 = times(8).min
+    // best-of-5 interleaved at the requested parallelism
+    val tMain = times(if (times.contains(cpus)) cpus else 8).min
     val ratios = times(2).reverse.zip(times(8).reverse).map { case (a, b) => (a / b) / 4.0 }.sorted
     val eff = ratios(ratios.length / 2)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     val scaling =
       f"""{"docs":$benchDocs,"docs_ok":$nOk,"t_local2_sec":$t2%.3f,"t_local8_sec":$t8%.3f,""" +
         f""""docs_per_sec_local2":${benchDocs / t2}%.1f,"docs_per_sec_local8":${benchDocs / t8}%.1f,""" +
         f""""docs_per_sec_main":${benchDocs / tMain}%.1f,"docs_per_sec_expr":${benchDocs / tExpr}%.1f,""" +
         f""""scaling_efficiency_2_to_8":$eff%.3f,"eff_from_min_levels":${(t2 / t8) / 4.0}%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_scaling":$scaling}""")
+    val fullRecord =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract_scaling":$scaling}"""
+    // DRIVER CONTRACT (round-1 postmortem): the driver reads a ~2000-char
+    // stdout tail; round 1's single line (73-query map + scaling) overflowed
+    // it -> BENCH_r01.json "parsed": null. Ship the full record to files,
+    // print it on an EARLIER line for humans, and make the LAST line a
+    // compact record that always fits the tail window.
+    import java.nio.file.{Files, Paths}
+    Files.writeString(Paths.get("bench_out.json"), fullRecord)
+    try Files.writeString(Paths.get("/tmp/graft_bench.json"), fullRecord)
+    catch { case _: Throwable => () }
+    println(fullRecord)
+    // Headline subset keeps the contract's {"queries":{name:sec}} shape
+    // while staying far under the tail window; the full 70+-query map is in
+    // bench_out.json and the earlier stdout line.
+    val headline = Set("q1_agg", "q_extract_html", "q_extract_pdf",
+      "q_extract_sql_expr", "q_dedup_minhash_lsh", "q_ann_lsh",
+      "q_corpus_clean", "q_service_table")
+    val qsCompact = results.filter(r => headline(r._1))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","extract_scaling":$scaling}"""
+    println(compact)
   }
 }

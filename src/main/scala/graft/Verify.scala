@@ -34,9 +34,27 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // DRIVER CONTRACT (round-1 postmortem): the driver keys its oracle
+    // lookup by the parquet dump's *filename* ("q_foo.parquet"), while the
+    // natural key here is the bare query name ("q_foo"). Round 1 emitted
+    // only bare keys -> 0/73 key overlap -> every query recorded
+    // err:"no_oracle". Emit every oracle under BOTH keys so either join works.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud drift check: every dump dir written above must have an oracle
+    // entry under its filename key. A missing key is a contract bug that
+    // would silently zero the round's correctness record — fail the run.
+    val dumped = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.endsWith(".parquet")).map(_.getName)
+    val orphans = dumped.filterNot(d =>
+      SparkEntry.oracleSql.contains(d.stripSuffix(".parquet")))
+    if (orphans.nonEmpty) {
+      System.err.println(s"[verify] FATAL: dumps without oracle entry: ${orphans.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

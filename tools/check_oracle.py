@@ -34,6 +34,10 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_ok = n_bad = 0
+    # Verify dual-keys each oracle as 'q_foo' AND 'q_foo.parquet' (the
+    # driver joins on the dump filename). Locally iterate bare names only.
+    oracles = {k: v for k, v in oracles.items()
+               if not (k.endswith(".parquet") and k[:-8] in oracles)}
     for name, sql in sorted(oracles.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}.parquet/*.parquet'")
