@@ -98,16 +98,30 @@ object FuzzyKernels {
 
   private val NonWord = Pattern.compile("\\W", Pattern.UNICODE_CHARACTER_CLASS)
 
+  /** fuzzywuzzy utils.asciidammit under Python 3: bad_chars is exactly
+    * chr(128)..chr(255), so ONLY code points U+0080–U+00FF are dropped
+    * (Latin-1 accents like é vanish); all other Unicode — Arabic, CJK —
+    * passes through untouched and survives `\W` as word characters.
+    * "force ASCII" is a misnomer in the original; we mirror it exactly.
+    */
+  def asciiDammit(s: String): String = {
+    var i = 0
+    while (i < s.length && !(s.charAt(i) >= 0x80 && s.charAt(i) <= 0xFF)) i += 1
+    if (i == s.length) s
+    else s.filterNot(c => c >= 0x80 && c <= 0xFF)
+  }
+
   /** fuzzywuzzy full_process: non-word chars → space, lowercase, strip. */
   def fullProcess(s: String): String =
     NonWord.matcher(s).replaceAll(" ").toLowerCase(Locale.ROOT).strip()
 
-  /** fuzz.token_sort_ratio: full-process both sides, whitespace tokens
-    * sorted and re-joined, then ratio.
+  /** fuzz.token_sort_ratio with the library's default force_ascii=True:
+    * asciidammit, then full-process both sides, whitespace tokens sorted
+    * and re-joined, then ratio.
     */
   def tokenSortRatio(a: String, b: String): Int = {
     def prep(s: String): String =
-      fullProcess(s).split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+      fullProcess(asciiDammit(s)).split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
     ratio(prep(a), prep(b))
   }
 

@@ -178,27 +178,40 @@ object ScalarOps {
 
   // --------------------------------------------- token_sort_ratio parity
 
-  /** The native token_sort_ratio expression running distributed:
-    * self-score and permutation-invariance are analytically 100 (the
-    * nontrivial score parity is pinned by FuzzyKernelsSpec's
-    * difflib-ground-truth vectors).
+  /** The native token_sort_ratio expression running distributed, under a
+    * VALUE-BEARING oracle. Construction: for single-token inputs
+    * "X"*n vs "x"*m + "!", full_process lowercases and strips the
+    * punctuation, difflib's longest-match over two runs of the same char
+    * is min(n,m), so score = round(200*min/(n+m)). Rows are restricted to
+    * (n,m) where 200*min(n,m) divides evenly by n+m, so both engines
+    * compute an exact integer and no rounding-mode subtlety can hide a
+    * bug — replacing the expression with lit(100) fails rows with
+    * expected 40/50/80. perm_score additionally pins token-sort
+    * order-invariance on real corpus words.
     */
   def tokenSortScores(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TokenSortRatio.register(spark)
     t(spark, dir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id",
+        "cast(doc_id % 7 + 1 as int) as n",
+        "cast(doc_id % 11 + 1 as int) as m",
         "element_at(split(text, ' '), 1) as w1",
         "element_at(split(text, ' '), 2) as w2",
         "element_at(split(text, ' '), 3) as w3")
-      .selectExpr("doc_id",
-        "token_sort_ratio(concat_ws(' ', w1, w2, w3), concat_ws(' ', w3, w1, w2)) as perm_score",
-        "token_sort_ratio(w1, w1) as self_score")
+      .filter("(200 * least(n, m)) % (n + m) = 0")
+      .selectExpr("doc_id", "n", "m",
+        "token_sort_ratio(repeat('X', n), concat(repeat('x', m), '!')) as rep_score",
+        "token_sort_ratio(concat_ws(' ', w1, w2, w3), concat_ws(' ', w3, w1, w2)) as perm_score")
   }
 
   val tokenSortScoresSql: String =
-    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |  100 AS perm_score, 100 AS self_score
-      |FROM documents""".stripMargin
+    """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(doc_id % 7 + 1 AS INT) AS n, CAST(doc_id % 11 + 1 AS INT) AS m
+      |  FROM documents)
+      |SELECT doc_id, n, m,
+      |  CAST((200 * LEAST(n, m)) // (n + m) AS INT) AS rep_score,
+      |  100 AS perm_score
+      |FROM s WHERE (200 * LEAST(n, m)) % (n + m) = 0""".stripMargin
 
   // ----------------------------------------------------- set ops (union)
 

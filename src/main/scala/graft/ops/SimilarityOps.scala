@@ -32,6 +32,20 @@ object SimilarityOps {
   private val DotExpr =
     "aggregate(zip_with(q_embedding, embedding, (a, b) -> cast(a as double) * cast(b as double)), 0D, (acc, x) -> acc + x)"
 
+  /** Shared top-k tail: the bounded [[graft.functions.TopK]] aggregate
+    * replaces the old `row_number() OVER (PARTITION BY q_id)` window —
+    * with the window, EVERY scored corpus row for a query funneled into
+    * one reducer before `rn <= k`; with the capped aggregator, map-side
+    * combine ships at most k candidates per (partition, query) into the
+    * exchange. Output schema/order identical to the window version.
+    */
+  private def topkTail(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopK.topk(k)(col("vec_id"), col("sim")).as("cands"))
+      .select(col("q_id"), posexplode(col("cands")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.sim").as("sim"))
+
   /** Brute-force cosine top-5 for query vectors (vec_id % 100 == 0). */
   def annBrute(spark: SparkSession, dir: String): DataFrame = {
     val all = embeddings(spark, dir)
@@ -42,11 +56,7 @@ object SimilarityOps {
     val scored = all.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr(DotExpr) / sqrt(col("q_nrm") * col("nrm")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("rn"), col("sim"))
+    topkTail(scored, 5)
   }
 
   val annBruteSql: String =
@@ -78,11 +88,7 @@ object SimilarityOps {
     val scored = all.join(broadcast(q), col("bucket") === col("q_bucket") &&
         col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr(DotExpr) / sqrt(col("q_nrm") * col("nrm")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    scored
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("rn"), col("sim"))
+    topkTail(scored, 3)
   }
 
   val annLshSql: String = {
@@ -131,33 +137,47 @@ object SimilarityOps {
 
   /** IVF-style ANN: a deterministic 8-centroid codebook (the embeddings
     * with vec_id 0..7 — a fixed "trained" codebook stand-in), every vector
-    * assigned to its nearest centroid (broadcast argmin — one narrow
-    * pass), then each query searches ONLY its own cell: top-3 by cosine.
-    * At 100 TB the cell assignment is a write-time partition column and a
-    * probe touches 1/K of the data; here the cell join IS that pruning.
+    * assigned to its nearest centroid, then each query searches ONLY its
+    * own cell: top-3 by cosine. At 100 TB the cell assignment is a
+    * write-time partition column and a probe touches 1/K of the data;
+    * here the cell join IS that pruning.
+    *
+    * The codebook is a driver-side model artifact (exactly as
+    * KMeansModel.clusterCenters would be): 8×64 floats collected once and
+    * inlined as literals, so nearest-centroid assignment is a single
+    * narrow projection — the 8 cosines in one array, argmax via
+    * array_position(array_max) — ZERO exchange, no per-row window. Ties
+    * resolve to the smallest c_id because the sim array is ordered by
+    * c_id and array_position takes the first occurrence (same tiebreak as
+    * the oracle's ORDER BY c_sim DESC, c_id).
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = embeddings(spark, dir)
     val cents = all.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-    val cDot =
-      "aggregate(zip_with(c_emb, embedding, (a, b) -> cast(a as double) * cast(b as double)), 0D, (acc, x) -> acc + x)"
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("c_id").asc)
-    val assigned = all.crossJoin(broadcast(cents))
-      .withColumn("c_sim", round(expr(cDot) / sqrt(col("c_nrm") * col("nrm")), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val cSims = cents.map { case (_, emb, cnrm) =>
+      val centLit = array(emb.map(v => lit(v)): _*)
+      round(
+        aggregate(
+          zip_with(col("embedding"), centLit, (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x) / sqrt(lit(cnrm) * col("nrm")), 6)
+    }
+    val cellIds = array(cents.map(c => lit(c._1)): _*)
+    val assigned = all
+      .withColumn("c_sims", array(cSims.toIndexedSeq: _*))
+      .withColumn("cell",
+        element_at(cellIds, array_position(col("c_sims"), array_max(col("c_sims"))).cast("int")))
+      .drop("c_sims")
     val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
         col("nrm").as("q_nrm"), col("cell").as("q_cell"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
-    assigned.join(broadcast(q), col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+    val scored = assigned
+      .join(broadcast(q), col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("sim", round(expr(DotExpr) / sqrt(col("q_nrm") * col("nrm")), 4))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("q_id"), col("vec_id").as("n_id"), col("rn"), col("sim"))
+    topkTail(scored, 3)
   }
 
   val annIvfSql: String =

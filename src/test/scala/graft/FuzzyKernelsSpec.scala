@@ -31,6 +31,23 @@ class FuzzyKernelsSpec extends AnyFunSuite {
     assert(tokenSortRatio("", "") === 100)
   }
 
+  test("token_sort_ratio: non-ASCII parity (force_ascii=True semantics)") {
+    // fuzzywuzzy's default force_ascii=True runs asciidammit, which under
+    // Python 3 drops ONLY U+0080..U+00FF (Latin-1 accents disappear) and
+    // keeps all other Unicode. Ground truth: stdlib difflib + the
+    // replicated full_process pipeline (same construction as the ASCII
+    // vectors above).
+    assert(tokenSortRatio("café", "cafe") === 86)            // é dropped: caf vs cafe
+    assert(tokenSortRatio("café au lait", "cafe lait au") === 96)
+    assert(tokenSortRatio("naïve approach", "naive approach") === 96)
+    assert(tokenSortRatio("résumé 2024", "resume 2024") === 90)
+    assert(tokenSortRatio("Ångström unit", "Angstrom unit") === 92)
+    // Arabic is OUTSIDE the bad_chars range: survives intact, so a token
+    // permutation still scores 100 and a one-char deletion scores like ASCII
+    assert(tokenSortRatio("مرحبا بالعالم", "بالعالم مرحبا") === 100)
+    assert(tokenSortRatio("مرحبا", "مرحب") === 89)
+  }
+
   test("bestDropdownMatch: carrier cleaning, 60-threshold, double-check (python-verified)") {
     val chunks = List("Med Gulf", "Mediterranean Gulf", "Gulf Med", "Gulf",
       "Med", "Gulf", "Mediterranean")
