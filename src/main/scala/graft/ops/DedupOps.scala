@@ -76,13 +76,18 @@ object DedupOps {
   private val K = 8 // minhash functions
   private val Bands = 4 // bands of 2 rows
 
-  /** MinHash+LSH candidate pairs over 3-word shingles: shingle → K minhash
-    * signatures (min over salted md5) → `Bands` band keys → shuffle on
-    * (band, key) → pairs within a bucket. This is the scalable near-dup
-    * path: cost is |docs|·K plus bucket-local pair expansion, never the
-    * full pairwise cross product.
+  /** Default (band,key) bucket-size cap. A boilerplate-heavy bucket of m
+    * members would emit m²/2 pairs; above the cap its members are
+    * near-identical with overwhelming probability and belong to the
+    * exact-dedup path instead, so the bucket is excluded from pair
+    * expansion — never silently: [[lshBucketStats]] reports how many
+    * buckets the cap bound. 1000 is far above any sf0.1 bucket, so the
+    * oracle rows are unchanged at test scale.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  val DefaultBucketCap = 1000
+
+  /** Long-form (doc_id, band_no, bkey) LSH bucket membership. */
+  private def lshLongForm(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir).selectExpr(
       "cast(doc_id as long) as doc_id",
       """explode(case when size(split(text, ' ')) >= 3
@@ -95,31 +100,81 @@ object DedupOps {
     val bandCols = (0 until Bands).map(b =>
       concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}")).as(s"b$b"))
     val bands = sig.select(col("doc_id") +: bandCols: _*)
-    // long form: (doc_id, band_no, key) → bucket join on (band_no, key)
-    val longForm = bands.select(col("doc_id"),
+    bands.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_no", "bkey")))
-    val x = longForm.toDF("a_id", "band_no", "bkey")
-    val y = longForm.toDF("b_id", "y_band_no", "y_bkey")
+  }
+
+  /** MinHash+LSH candidate pairs over 3-word shingles: shingle → K minhash
+    * signatures (min over salted md5) → `Bands` band keys → shuffle on
+    * (band, key) → pairs within a bucket. This is the scalable near-dup
+    * path: cost is |docs|·K plus bucket-local pair expansion, never the
+    * full pairwise cross product. Degenerate buckets larger than `cap`
+    * are excluded BEFORE pair expansion (the count window shares the
+    * (band_no, bkey) partitioning the join needs, so the guard costs no
+    * extra exchange); [[lshBucketStats]] surfaces how many buckets were
+    * capped so the truncation is observable.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = lshLongForm(spark, dir)
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_no"), col("bkey"))))
+      .filter(col("bsz") <= cap)
+      .drop("bsz")
+    val x = kept.toDF("a_id", "band_no", "bkey")
+    val y = kept.toDF("b_id", "y_band_no", "y_bkey")
     x.join(y, col("band_no") === col("y_band_no") && col("bkey") === col("y_bkey") &&
         col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
   }
 
-  val minhashLshSql: String = {
+  /** Cap observability: bucket population of the LSH table — total
+    * buckets, largest bucket, and how many buckets the default cap would
+    * exclude from pair expansion. One row; the at-scale lineage metric
+    * that keeps the cap from being silent truncation.
+    */
+  def lshBucketStats(spark: SparkSession, dir: String): DataFrame =
+    lshLongForm(spark, dir)
+      .groupBy(col("band_no"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bsz")).as("max_bucket"),
+        sum(when(col("bsz") > DefaultBucketCap, 1L).otherwise(0L)).as("buckets_capped"))
+
+  private val lshLongFormSql: String = {
     val sigs = (1 to K).map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")
     val bandDefs = (0 until Bands).map(b => s"h${2 * b + 1} || h${2 * b + 2} AS b$b").mkString(", ")
-    val orBands = (0 until Bands).map(b => s"x.b$b = y.b$b").mkString(" OR ")
-    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+    val unpivot = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band_no, b$b AS bkey FROM bands")
+      .mkString("\n  UNION ALL ")
+    s"""w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
        |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS wd FROM w),
        |sh AS (SELECT DISTINCT a.doc_id, a.wd || ' ' || b.wd || ' ' || c.wd AS s
        |  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
        |           JOIN t c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
        |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
-       |bands AS (SELECT doc_id, $bandDefs FROM sig)
-       |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |FROM bands x JOIN bands y ON x.doc_id < y.doc_id AND ($orBands)""".stripMargin
+       |bands AS (SELECT doc_id, $bandDefs FROM sig),
+       |lf AS ($unpivot)""".stripMargin
   }
+
+  val minhashLshSql: String =
+    s"""WITH $lshLongFormSql,
+       |kept AS (SELECT doc_id, band_no, bkey FROM (
+       |    SELECT doc_id, band_no, bkey,
+       |      count(*) OVER (PARTITION BY band_no, bkey) AS bsz FROM lf)
+       |  WHERE bsz <= $DefaultBucketCap)
+       |SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |FROM kept x JOIN kept y
+       |  ON x.band_no = y.band_no AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin
+
+  val lshBucketStatsSql: String =
+    s"""WITH $lshLongFormSql,
+       |sz AS (SELECT band_no, bkey, count(*) AS bsz FROM lf GROUP BY band_no, bkey)
+       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(bsz) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN bsz > $DefaultBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS buckets_capped
+       |FROM sz""".stripMargin
 
   // --------------------------------------------------------------- simhash
 
@@ -263,6 +318,7 @@ object DedupOps {
     "q_dedup_keep_newest" -> (keepNewest(_, _)),
     "q_dedup_jaccard" -> (jaccard(_, _)),
     "q_dedup_minhash_lsh" -> (minhashLsh(_, _)),
+    "q_lsh_bucket_stats" -> (lshBucketStats(_, _)),
     "q_dedup_simhash" -> (simhash(_, _)),
     "q_dedup_embed_cosine" -> (embedCosine(_, _)),
     "q_dedup_lsh_verify" -> (lshVerify(_, _)))
@@ -272,6 +328,7 @@ object DedupOps {
     "q_dedup_keep_newest" -> keepNewestSql,
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash_lsh" -> minhashLshSql,
+    "q_lsh_bucket_stats" -> lshBucketStatsSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embed_cosine" -> embedCosineSql,
     "q_dedup_lsh_verify" -> lshVerifySql)
