@@ -439,9 +439,123 @@ object FormOps {
        |  array_to_string(words, ' ') AS joined
        |FROM p""".stripMargin
 
+  // ------------------------------------------------- assembled D6 record
+
+  /** The reference's END PRODUCT: the assembled StructuredOCR document
+    * (models.py:197-206 root; nested MedicalFormContent sections
+    * models.py:182-195; golden shape test_convert_full.json:97-209) —
+    * checkbox kernel output, demographics, payer rollup and the
+    * service-table ladder composed into one nested struct and serialized
+    * with `to_json` (Spark's default ignoreNullFields=true IS the
+    * pydantic exclude-none behavior: an unknowable checkbox or absent
+    * gender drops its key entirely).
+    *
+    * The real kernels run in the typed map (processCheckboxes with its
+    * 3-token window + early-return Yes/No pass; ServiceExtractor's full
+    * ladder); the oracle reconstructs the exact JSON byte string in
+    * DuckDB, so key order, null-dropping, numeric formatting and the
+    * kernel decisions are all under compare.
+    */
+  def structuredRecord(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "element_at(split(text, ' '), 1) as w1",
+        "element_at(split(text, ' '), 2) as w2",
+        "cast(n_chars as long) as n_chars", "text")
+      .as[(Long, String, String, Long, String)]
+      .map { case (id, w1, w2, nChars, text) =>
+        val singleMark = if (id % 2 == 0) "x" else ""
+        val marriedMark = (id % 3) match { case 0 => "x"; case 1 => ""; case _ => "ab" }
+        val refillWord = if (id % 5 < 3) "Yes" else "No"
+        val raw = s"Single ($singleMark) Married ($marriedMark) Status (ok)\nrefill: $refillWord extra"
+        val checked = ScalarKernels.processCheckboxes(raw)
+        val lines = IndexedSeq(
+          "(Code) Service", "Type", "Req.Qty", "Req.Cost", "Gross Amount",
+          "App.Qty", "App.Cost", "App.Gross", "Note",
+          s"($id-00-01) $w1 scan", "Imaging", "1", "345.5", "600", "2",
+          "340", "680", s"note $w2")
+        val r = graft.kernels.ServiceExtractor.extractLadder(lines)._1.head
+        (id, w1, w2, nChars, text, checked,
+          r("code").toString, r("description").toString, r("type").toString,
+          r("reqQty").asInstanceOf[java.lang.Double].doubleValue,
+          r("appGross").asInstanceOf[java.lang.Double].doubleValue,
+          r("note").toString)
+      }
+      .toDF("doc_id", "w1", "w2", "n_chars", "text", "checked",
+        "code", "description", "svc_type", "req_qty", "app_gross", "note")
+      .selectExpr("doc_id",
+        """to_json(named_struct(
+          |  'file_name', concat('doc_', cast(doc_id as string), '.pdf'),
+          |  'topics', array('medical_form'),
+          |  'languages', case when doc_id % 2 = 0 then array('English')
+          |                    else array('English', 'Arabic') end,
+          |  'ocr_contents', named_struct(
+          |    'provider', named_struct(
+          |      'providerName', concat(w1, ' clinic'),
+          |      'single', checked like '%Single true%',
+          |      'married', case when checked like '%Married true%' then true
+          |                      when checked like '%Married false%' then false end,
+          |      'refill', checked like '%refill: true%'),
+          |    'insured', named_struct(
+          |      'insuredName', concat(w1, ' ', w2),
+          |      'payer', nullif(array_join(filter(
+          |        transform(sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),
+          |          i -> concat_ws(' ', slice(split(text, ' '), i * 8 + 1, 8))),
+          |        c -> array_contains(split(c, ' '), 'value')
+          |          or array_contains(split(c, ' '), 'hash')), ' '), '')),
+          |    'patient', named_struct(
+          |      'sex', case when doc_id % 2 = 0 then 'M' else 'F' end,
+          |      'age', cast(doc_id % 90 + 1 as string),
+          |      'gender', case cast(doc_id % 3 as int) when 0 then 'M' when 1 then 'F' end),
+          |    'services', array(named_struct(
+          |      'code', code, 'description', description, 'type', svc_type,
+          |      'reqQty', req_qty, 'appGross', app_gross, 'note', note))),
+          |  'page_count', cast(doc_id % 3 + 1 as int),
+          |  'extracted_text_length', n_chars)) as record_json""".stripMargin)
+  }
+
+  val structuredRecordSql: String =
+    """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    string_split(text, ' ')[1] AS w1, string_split(text, ' ')[2] AS w2,
+      |    CAST(n_chars AS BIGINT) AS n_chars, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    list_filter(
+      |      list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS INT)),
+      |        i -> array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')),
+      |      c -> list_contains(string_split(c, ' '), 'value')
+      |        OR list_contains(string_split(c, ' '), 'hash')) AS hits,
+      |    w1, w2, n_chars FROM b)
+      |SELECT doc_id,
+      |  '{"file_name":"doc_' || CAST(doc_id AS VARCHAR) || '.pdf",' ||
+      |  '"topics":["medical_form"],' ||
+      |  '"languages":' || CASE WHEN doc_id % 2 = 0 THEN '["English"]'
+      |                         ELSE '["English","Arabic"]' END || ',' ||
+      |  '"ocr_contents":{' ||
+      |    '"provider":{"providerName":"' || w1 || ' clinic",' ||
+      |      '"single":' || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END ||
+      |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ',"married":true'
+      |           WHEN 1 THEN ',"married":false' ELSE '' END ||
+      |      ',"refill":' || CASE WHEN doc_id % 5 < 3 THEN 'true' ELSE 'false' END || '},' ||
+      |    '"insured":{"insuredName":"' || w1 || ' ' || w2 || '"' ||
+      |      CASE WHEN len(hits) > 0
+      |           THEN ',"payer":"' || array_to_string(hits, ' ') || '"' ELSE '' END || '},' ||
+      |    '"patient":{"sex":"' || CASE WHEN doc_id % 2 = 0 THEN 'M' ELSE 'F' END || '",' ||
+      |      '"age":"' || CAST(doc_id % 90 + 1 AS VARCHAR) || '"' ||
+      |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ',"gender":"M"'
+      |           WHEN 1 THEN ',"gender":"F"' ELSE '' END || '},' ||
+      |    '"services":[{"code":"' || CAST(doc_id AS VARCHAR) || '-00-01",' ||
+      |      '"description":"' || w1 || ' scan","type":"imaging",' ||
+      |      '"reqQty":1.0,"appGross":680.0,"note":"note ' || w2 || '"}]},' ||
+      |  '"page_count":' || CAST(doc_id % 3 + 1 AS VARCHAR) || ',' ||
+      |  '"extracted_text_length":' || CAST(n_chars AS VARCHAR) || '}' AS record_json
+      |FROM h""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_structured_record" -> (structuredRecord(_, _)),
     "q_clean_ocr" -> (cleanOcr(_, _)),
     "q_checkbox_kernel" -> (checkboxKernel(_, _)),
     "q_fragment_rejoin" -> (fragmentRejoin(_, _)),
@@ -459,6 +573,7 @@ object FormOps {
     "q_service_table" -> (serviceTable(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_structured_record" -> structuredRecordSql,
     "q_clean_ocr" -> cleanOcrSql,
     "q_checkbox_kernel" -> checkboxKernelSql,
     "q_fragment_rejoin" -> fragmentRejoinSql,
