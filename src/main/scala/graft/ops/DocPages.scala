@@ -62,6 +62,23 @@ object DocPages {
     }
   }
 
+  /** Multi-page PDF: every 40-word chunk becomes its OWN page (one Tj
+    * line per page), so the kernel must emit one ExtractedPage per page
+    * and mergePages must rejoin them '\n'-joined in page-tree order —
+    * the reference's combined `{page_count, pages:[...]}` document
+    * (api.py:261-269; golden outputs/2025-03-20/w_f_abbasia.json has
+    * page_count 2). Compression alternates per doc so both stream
+    * branches run.
+    */
+  def pdfMulti(spark: SparkSession, dir: String, n: Int = 40): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val pdf = PagesGen.pdfBytes(chunkWords(d.text, n).map(Seq(_)),
+        compress = d.doc_id % 2 == 1)
+      PageRow(s"doc://pm/${d.doc_id}", Ts0, pdf, "", d.lang)
+    }
+  }
+
   /** Arabic/RTL byte-fidelity wrap: prefixes Arabic text + typographic
     * punctuation before the chrome wrap — the kernel must return it
     * byte-identically (input_hint invariant; the reference demands exact

@@ -56,6 +56,24 @@ object ExtractionOps {
   val extractPdfSql: String =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS extracted_text FROM documents"
 
+  /** Multi-page PDF → one combined document: the kernel emits one page
+    * per PDF page object, mergePages '\n'-joins them in page order and
+    * reports page_count — the reference's `{page_count, pages:[...]}`
+    * rollup (api.py:261-269) under the DuckDB oracle end-to-end.
+    */
+  def extractPdfMultipage(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.pdfMulti(spark, dir))
+      .select(col("doc_id"), col("page_count"), col("extracted_text"))
+
+  val extractPdfMultipageSql: String =
+    """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS word FROM w),
+      |c AS (SELECT doc_id, (ord - 1) // 40 AS g, string_agg(word, ' ' ORDER BY ord) AS chunk
+      |  FROM t GROUP BY doc_id, (ord - 1) // 40)
+      |SELECT doc_id, CAST(count(*) AS INT) AS page_count,
+      |  string_agg(chunk, chr(10) ORDER BY g) AS extracted_text
+      |FROM c GROUP BY doc_id""".stripMargin
+
   /** Empty-html rows take the crawl-text passthrough branch. */
   def extractPassthrough(spark: SparkSession, dir: String): DataFrame =
     extracted(spark, DocPages.passthrough(spark, dir))
@@ -156,6 +174,7 @@ object ExtractionOps {
     "q_extract_html_chunked" -> (extractHtmlChunked(_, _)),
     "q_extract_pdf" -> (extractPdf(_, _)),
     "q_extract_pdf_flate" -> (extractPdfFlate(_, _)),
+    "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
     "q_extract_passthrough" -> (extractPassthrough(_, _)),
     "q_extract_mixed" -> (extractMixed(_, _)),
     "q_extract_spans" -> (extractSpans(_, _)))
@@ -169,6 +188,7 @@ object ExtractionOps {
     "q_extract_html_chunked" -> extractHtmlChunkedSql,
     "q_extract_pdf" -> extractPdfSql,
     "q_extract_pdf_flate" -> extractPdfSql,
+    "q_extract_pdf_multipage" -> extractPdfMultipageSql,
     "q_extract_passthrough" -> extractPassthroughSql,
     "q_extract_mixed" -> extractMixedSql,
     "q_extract_spans" -> extractSpansSql)
