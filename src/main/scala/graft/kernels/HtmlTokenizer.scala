@@ -91,6 +91,69 @@ object HtmlTokenizer {
     h
   }
 
+  /** Named-entity table: the HTML4 set (Latin-1 names are exactly code
+    * points 161..255 in W3C order) plus the typographic/symbol/Greek
+    * names that appear in real crawl text. `shy` maps to the empty
+    * string (soft hyphens never belong in extracted text); bidi controls
+    * and ZWJ/ZWNJ keep their real code points — fidelity over cleanup.
+    * Unknown names pass through literally (the `&` is emitted and
+    * scanning resumes), matching lenient-browser behavior.
+    */
+  private val NamedEntities: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](512)
+    def put(name: String, cp: Int): Unit = m.put(name, new String(Character.toChars(cp)))
+    Seq("amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+      "nbsp" -> " ", "shy" -> "").foreach { case (k, v) => m.put(k, v) }
+    val latin1 = Array(
+      "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect", "uml",
+      "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
+      "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
+      "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+      "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
+      "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
+      "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
+      "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute", "Ucirc",
+      "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
+      "atilde", "auml", "aring", "aelig", "ccedil", "egrave", "eacute",
+      "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth",
+      "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml", "divide",
+      "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn",
+      "yuml")
+    var i = 0
+    while (i < latin1.length) {
+      if (latin1(i) != "shy") put(latin1(i), 161 + i)
+      i += 1
+    }
+    Seq("trade" -> 0x2122, "mdash" -> 0x2014, "ndash" -> 0x2013,
+      "hellip" -> 0x2026, "lsquo" -> 0x2018, "rsquo" -> 0x2019,
+      "ldquo" -> 0x201c, "rdquo" -> 0x201d, "sbquo" -> 0x201a,
+      "bdquo" -> 0x201e, "bull" -> 0x2022, "dagger" -> 0x2020,
+      "Dagger" -> 0x2021, "permil" -> 0x2030, "lsaquo" -> 0x2039,
+      "rsaquo" -> 0x203a, "euro" -> 0x20ac, "tilde" -> 0x02dc,
+      "circ" -> 0x02c6, "OElig" -> 0x0152, "oelig" -> 0x0153,
+      "Scaron" -> 0x0160, "scaron" -> 0x0161, "Yuml" -> 0x0178,
+      "fnof" -> 0x0192, "minus" -> 0x2212, "prime" -> 0x2032,
+      "Prime" -> 0x2033, "infin" -> 0x221e, "ne" -> 0x2260,
+      "le" -> 0x2264, "ge" -> 0x2265, "larr" -> 0x2190, "uarr" -> 0x2191,
+      "rarr" -> 0x2192, "darr" -> 0x2193, "harr" -> 0x2194,
+      "ensp" -> 0x2002, "emsp" -> 0x2003, "thinsp" -> 0x2009,
+      "zwnj" -> 0x200c, "zwj" -> 0x200d, "lrm" -> 0x200e, "rlm" -> 0x200f,
+      "sigmaf" -> 0x03c2).foreach { case (k, v) => put(k, v) }
+    val greek = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi",
+      "psi", "omega")
+    i = 0
+    while (i < greek.length) {
+      val off = if (i >= 17) i + 1 else i // 0x3A2/0x3C2 gap (final sigma)
+      put(greek(i), 0x3b1 + off)
+      val cap = greek(i).capitalize
+      put(cap, 0x391 + off)
+      i += 1
+    }
+    m
+  }
+
   /** Decode one entity starting at `&` (index i). Returns nextIdx;
     * on failure appends "&" and returns i+1. Handles numeric + the named
     * entities that matter for text fidelity; unknown entities pass through.
@@ -129,32 +192,7 @@ object HtmlTokenizer {
         val c = s.charAt(k); isAsciiLetter(c) || (c >= '0' && c <= '9')
       }) k += 1
       if (k < n && k > j && s.charAt(k) == ';') {
-        val name = s.substring(j, k)
-        val rep = name match {
-          case "amp"    => "&"
-          case "lt"     => "<"
-          case "gt"     => ">"
-          case "quot"   => "\""
-          case "apos"   => "'"
-          case "nbsp"   => " "
-          case "copy"   => "©"
-          case "reg"    => "®"
-          case "trade"  => "™"
-          case "mdash"  => "—"
-          case "ndash"  => "–"
-          case "hellip" => "…"
-          case "lsquo"  => "‘"
-          case "rsquo"  => "’"
-          case "ldquo"  => "“"
-          case "rdquo"  => "”"
-          case "bull"   => "•"
-          case "middot" => "·"
-          case "laquo"  => "«"
-          case "raquo"  => "»"
-          case "times"  => "×"
-          case "shy"    => ""
-          case _        => null
-        }
+        val rep = NamedEntities.get(s.substring(j, k))
         if (rep != null) { out.append(rep); k + 1 }
         else { out.append('&'); i + 1 }
       } else { out.append('&'); i + 1 }

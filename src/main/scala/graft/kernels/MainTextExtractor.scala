@@ -182,13 +182,23 @@ object MainTextExtractor {
       }
       rounds += 1
     }
-    // pass 3: headings attach to following content
+    // pass 3: headings attach to following content. The scan may hop over
+    // up to two short low-link metadata blocks (a byline, a dateline) —
+    // real article headlines are routinely separated from the body by
+    // exactly such a block — but stops at anything link-dense (a link
+    // list means we're in chrome, not prose) or long-but-rejected.
     i = 0
     while (i < n) {
       val b = blocks(i)
       if (!keep(i) && kindOf(b.tag) == "heading" && b.linkChars == 0 && b.words >= 1) {
         var j = i + 1
-        while (j < n && blocks(j).chars == 0) j += 1
+        var hops = 0
+        while (j < n && !keep(j) && hops <= 2 &&
+          (blocks(j).chars == 0 ||
+            (blocks(j).words < 10 && blocks(j).linkDensity <= 0.4))) {
+          if (blocks(j).chars > 0) hops += 1
+          j += 1
+        }
         if (j < n && keep(j)) keep(i) = true
       }
       i += 1
