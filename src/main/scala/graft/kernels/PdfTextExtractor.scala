@@ -3,26 +3,38 @@ package graft.kernels
 import graft.model.Span
 import scala.collection.mutable.ArrayBuffer
 
-/** Minimal deterministic PDF text extraction (SURVEY.md §7.1 `pdfkernel`).
+/** Deterministic PDF text extraction (SURVEY.md §7.1 `pdfkernel`).
   *
   * Replaces the reference's raster→Azure-OCR path (api.py:127-144,
   * azure_ocr.py:98-140) with direct content-stream parsing — zero egress,
-  * zero raster. Scope (SURVEY §7.4 hard part #1, deliberately minimal):
-  *  - locates `stream ... endstream` segments; FlateDecode via
-  *    java.util.zip.Inflater when the preceding dict says /FlateDecode;
-  *  - lexes content streams for text operators BT/ET, Tf (size), and the
-  *    positioning ops Td, TD, Tm, TL, T-star, plus the text-showing ops
-  *    Tj, TJ, quote; literal `(..)` strings with
-  *    escapes and hex `<..>` strings, Latin-1 byte semantics;
-  *  - groups positioned runs into lines with the y-cluster rule re-derived
-  *    from the reference's dormant `group_lines` (azure_ocr.py:42-82):
-  *    two runs share a line when their y distance is < 0.8 × average
-  *    text height (azure_ocr.py:55-56 uses 0.8 × mean box height);
-  *  - anything outside scope (fonts with CMaps, encrypted files, other
-  *    filters) yields no runs and is surfaced via `unsupported`.
+  * zero raster. Scope (SURVEY §7.4 hard part #1):
+  *  - OBJECT-GRAPH WALK: `N G obj … endobj` objects are indexed by
+  *    scanning headers (deliberately NOT trusting xref byte offsets —
+  *    the repair-mode strategy real parsers fall back to, and the only
+  *    robust one against the broken offsets common in crawl PDFs; for
+  *    incremental updates the later object wins, which is what the xref
+  *    chain would resolve to). Page order comes from the catalog's page
+  *    TREE (`/Root` → `/Pages` → `/Kids` recursion), not stream file
+  *    order; `/Contents` arrays concatenate.
+  *  - ENCODINGS: per-font decode tables from `/Resources /Font`:
+  *    WinAnsiEncoding and MacRomanEncoding (built from the JDK's
+  *    windows-1252 / x-MacRoman charsets), `/Differences` overrides via
+  *    a glyph-name→Unicode table (AGL subset + `uniXXXX`), Latin-1
+  *    semantics for fonts with no declared encoding.
+  *  - streams: FlateDecode via java.util.zip.Inflater, raw otherwise;
+  *    content-stream lexer for BT/ET, Tf (font + size), Td, TD, Tm, TL,
+  *    T*, Tj, TJ, quote; literal `(..)` strings with escapes and hex
+  *    `<..>` strings.
+  *  - lines: y-cluster rule re-derived from the reference's dormant
+  *    `group_lines` (azure_ocr.py:42-82): runs share a line when y
+  *    distance < 0.8 × average text height (azure_ocr.py:55-56).
+  *  - files with no parseable catalog fall back to file-order stream
+  *    scanning; anything outside scope (CMap/Type0 fonts, encryption,
+  *    non-Flate filters, object streams) is surfaced via `unsupported` —
+  *    honest counting, never silent.
   *
-  * Pages: each page's content stream is one extraction unit; `pages`
-  * returns per-page text in document order (reference per-page loop
+  * Pages: one extraction unit per page-tree leaf; `pages` returns
+  * per-page text in page-tree order (reference per-page loop
   * api.py:217-228).
   */
 object PdfTextExtractor {
@@ -33,7 +45,13 @@ object PdfTextExtractor {
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
-  def extract(bytes: Array[Byte]): PdfResult = {
+  def extract(bytes: Array[Byte]): PdfResult =
+    extractViaPageTree(bytes).getOrElse(extractFileOrder(bytes))
+
+  /** Fallback for files with no parseable object graph/catalog: streams
+    * in file order (the pre-object-graph behavior).
+    */
+  private def extractFileOrder(bytes: Array[Byte]): PdfResult = {
     val streams = findStreams(bytes)
     val pages = new ArrayBuffer[PageText](4)
     var unsupported = 0
@@ -41,7 +59,7 @@ object PdfTextExtractor {
     streams.foreach { case (data, ok) =>
       if (!ok) unsupported += 1
       else {
-        val runs = parseContentStream(data)
+        val runs = parseContentStream(data, Map.empty)
         if (runs.nonEmpty) {
           val (text, spans) = assembleLines(runs)
           pages += PageText(pageNo, text, spans)
@@ -51,6 +69,304 @@ object PdfTextExtractor {
     }
     PdfResult(pages.toArray, unsupported)
   }
+
+  // -------------------------------------------------- object graph / pages
+
+  private final case class PdfDoc(s: String, bytes: Array[Byte],
+      objs: Map[Int, (Int, Int)]) {
+    /** Dict text of an object (body up to its `stream` keyword, if any). */
+    def dict(num: Int): String = objs.get(num) match {
+      case Some((a, b)) =>
+        val body = s.substring(a, b)
+        val k = body.indexOf("stream")
+        if (k >= 0) body.substring(0, k) else body
+      case None => ""
+    }
+  }
+
+  private val ObjHeadRe = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+
+  private def indexObjects(bytes: Array[Byte]): Option[PdfDoc] = {
+    val s = new String(bytes, Latin1)
+    val m = ObjHeadRe.matcher(s)
+    val heads = new ArrayBuffer[(Int, Int, Int)](16) // (num, bodyStart, headStart)
+    while (m.find()) heads += ((m.group(1).toInt, m.end(), m.start()))
+    if (heads.isEmpty) return None
+    var objs = Map.empty[Int, (Int, Int)]
+    var i = 0
+    while (i < heads.length) {
+      val (num, a, _) = heads(i)
+      val hardEnd = if (i + 1 < heads.length) heads(i + 1)._3 else s.length
+      val e = s.indexOf("endobj", a)
+      val b = if (e >= 0 && e < hardEnd) e else hardEnd
+      objs += num -> (a, b) // later duplicate (incremental update) wins
+      i += 1
+    }
+    Some(PdfDoc(s, bytes, objs))
+  }
+
+  private def refOf(dict: String, key: String): Option[Int] = {
+    val m = java.util.regex.Pattern
+      .compile("/" + key + "\\s+(\\d+)\\s+\\d+\\s+R").matcher(dict)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  private def refsOf(dict: String, key: String): Seq[Int] = {
+    val arr = java.util.regex.Pattern
+      .compile("/" + key + "\\s*\\[([^\\]]*)\\]").matcher(dict)
+    if (arr.find()) {
+      val inner = arr.group(1)
+      val r = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R").matcher(inner)
+      val out = new ArrayBuffer[Int](4)
+      while (r.find()) out += r.group(1).toInt
+      out.toSeq
+    } else refOf(dict, key).toSeq
+  }
+
+  private def nameOf(dict: String, key: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("/" + key + "\\s*/(\\w+)").matcher(dict)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** Balanced `<< … >>` region starting at the first `<<` at/after `from`. */
+  private def balancedDict(s: String, from: Int): Option[String] = {
+    val start = s.indexOf("<<", from)
+    if (start < 0) return None
+    var depth = 0
+    var i = start
+    while (i < s.length - 1) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(s.substring(start, i))
+      } else i += 1
+    }
+    None
+  }
+
+  /** Stream payload of object `num`, Flate-decoded when declared.
+    * Returns None when the object has no stream or an unsupported filter.
+    */
+  private def streamOf(doc: PdfDoc, num: Int): Option[Array[Byte]] =
+    doc.objs.get(num).flatMap { case (a, b) =>
+      val body = doc.s.substring(a, b)
+      val k = body.indexOf("stream")
+      if (k < 0) None
+      else {
+        val d = body.substring(0, k)
+        val flate = d.contains("/FlateDecode")
+        if (d.contains("/Filter") && !flate) None
+        else {
+          var p = a + k + 6
+          if (p < doc.bytes.length && doc.bytes(p) == '\r') p += 1
+          if (p < doc.bytes.length && doc.bytes(p) == '\n') p += 1
+          val e = doc.s.indexOf("endstream", p)
+          var q = if (e < 0) b else e
+          if (q > p && doc.bytes(q - 1) == '\n') q -= 1
+          if (q > p && doc.bytes(q - 1) == '\r') q -= 1
+          val raw = java.util.Arrays.copyOfRange(doc.bytes, p, math.max(p, q))
+          if (flate) inflate(raw) else Some(raw)
+        }
+      }
+    }
+
+  /** Page-tree extraction; None when no catalog/page tree resolves. */
+  private def extractViaPageTree(bytes: Array[Byte]): Option[PdfResult] = {
+    val doc = indexObjects(bytes).getOrElse(return None)
+    val rootNum = refOf(doc.s, "Root").orElse {
+      doc.objs.keys.find(n => doc.dict(n).contains("/Catalog"))
+    }.getOrElse(return None)
+    val pagesRoot = refOf(doc.dict(rootNum), "Pages").getOrElse(return None)
+    // walk the page tree in Kids order
+    val leaves = new ArrayBuffer[Int](8)
+    val visited = scala.collection.mutable.HashSet.empty[Int]
+    def walk(num: Int): Unit = {
+      if (!visited.add(num) || leaves.length > 100000) return
+      val d = doc.dict(num)
+      val kids = refsOf(d, "Kids")
+      if (kids.nonEmpty && d.contains("/Pages")) kids.foreach(walk)
+      else if (kids.nonEmpty && !d.contains("/Page")) kids.foreach(walk)
+      else if (d.contains("/Page") || d.contains("/Contents")) leaves += num
+    }
+    walk(pagesRoot)
+    if (leaves.isEmpty) return None
+
+    val pages = new ArrayBuffer[PageText](leaves.length)
+    var unsupported = 0
+    var pageNo = 0
+    leaves.foreach { pg =>
+      val d = doc.dict(pg)
+      val fonts = fontTables(doc, d)
+      val contentRefs = refsOf(d, "Contents")
+      if (contentRefs.isEmpty) ()
+      else {
+        val parts = contentRefs.map(c => (c, streamOf(doc, c)))
+        if (parts.exists(_._2.isEmpty)) unsupported += parts.count(_._2.isEmpty)
+        val data = parts.flatMap(_._2) match {
+          case Seq() => Array.emptyByteArray
+          case ds    => ds.reduce((x, y) => x ++ Array[Byte]('\n') ++ y)
+        }
+        val runs = parseContentStream(data, fonts)
+        if (runs.nonEmpty) {
+          val (text, spans) = assembleLines(runs)
+          pages += PageText(pageNo, text, spans)
+          pageNo += 1
+        }
+      }
+    }
+    // object streams hold objects we cannot see — count them honestly
+    unsupported += doc.objs.keys.count(n => doc.dict(n).contains("/ObjStm"))
+    Some(PdfResult(pages.toArray, unsupported))
+  }
+
+  // ------------------------------------------------------------- encodings
+
+  private def charsetTable(cs: String): Array[Char] = {
+    val t = new Array[Char](256)
+    val charset = java.nio.charset.Charset.forName(cs)
+    var b = 0
+    while (b < 256) {
+      val d = new String(Array(b.toByte), charset)
+      t(b) = if (d.length == 1) d.charAt(0) else b.toChar
+      b += 1
+    }
+    t
+  }
+
+  private lazy val WinAnsi: Array[Char] = charsetTable("windows-1252")
+  private lazy val MacRoman: Array[Char] = charsetTable("x-MacRoman")
+
+  /** AGL subset for /Differences: letters/digits/punct + Latin-1 accents
+    * + typographic names; `uniXXXX` parsed numerically; unknown → notdef
+    * (dropped at emit).
+    */
+  private lazy val GlyphMap: Map[String, Char] = {
+    val b = Map.newBuilder[String, Char]
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine")
+    digits.zipWithIndex.foreach { case (n, i) => b += n -> ('0' + i).toChar }
+    Seq("space" -> ' ', "exclam" -> '!', "quotedbl" -> '"',
+      "numbersign" -> '#', "dollar" -> '$', "percent" -> '%',
+      "ampersand" -> '&', "quotesingle" -> '\'', "parenleft" -> '(',
+      "parenright" -> ')', "asterisk" -> '*', "plus" -> '+', "comma" -> ',',
+      "hyphen" -> '-', "period" -> '.', "slash" -> '/', "colon" -> ':',
+      "semicolon" -> ';', "less" -> '<', "equal" -> '=', "greater" -> '>',
+      "question" -> '?', "at" -> '@', "bracketleft" -> '[',
+      "backslash" -> '\\', "bracketright" -> ']', "asciicircum" -> '^',
+      "underscore" -> '_', "grave" -> '`', "braceleft" -> '{',
+      "bar" -> '|', "braceright" -> '}', "asciitilde" -> '~').foreach(b += _)
+    // accented Latin-1 (lowercase names; uppercase variant = capitalized)
+    val accents = Seq(
+      "aacute" -> '\u00e1', "agrave" -> '\u00e0', "acircumflex" -> '\u00e2',
+      "adieresis" -> '\u00e4', "atilde" -> '\u00e3', "aring" -> '\u00e5',
+      "ae" -> '\u00e6', "ccedilla" -> '\u00e7', "eacute" -> '\u00e9',
+      "egrave" -> '\u00e8', "ecircumflex" -> '\u00ea', "edieresis" -> '\u00eb',
+      "iacute" -> '\u00ed', "igrave" -> '\u00ec', "icircumflex" -> '\u00ee',
+      "idieresis" -> '\u00ef', "ntilde" -> '\u00f1', "oacute" -> '\u00f3',
+      "ograve" -> '\u00f2', "ocircumflex" -> '\u00f4', "odieresis" -> '\u00f6',
+      "otilde" -> '\u00f5', "oslash" -> '\u00f8', "uacute" -> '\u00fa',
+      "ugrave" -> '\u00f9', "ucircumflex" -> '\u00fb', "udieresis" -> '\u00fc',
+      "yacute" -> '\u00fd', "ydieresis" -> '\u00ff', "thorn" -> '\u00fe',
+      "eth" -> '\u00f0')
+    accents.foreach { case (n, c) =>
+      b += n -> c
+      b += n.capitalize -> Character.toUpperCase(c)
+    }
+    Seq("germandbls" -> '\u00df', "quoteleft" -> '\u2018',
+      "quoteright" -> '\u2019', "quotedblleft" -> '\u201c',
+      "quotedblright" -> '\u201d', "quotesinglbase" -> '\u201a',
+      "quotedblbase" -> '\u201e', "endash" -> '\u2013', "emdash" -> '\u2014',
+      "bullet" -> '\u2022', "ellipsis" -> '\u2026', "Euro" -> '\u20ac',
+      "cent" -> '\u00a2', "sterling" -> '\u00a3', "yen" -> '\u00a5',
+      "florin" -> '\u0192', "section" -> '\u00a7', "paragraph" -> '\u00b6',
+      "copyright" -> '\u00a9', "registered" -> '\u00ae',
+      "trademark" -> '\u2122', "degree" -> '\u00b0', "plusminus" -> '\u00b1',
+      "divide" -> '\u00f7', "multiply" -> '\u00d7', "exclamdown" -> '\u00a1',
+      "questiondown" -> '\u00bf', "guillemotleft" -> '\u00ab',
+      "guillemotright" -> '\u00bb', "periodcentered" -> '\u00b7',
+      "dagger" -> '\u2020', "daggerdbl" -> '\u2021',
+      "perthousand" -> '\u2030', "guilsinglleft" -> '\u2039',
+      "guilsinglright" -> '\u203a', "oe" -> '\u0153', "OE" -> '\u0152',
+      "fi" -> '\ufb01', "fl" -> '\ufb02').foreach(b += _)
+    b.result()
+  }
+
+  private def glyphChar(name: String): Char =
+    if (name.length == 1 && name.charAt(0).isLetter) name.charAt(0)
+    else if (name.startsWith("uni") && name.length == 7)
+      try Integer.parseInt(name.substring(3), 16).toChar
+      catch { case _: NumberFormatException => '\u0000' }
+    else GlyphMap.getOrElse(name, '\u0000')
+
+  private def baseTable(name: String): Option[Array[Char]] = name match {
+    case "WinAnsiEncoding"  => Some(WinAnsi)
+    case "MacRomanEncoding" => Some(MacRoman)
+    case _                  => None // StandardEncoding etc. → Latin-1 default
+  }
+
+  /** Per-font decode tables for one page: font resource name (e.g. "F1")
+    * → 256-entry char map. Fonts with no /Encoding get no entry (Latin-1
+    * identity at emit).
+    */
+  private def fontTables(doc: PdfDoc, pageDict: String): Map[String, Array[Char]] = {
+    val resText = refOf(pageDict, "Resources") match {
+      case Some(r) => doc.dict(r)
+      case None =>
+        val i = pageDict.indexOf("/Resources")
+        if (i < 0) return Map.empty
+        balancedDict(pageDict, i).getOrElse(return Map.empty)
+    }
+    val fi = resText.indexOf("/Font")
+    if (fi < 0) return Map.empty
+    val fontDict = refOf(resText.substring(fi), "Font") match {
+      case Some(r) => doc.dict(r)
+      case None    => balancedDict(resText, fi).getOrElse(return Map.empty)
+    }
+    // referenced fonts: /F1 5 0 R
+    val m = java.util.regex.Pattern
+      .compile("/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R").matcher(fontDict)
+    val out = Map.newBuilder[String, Array[Char]]
+    while (m.find()) {
+      val fname = m.group(1)
+      val fdict = doc.dict(m.group(2).toInt)
+      encodingTable(doc, fdict).foreach(t => out += fname -> t)
+    }
+    out.result()
+  }
+
+  /** /Encoding of one font: named base, or an encoding object with
+    * /BaseEncoding + /Differences.
+    */
+  private def encodingTable(doc: PdfDoc, fontDict: String): Option[Array[Char]] =
+    nameOf(fontDict, "Encoding") match {
+      case Some(n) => baseTable(n)
+      case None =>
+        refOf(fontDict, "Encoding").flatMap { encNum =>
+          val ed = doc.dict(encNum)
+          val base = nameOf(ed, "BaseEncoding").flatMap(baseTable)
+            .getOrElse(charsetTable("ISO-8859-1"))
+          val t = base.clone()
+          val di = ed.indexOf("/Differences")
+          if (di >= 0) {
+            val arrS = ed.indexOf('[', di)
+            val arrE = ed.indexOf(']', arrS + 1)
+            if (arrS >= 0 && arrE > arrS) {
+              val tok = java.util.regex.Pattern
+                .compile("(\\d+)|/([\\w.]+)").matcher(ed.substring(arrS + 1, arrE))
+              var code = -1
+              while (tok.find()) {
+                if (tok.group(1) != null) code = tok.group(1).toInt
+                else if (code >= 0 && code < 256) {
+                  t(code) = glyphChar(tok.group(2))
+                  code += 1
+                }
+              }
+            }
+            Some(t)
+          } else nameOf(ed, "BaseEncoding").flatMap(baseTable).map(_ => t)
+        }
+    }
 
   // ------------------------------------------------------------ stream scan
 
@@ -144,9 +460,13 @@ object PdfTextExtractor {
 
   /** Parse text-positioning + text-showing operators from one content
     * stream. Postfix operand model: we keep a small operand stack of
-    * numbers/strings and dispatch on operator tokens.
+    * numbers/strings and dispatch on operator tokens. `fonts` maps the
+    * page's font resource names to 256-entry decode tables (WinAnsi /
+    * MacRoman / Differences); a font with no table keeps Latin-1 byte
+    * semantics. Notdef codes (U+0000 in a table) are dropped.
     */
-  private def parseContentStream(data: Array[Byte]): ArrayBuffer[Run] = {
+  private def parseContentStream(data: Array[Byte],
+      fonts: Map[String, Array[Char]]): ArrayBuffer[Run] = {
     val runs = new ArrayBuffer[Run](32)
     val s = new String(data, Latin1)
     val n = s.length
@@ -157,19 +477,37 @@ object PdfTextExtractor {
     var leading = 0.0
     var fontSize = 12.0
     var inText = false
+    var lastName: String = null
+    var curTable: Array[Char] = null
     val nums = new ArrayBuffer[Double](8)
     var pendingString: String = null
     val pendingArray = new ArrayBuffer[String](8)
     var inArray = false
 
-    def emit(t: String): Unit =
-      if (inText && t.nonEmpty) runs += Run(x, y, fontSize, t)
+    def emit(t0: String): Unit = if (inText && t0.nonEmpty) {
+      val t =
+        if (curTable == null) t0
+        else {
+          val sb = new java.lang.StringBuilder(t0.length)
+          var k = 0
+          while (k < t0.length) {
+            val c = t0.charAt(k)
+            val u = if (c < 256) curTable(c) else c
+            if (u != '\u0000') sb.append(u)
+            k += 1
+          }
+          sb.toString
+        }
+      if (t.nonEmpty) runs += Run(x, y, fontSize, t)
+    }
 
     def op(name: String): Unit = {
       name match {
         case "BT" => inText = true; x = 0; y = 0; lineX = 0; lineY = 0
         case "ET" => inText = false
-        case "Tf" => if (nums.nonEmpty) fontSize = nums.last
+        case "Tf" =>
+          if (nums.nonEmpty) fontSize = nums.last
+          if (lastName != null) curTable = fonts.getOrElse(lastName, null)
         case "TL" => if (nums.nonEmpty) leading = nums.last
         case "Td" =>
           if (nums.length >= 2) {
@@ -264,9 +602,11 @@ object PdfTextExtractor {
         i += 2
       } else if (c == '[') { inArray = true; pendingArray.clear(); i += 1 }
       else if (c == ']') { inArray = false; i += 1 }
-      else if (c == '/') { // name object: skip
+      else if (c == '/') { // name object: record (Tf reads it for font)
+        val start = i + 1
         i += 1
         while (i < n && !isDelim(s.charAt(i))) i += 1
+        lastName = s.substring(start, i)
       } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
         val start = i
         i += 1

@@ -1,0 +1,118 @@
+package graft
+
+import graft.kernels.PdfTextExtractor
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The object-graph notch of the PDF kernel: page order must come from
+  * the catalog's page TREE, not from stream file order, and per-font
+  * /Encoding (WinAnsi + /Differences) must decode bytes that Latin-1
+  * would get wrong. Fixtures are built as raw bytes so object layout is
+  * fully controlled.
+  */
+class PdfObjectGraphSpec extends AnyFunSuite {
+
+  private def pdf(objs: String*): Array[Byte] =
+    ("%PDF-1.4\n" + objs.mkString("\n") + "\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+      .getBytes(ISO_8859_1)
+
+  test("page order follows the page tree even when streams are file-reversed") {
+    // page TWO's content stream appears FIRST in the file; Kids order says
+    // page one first. File-order scanning would emit "second" before "first".
+    val bytes = pdf(
+      "6 0 obj << /Length 44 >> stream\nBT /F1 12 Tf 72 720 Td (second page) Tj ET\nendstream endobj",
+      "5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj",
+      "4 0 obj << /Length 43 >> stream\nBT /F1 12 Tf 72 720 Td (first page) Tj ET\nendstream endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj",
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("first page", "second page"))
+    assert(r.unsupported === 0)
+  }
+
+  test("WinAnsiEncoding decodes 0x80-0x9F where Latin-1 has control chars") {
+    // \200=euro \227=emdash \222=rsquo \234=oe under WinAnsi
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >> endobj",
+      "4 0 obj << /Length 60 >> stream\n" +
+        "BT /F1 12 Tf 72 720 Td (Caf\\351 \\200 15 \\227 p\\222tit \\234uvre) Tj ET\n" +
+        "endstream endobj",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >> endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("Café € 15 — p’tit œuvre"))
+    assert(r.unsupported === 0)
+  }
+
+  test("/Differences override remaps codes on top of the base encoding") {
+    // 65->eacute 66->adieresis (consecutive), 200->Euro; other codes keep
+    // the WinAnsi base
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F2 5 0 R >> >> >> endobj",
+      "4 0 obj << /Length 48 >> stream\n" +
+        "BT /F2 12 Tf 72 720 Td (AB ok \\310) Tj ET\n" +
+        "endstream endobj",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding 6 0 R >> endobj",
+      "6 0 obj << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [65 /eacute /adieresis 200 /Euro] >> endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("éä ok €"))
+  }
+
+  test("multiple fonts on one page switch tables at each Tf") {
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /FW 5 0 R /FL 6 0 R >> >> >> endobj",
+      // same byte 0x97: WinAnsi font gives emdash; unencoded font keeps Latin-1
+      "4 0 obj << /Length 90 >> stream\n" +
+        "BT /FW 12 Tf 72 720 Td (a\\227b) Tj /FL 12 Tf 0 -20 Td (x\\351y) Tj ET\n" +
+        "endstream endobj",
+      "5 0 obj << /Type /Font /Encoding /WinAnsiEncoding >> endobj",
+      "6 0 obj << /Type /Font >> endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.head.text === "a—b\nxéy")
+  }
+
+  test("/Contents array concatenates streams of one page") {
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj",
+      "4 0 obj << /Length 40 >> stream\nBT /F1 12 Tf 72 720 Td (part one) Tj\nendstream endobj",
+      "5 0 obj << /Length 30 >> stream\n0 -20 Td (part two) Tj ET\nendstream endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.head.text === "part one\npart two")
+    assert(r.pages.length === 1)
+  }
+
+  test("unsupported filters still count honestly under the page tree") {
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
+      "4 0 obj << /Length 10 /Filter /DCTDecode >> stream\nÿØjpegdata\nendstream endobj",
+      "5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj",
+      "6 0 obj << /Length 40 >> stream\nBT /F1 12 Tf 72 720 Td (readable) Tj ET\nendstream endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("readable"))
+    assert(r.unsupported === 1)
+  }
+
+  test("no catalog falls back to file-order scanning") {
+    val bytes = ("%PDF-1.4\n" +
+      "9 0 obj << /Length 40 >> stream\nBT /F1 12 Tf 72 720 Td (orphan) Tj ET\nendstream endobj\n" +
+      "%%EOF\n").getBytes(ISO_8859_1)
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("orphan"))
+  }
+}
