@@ -37,7 +37,8 @@ object ExtractJob {
       pages: DataFrame,
       outDir: String,
       ledgerDir: String,
-      conf: ExtractPipeline.Conf = ExtractPipeline.Conf()): Result = {
+      conf: ExtractPipeline.Conf = ExtractPipeline.Conf(),
+      format: TableFormat = ParquetFormat): Result = {
     val t0 = System.nanoTime()
     val committed = Ledger.committed(ledgerDir)
     val committedDays = committed.keySet.map(_.stripPrefix("p_day="))
@@ -52,18 +53,15 @@ object ExtractJob {
       .extract(spark, todo.drop("p_day"), conf, metrics)
       .withColumn("p_day", date_format(col("warc_ts"), "yyyy-MM-dd"))
 
-    // dynamic partition overwrite: only the days present in `extracted`
-    // are replaced; committed days' files are untouched
-    extracted.write
-      .partitionBy("p_day")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(outDir)
+    // idempotent partition replace through the TableFormat seam: only the
+    // days present in `extracted` are rewritten; committed days untouched
+    // (Iceberg impl: writeTo(t).overwritePartitions() — same contract)
+    format.overwritePartitions(extracted, outDir, "p_day")
 
     // per-partition lineage/metrics from the WRITTEN data (cheap column
     // scan — parquet column pruning reads only p_day/n_chars/error)
     // partition-dir type inference reads p_day back as DATE — normalize
-    val stats = spark.read.parquet(outDir)
+    val stats = format.read(spark, outDir)
       .withColumn("p_day", col("p_day").cast("string"))
       .filter(!col("p_day").isin(committedDays.toSeq: _*))
       .groupBy(col("p_day"))

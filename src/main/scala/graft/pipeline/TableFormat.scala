@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-format seam (SURVEY §7.3): the storage contract ExtractJob and
+  * the MERGE sink write through, so swapping parquet-on-dirs for Iceberg
+  * is one object, not a job rewrite.
+  *
+  * Iceberg mapping (not linkable in this container — no Iceberg runtime
+  * on the classpath, so the parquet impl is the one wired in):
+  *  - overwritePartitions → `df.writeTo(t).overwritePartitions()`
+  *  - read               → `spark.table(t)` (snapshot isolation for free)
+  *  - merge              → `MERGE INTO t USING u ON t.url = u.url WHEN
+  *                          MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+  *                          THEN INSERT *`
+  * The parquet impl reproduces the same SEMANTICS (idempotent partition
+  * replace; keyed upsert) with dynamic partition overwrite + a
+  * copy-on-write merge, which is also what Iceberg's COW mode compiles
+  * to under the hood.
+  */
+trait TableFormat {
+
+  /** Idempotent partition replace: exactly the `partitionCol` values
+    * present in `df` are rewritten; other partitions are untouched.
+    */
+  def overwritePartitions(df: DataFrame, table: String, partitionCol: String): Unit
+
+  def read(spark: SparkSession, table: String): DataFrame
+
+  /** MERGE keyed by `key` (api.py:458-474 edited-result sink): matched
+    * rows take the update's columns, unmatched updates insert. Partition
+    * column must be present in both sides.
+    */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+      key: String, partitionCol: String): Unit
+}
+
+/** Parquet-directory implementation. */
+object ParquetFormat extends TableFormat {
+
+  override def overwritePartitions(df: DataFrame, table: String,
+      partitionCol: String): Unit =
+    df.write
+      .partitionBy(partitionCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(table)
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+
+  /** Copy-on-write merge, partition-scoped: only partitions named by the
+    * updates are read and rewritten — at 10^12 rows the merge cost is
+    * proportional to the touched partitions, never the table. The
+    * localCheckpoint breaks the read lineage so the dynamic overwrite
+    * can legally target the path it just read.
+    */
+  override def merge(spark: SparkSession, table: String, updates: DataFrame,
+      key: String, partitionCol: String): Unit = {
+    if (!new java.io.File(table).exists()) {
+      overwritePartitions(updates, table, partitionCol)
+      return
+    }
+    val affected = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val current = read(spark, table)
+      .withColumn(partitionCol, col(partitionCol).cast("string"))
+      .filter(col(partitionCol).isin(affected: _*))
+    val cols = updates.columns
+    val u = cols.foldLeft(updates)((d, c) =>
+      if (c == key) d else d.withColumnRenamed(c, s"__u_$c"))
+    val merged = current.join(u, Seq(key), "full_outer")
+      .select(col(key) +: cols.filterNot(_ == key).map(c =>
+        coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
+      .withColumn(partitionCol, col(partitionCol).cast("string"))
+      .localCheckpoint(true)
+    overwritePartitions(merged, table, partitionCol)
+  }
+}
