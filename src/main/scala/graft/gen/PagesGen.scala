@@ -155,19 +155,31 @@ object PagesGen {
     * with Tj at descending y (14pt leading over a 12pt font so the
     * y-cluster rule separates lines). `compress` exercises FlateDecode.
     */
-  def pdfBytes(pageLines: Seq[Seq[String]], compress: Boolean): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(1024)
-    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
-    w("%PDF-1.4\n")
-    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+  def pdfBytes(pageLines: Seq[Seq[String]], compress: Boolean): Array[Byte] =
+    pdfBytesAdv(pageLines, compress, winAnsi = false, scramble = false)
+
+  /** PDF generator with the round-2 realism knobs: `winAnsi` declares
+    * /Encoding /WinAnsiEncoding on the font and encodes string bytes via
+    * windows-1252 (so 0x80-0x9F carries real glyphs the kernel must map);
+    * `scramble` REVERSES object file order (catalog last, page-2 content
+    * first) so only a page-tree walk recovers document order.
+    */
+  def pdfBytesAdv(pageLines: Seq[Seq[String]], compress: Boolean,
+      winAnsi: Boolean, scramble: Boolean): Array[Byte] = {
+    val charset =
+      if (winAnsi) java.nio.charset.Charset.forName("windows-1252")
+      else java.nio.charset.StandardCharsets.ISO_8859_1
+    val enc = if (winAnsi) " /Encoding /WinAnsiEncoding" else ""
+    val objs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    objs += "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n".getBytes(UTF_8)
     val kids = pageLines.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pageLines.length} >> endobj\n")
+    objs += s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pageLines.length} >> endobj\n".getBytes(UTF_8)
     pageLines.zipWithIndex.foreach { case (lines, i) =>
       val pageObj = 3 + 2 * i
       val contObj = pageObj + 1
-      w(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      objs += (s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Contents $contObj 0 R /Resources << /Font << /F1 << /Type /Font " +
-        "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n")
+        s"/Subtype /Type1 /BaseFont /Helvetica$enc >> >> >> >> endobj\n").getBytes(UTF_8)
       val cs = new java.lang.StringBuilder(256)
       cs.append("BT /F1 12 Tf 72 720 Td 14 TL\n")
       lines.zipWithIndex.foreach { case (line, j) =>
@@ -175,9 +187,9 @@ object PagesGen {
         cs.append(s"(${escapePdf(line)}) Tj\n")
       }
       cs.append("ET\n")
-      // PDF string bytes are Latin-1; non-Latin-1 chars are out of the
-      // minimal kernel's scope and must not appear in generated PDFs.
-      val raw = cs.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      // string bytes: windows-1252 under winAnsi, else Latin-1 (chars the
+      // charset cannot encode must not appear in generated corpora)
+      val raw = cs.toString.getBytes(charset)
       val payload =
         if (compress) {
           val d = new java.util.zip.Deflater()
@@ -189,11 +201,16 @@ object PagesGen {
           buf.toByteArray
         } else raw
       val filter = if (compress) " /Filter /FlateDecode" else ""
-      w(s"$contObj 0 obj << /Length ${payload.length}$filter >> stream\n")
-      out.write(payload)
-      w("\nendstream endobj\n")
+      val head = new java.io.ByteArrayOutputStream(payload.length + 96)
+      head.write(s"$contObj 0 obj << /Length ${payload.length}$filter >> stream\n".getBytes(UTF_8))
+      head.write(payload)
+      head.write("\nendstream endobj\n".getBytes(UTF_8))
+      objs += head.toByteArray
     }
-    w("%%EOF\n")
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write("%PDF-1.4\n".getBytes(UTF_8))
+    (if (scramble) objs.reverse else objs).foreach(out.write)
+    out.write("trailer << /Root 1 0 R >>\n%%EOF\n".getBytes(UTF_8))
     out.toByteArray
   }
 

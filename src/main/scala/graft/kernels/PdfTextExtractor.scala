@@ -323,13 +323,15 @@ object PdfTextExtractor {
       case Some(r) => doc.dict(r)
       case None    => balancedDict(resText, fi).getOrElse(return Map.empty)
     }
-    // referenced fonts: /F1 5 0 R
+    // font entries: referenced (/F1 5 0 R) or inline (/F1 << ... >>)
     val m = java.util.regex.Pattern
-      .compile("/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R").matcher(fontDict)
+      .compile("/(\\w+)\\s*(<<|(\\d+)\\s+\\d+\\s+R)").matcher(fontDict)
     val out = Map.newBuilder[String, Array[Char]]
     while (m.find()) {
       val fname = m.group(1)
-      val fdict = doc.dict(m.group(2).toInt)
+      val fdict =
+        if (m.group(3) != null) doc.dict(m.group(3).toInt)
+        else balancedDict(fontDict, m.start(2)).getOrElse("")
       encodingTable(doc, fdict).foreach(t => out += fname -> t)
     }
     out.result()
@@ -613,7 +615,13 @@ object PdfTextExtractor {
         while (i < n && { val d = s.charAt(i); d == '.' || (d >= '0' && d <= '9') }) i += 1
         try {
           val v = java.lang.Double.parseDouble(s.substring(start, i))
-          if (!inArray) nums += v // TJ kern adjustments ignored for text
+          if (!inArray) nums += v
+          // TJ kern adjustment: a strongly negative displacement (in
+          // thousandths of an em) is how real PDFs encode inter-word
+          // gaps without a space glyph; the conventional extractor
+          // heuristic maps adjustments beyond ~a sixth of an em to one
+          // space. Small kerns (ligature/letter spacing) stay invisible.
+          else if (v <= -180.0) pendingArray += " "
         } catch { case _: NumberFormatException => () }
       } else if (c == '%') { // comment to EOL
         while (i < n && s.charAt(i) != '\n') i += 1

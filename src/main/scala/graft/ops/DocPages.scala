@@ -79,6 +79,36 @@ object DocPages {
     }
   }
 
+  /** Object-order-scrambled multi-page PDF: same pages as [[pdfMulti]]
+    * but with file order REVERSED (catalog last, final page's content
+    * first) — only the /Root→/Pages→/Kids page-tree walk can recover
+    * document order, so the oracle failing would mean the kernel fell
+    * back to file-order scanning.
+    */
+  def pdfScrambled(spark: SparkSession, dir: String, n: Int = 40): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val pdf = PagesGen.pdfBytesAdv(chunkWords(d.text, n).map(Seq(_)),
+        compress = d.doc_id % 2 == 1, winAnsi = false, scramble = true)
+      PageRow(s"doc://ps/${d.doc_id}", Ts0, pdf, "", d.lang)
+    }
+  }
+
+  /** WinAnsi-encoded PDF: the text is prefixed with glyphs that live at
+    * 0x80-0x9F in windows-1252 (euro, em-dash, oe) where Latin-1 has
+    * control characters — byte-identical recovery REQUIRES the font
+    * /Encoding table to be honored.
+    */
+  val WinAnsiPrefix = "€ — «œuvre» "
+  def pdfWinAnsi(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val pdf = PagesGen.pdfBytesAdv(Seq(Seq(WinAnsiPrefix + d.text)),
+        compress = false, winAnsi = true, scramble = false)
+      PageRow(s"doc://pw/${d.doc_id}", Ts0, pdf, "", d.lang)
+    }
+  }
+
   /** Arabic/RTL byte-fidelity wrap: prefixes Arabic text + typographic
     * punctuation before the chrome wrap — the kernel must return it
     * byte-identically (input_hint invariant; the reference demands exact

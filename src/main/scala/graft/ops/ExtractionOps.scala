@@ -74,6 +74,25 @@ object ExtractionOps {
       |  string_agg(chunk, chr(10) ORDER BY g) AS extracted_text
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** Multi-page PDF with REVERSED object file order: identical oracle to
+    * the multipage query — green only if page order comes from the page
+    * tree, not the stream scan.
+    */
+  def extractPdfScrambled(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.pdfScrambled(spark, dir))
+      .select(col("doc_id"), col("page_count"), col("extracted_text"))
+
+  /** WinAnsi font-encoding round trip: 0x80-0x9F glyph bytes (euro,
+    * em-dash, oe ligature) must decode through the font's /Encoding
+    * table; identity-plus-prefix oracle like the Arabic wrap.
+    */
+  def extractPdfWinAnsi(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.pdfWinAnsi(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
+  val extractPdfWinAnsiSql: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, '\u20ac \u2014 \u00ab\u0153uvre\u00bb ' || text AS extracted_text FROM documents"
+
   /** Empty-html rows take the crawl-text passthrough branch. */
   def extractPassthrough(spark: SparkSession, dir: String): DataFrame =
     extracted(spark, DocPages.passthrough(spark, dir))
@@ -175,6 +194,8 @@ object ExtractionOps {
     "q_extract_pdf" -> (extractPdf(_, _)),
     "q_extract_pdf_flate" -> (extractPdfFlate(_, _)),
     "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
+    "q_extract_pdf_scrambled" -> (extractPdfScrambled(_, _)),
+    "q_extract_pdf_winansi" -> (extractPdfWinAnsi(_, _)),
     "q_extract_passthrough" -> (extractPassthrough(_, _)),
     "q_extract_mixed" -> (extractMixed(_, _)),
     "q_extract_spans" -> (extractSpans(_, _)))
@@ -189,6 +210,8 @@ object ExtractionOps {
     "q_extract_pdf" -> extractPdfSql,
     "q_extract_pdf_flate" -> extractPdfSql,
     "q_extract_pdf_multipage" -> extractPdfMultipageSql,
+    "q_extract_pdf_scrambled" -> extractPdfMultipageSql,
+    "q_extract_pdf_winansi" -> extractPdfWinAnsiSql,
     "q_extract_passthrough" -> extractPassthroughSql,
     "q_extract_mixed" -> extractMixedSql,
     "q_extract_spans" -> extractSpansSql)

@@ -108,6 +108,19 @@ class PdfObjectGraphSpec extends AnyFunSuite {
     assert(r.unsupported === 1)
   }
 
+  test("TJ kern adjustments beyond the word-gap threshold become spaces") {
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
+      "4 0 obj << /Length 70 >> stream\n" +
+        "BT /F1 12 Tf 72 720 Td [(Hel) -50 (lo) -250 (kerned) -900 (world)] TJ ET\n" +
+        "endstream endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    // -50 is letter kerning (joined); -250 and -900 are word gaps
+    assert(r.pages.head.text === "Hello kerned world")
+  }
+
   test("no catalog falls back to file-order scanning") {
     val bytes = ("%PDF-1.4\n" +
       "9 0 obj << /Length 40 >> stream\nBT /F1 12 Tf 72 720 Td (orphan) Tj ET\nendstream endobj\n" +
