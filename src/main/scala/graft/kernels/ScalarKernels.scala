@@ -238,4 +238,59 @@ object ScalarKernels {
       .fold(desc)(desc.substring(0, _))
     cut.replaceAll("\\s+", " ").trim
   }
+  /** clean_token (convert_to_json.py:145-154, exact port): strip, shed
+    * leading '['/trailing ']', one balanced brace/bracket pair, drop
+    * quotes, commas → spaces, collapse whitespace, lowercase.
+    */
+  private val BracePairRe = java.util.regex.Pattern.compile("^[\\[{](.*)[\\]}]$")
+  def cleanToken(token0: String): String = {
+    var t = token0.strip()
+    t = t.dropWhile(_ == '[')
+    t = t.reverse.dropWhile(_ == ']').reverse
+    val m = BracePairRe.matcher(t)
+    if (m.matches()) t = m.group(1)
+    t = t.replaceAll("['\"]", "")
+    t = t.replace(",", " ")
+    t = t.replaceAll("\\s+", " ")
+    t.toLowerCase(Locale.ROOT).strip()
+  }
+
+  /** find_key_recursive (automate_upload.py:956-974, exact port): walk a
+    * JSON tree depth-first in DICT-ENTRY ORDER — at each dict, first a
+    * case-insensitive key match wins, then container values recurse;
+    * lists recurse element-wise; depth > maxDepth returns None. Scalar
+    * results stringify; container results render as JSON.
+    */
+  def findKeyRecursive(json: String, keys: Seq[String], maxDepth: Int = 10): Option[String] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val lowerKeys = keys.map(_.toLowerCase(Locale.ROOT)).toSet
+    def walk(node: JsonNode, depth: Int): Option[String] = {
+      if (depth > maxDepth) return None
+      if (node.isObject) {
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (lowerKeys.contains(e.getKey.toLowerCase(Locale.ROOT)))
+            return Some(if (e.getValue.isTextual) e.getValue.asText else e.getValue.toString)
+          if (e.getValue.isContainerNode) {
+            val r = walk(e.getValue, depth + 1)
+            if (r.isDefined) return r
+          }
+        }
+        None
+      } else if (node.isArray) {
+        val it = node.elements()
+        while (it.hasNext) {
+          val v = it.next()
+          if (v.isContainerNode) {
+            val r = walk(v, depth + 1)
+            if (r.isDefined) return r
+          }
+        }
+        None
+      } else None
+    }
+    try walk(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json), 0)
+    catch { case _: Throwable => None }
+  }
 }

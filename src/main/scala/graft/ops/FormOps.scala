@@ -439,6 +439,84 @@ object FormOps {
        |  array_to_string(words, ' ') AS joined
        |FROM p""".stripMargin
 
+  // ---------------------------------------------- clean_token / find_key
+
+  /** clean_token kernel (convert_to_json.py:145-154) over a bracketed,
+    * quoted, comma-ridden header line; oracle composes the normalized
+    * expectation directly.
+    */
+  def cleanTokenQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w3(spark, dir)
+      .selectExpr("doc_id", "concat('  [''', upper(w1), ''', ''', w2, ''']  ') as raw")
+      .as[(Long, String)]
+      .map { case (id, raw) => (id, ScalarKernels.cleanToken(raw)) }
+      .toDF("doc_id", "token")
+  }
+
+  val cleanTokenSql: String =
+    s"""WITH b AS ($W3Sql)
+       |SELECT doc_id, lower(w1) || ' ' || lower(w2) AS token FROM b""".stripMargin
+
+  /** find_key_recursive kernel (automate_upload.py:956-974): DYNAMIC
+    * recursive key search — the key's location rotates through top level
+    * (case-mismatched), depth-2 dict, dict-inside-list, and absent, so
+    * static-path extraction cannot fake it.
+    */
+  def findKeyRecursiveQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w3(spark, dir)
+      .selectExpr("doc_id",
+        """case cast(doc_id % 4 as int)
+          |  when 0 then concat('{"Payer":"', w1, '","other":1}')
+          |  when 1 then concat('{"a":{"b":{"payer":"', w1, '"}},"c":2}')
+          |  when 2 then concat('{"items":[{"x":1},{"payer":"', w1, '"}]}')
+          |  else '{"a":{"b":2}}' end as json""".stripMargin)
+      .as[(Long, String)]
+      .map { case (id, json) =>
+        (id, ScalarKernels.findKeyRecursive(json, Seq("payer")).orNull)
+      }
+      .toDF("doc_id", "payer")
+  }
+
+  val findKeyRecursiveSql: String =
+    s"""WITH b AS ($W3Sql)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 4 = 3 THEN NULL ELSE w1 END AS payer FROM b""".stripMargin
+
+  // --------------------------------------------------- marital flags→enum
+
+  /** Marital checkbox flags → enum projection: the Single/Married paren
+    * checkboxes run through the REAL kernel, then collapse to the
+    * Married-wins / Single / Unknown enum (an unknowable checkbox — the
+    * multi-char paren — falls through to Unknown).
+    */
+  def maritalEnum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id")
+      .as[Long]
+      .map { id =>
+        val singleMark = if (id % 2 == 0) "x" else ""
+        val marriedMark = (id % 3) match { case 0 => "x"; case 1 => ""; case _ => "ab" }
+        val checked = ScalarKernels.processCheckboxes(
+          s"Single ($singleMark) Married ($marriedMark)")
+        val marital =
+          if (checked.contains("Married true")) "Married"
+          else if (checked.contains("Single true")) "Single"
+          else "Unknown"
+        (id, marital)
+      }
+      .toDF("doc_id", "marital")
+  }
+
+  val maritalEnumSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'Married'
+      |       WHEN doc_id % 2 = 0 THEN 'Single'
+      |       ELSE 'Unknown' END AS marital
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------- assembled D6 record
 
   /** The reference's END PRODUCT: the assembled StructuredOCR document
@@ -556,6 +634,9 @@ object FormOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_structured_record" -> (structuredRecord(_, _)),
+    "q_clean_token" -> (cleanTokenQ(_, _)),
+    "q_find_key_recursive" -> (findKeyRecursiveQ(_, _)),
+    "q_marital_enum" -> (maritalEnum(_, _)),
     "q_clean_ocr" -> (cleanOcr(_, _)),
     "q_checkbox_kernel" -> (checkboxKernel(_, _)),
     "q_fragment_rejoin" -> (fragmentRejoin(_, _)),
@@ -574,6 +655,9 @@ object FormOps {
 
   def oracles: Map[String, String] = Map(
     "q_structured_record" -> structuredRecordSql,
+    "q_clean_token" -> cleanTokenSql,
+    "q_find_key_recursive" -> findKeyRecursiveSql,
+    "q_marital_enum" -> maritalEnumSql,
     "q_clean_ocr" -> cleanOcrSql,
     "q_checkbox_kernel" -> checkboxKernelSql,
     "q_fragment_rejoin" -> fragmentRejoinSql,

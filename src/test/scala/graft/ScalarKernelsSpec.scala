@@ -102,4 +102,34 @@ class ScalarKernelsSpec extends AnyFunSuite {
     // earliest of several markers wins ('Date' before 'Signature')
     assert(cleanServiceDescription("ultrasound Date 2025 Signature X") === "ultrasound")
   }
+  test("cleanToken: python-verified vectors (convert_to_json.py:145-154)") {
+    import graft.kernels.ScalarKernels.cleanToken
+    assert(cleanToken("  ['Code', 'Service']  ") === "code service")
+    assert(cleanToken("[[Nested]]") === "nested")
+    assert(cleanToken("{Braced}") === "braced")
+    assert(cleanToken("A,B ,C") === "a b c")
+    assert(cleanToken("Plain  TEXT") === "plain text")
+    assert(cleanToken("['x']") === "x")
+    assert(cleanToken("{[mix]}") === "[mix]") // brace pair strips once only
+    assert(cleanToken("") === "")
+  }
+
+  test("findKeyRecursive: dict-order DFS, case-insensitive, depth-capped") {
+    import graft.kernels.ScalarKernels.findKeyRecursive
+    assert(findKeyRecursive("""{"a":{"b":{"Payer":"acme"}},"c":1}""", Seq("payer"))
+      === Some("acme"))
+    assert(findKeyRecursive("""{"list":[{"x":1},{"payer":"zeta"}]}""", Seq("payer"))
+      === Some("zeta"))
+    assert(findKeyRecursive("""{"a":2}""", Seq("payer")) === None)
+    // dict order: key match at the CURRENT level beats a deeper one seen later
+    assert(findKeyRecursive("""{"w":{"payer":"deep"},"payer":"top"}""", Seq("payer"))
+      === Some("deep")) // w comes first and recursion into it wins (python parity)
+    // container value stringifies as JSON
+    assert(findKeyRecursive("""{"payer":{"id":7}}""", Seq("payer"))
+      === Some("""{"id":7}"""))
+    // depth cap
+    val deep = ("{\"k\":" * 12) + "{\"payer\":\"x\"}" + ("}" * 12)
+    assert(findKeyRecursive(deep, Seq("payer"), maxDepth = 10) === None)
+    assert(findKeyRecursive("not json", Seq("payer")) === None)
+  }
 }
