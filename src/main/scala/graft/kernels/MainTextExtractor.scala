@@ -83,7 +83,10 @@ object MainTextExtractor {
     private var cur: Block = null
     private var pendingSpace = false
 
+    private var brRun = 0
+
     private def flush(): Unit = {
+      brRun = 0
       if (cur != null && cur.chars > 0) blocks += cur
       cur = null
       pendingSpace = false
@@ -93,7 +96,15 @@ object MainTextExtractor {
       if (hint == Dom.HintNeg || DropTags.contains(nm)) dropDepth += 1
       if (hint == Dom.HintPos) posDepth += 1
       if (nm == "a") linkDepth += 1
-      if (nm == "br") pendingSpace = true
+      if (nm == "br") {
+        // one <br> is a soft break (space); two-plus consecutive <br>
+        // with no text between is the classic paragraph separator in
+        // crawl-era markup — split the block exactly like a real
+        // boilerplate-strip engine does
+        pendingSpace = true
+        brRun += 1
+        if (brRun >= 2) flush()
+      }
       if (BlockTags.contains(nm)) {
         flush()
         if (btSp == blockTags.length) blockTags = java.util.Arrays.copyOf(blockTags, btSp * 2)
@@ -139,6 +150,7 @@ object MainTextExtractor {
             cur.words += 1
             pendingSpace = false
           }
+          brRun = 0
           cur.sb.append(s, k, e)
           if (linkDepth > 0) cur.linkChars += e - k
           k = e

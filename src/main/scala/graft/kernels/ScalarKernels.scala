@@ -293,4 +293,52 @@ object ScalarKernels {
     try walk(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json), 0)
     catch { case _: Throwable => None }
   }
+  /** flatten_json (automate_upload.py:657-671, exact port): dicts flatten
+    * with `sep`, lists index as `key[i]` (dict elements recurse, scalar
+    * elements emit), insertion order preserved, later duplicate keys win
+    * (python dict(items) semantics). Values stringify: textual nodes as
+    * their text, other scalars as JSON.
+    */
+  def flattenJson(json: String, sep: String = "."): Seq[(String, String)] = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val out = new java.util.LinkedHashMap[String, String]()
+    def scalar(v: JsonNode): String = if (v.isTextual) v.asText else v.toString
+    def walk(node: JsonNode, parent: String): Unit = {
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val key = if (parent.isEmpty) e.getKey else s"$parent$sep${e.getKey}"
+        val v = e.getValue
+        if (v.isObject) walk(v, key)
+        else if (v.isArray) {
+          var i = 0
+          val els = v.elements()
+          while (els.hasNext) {
+            val el = els.next()
+            if (el.isObject) walk(el, s"$key[$i]")
+            else out.put(s"$key[$i]", scalar(el))
+            i += 1
+          }
+        } else out.put(key, scalar(v))
+      }
+    }
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      if (root != null && root.isObject) walk(root, "")
+    } catch { case _: Throwable => () }
+    import scala.jdk.CollectionConverters._
+    out.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
+  }
+
+  /** find_field (automate_upload.py:674-680, exact port): among flattened
+    * keys ending in ".fieldname" (case-insensitive — top-level keys never
+    * match, the dot is part of the suffix), prefer the deepest path
+    * (most dots, first-wins on ties like python max).
+    */
+  def findField(flat: Seq[(String, String)], fieldName: String): Option[String] = {
+    val suffix = "." + fieldName.toLowerCase(Locale.ROOT)
+    val hits = flat.filter(_._1.toLowerCase(Locale.ROOT).endsWith(suffix))
+    if (hits.isEmpty) None
+    else Some(hits.maxBy(_._1.count(_ == '.'))._2)
+  }
 }

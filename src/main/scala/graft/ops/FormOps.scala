@@ -517,6 +517,41 @@ object FormOps {
       |       ELSE 'Unknown' END AS marital
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------ flatten_json / find_field
+
+  /** flatten_json + find_field kernels (automate_upload.py:657-680):
+    * dynamic dot-path flattening with list indexing, then the
+    * deepest-dotted-suffix field lookup — a shallow decoy "age" at the
+    * top level must LOSE to the nested one (find_field requires the dot
+    * before the field name and prefers depth).
+    */
+  def flattenFind(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    w3(spark, dir)
+      .selectExpr("doc_id",
+        """concat('{"age":"', w1,
+          |  '","patient":{"info":{"age":"', cast(doc_id % 90 as string),
+          |  '"}},"items":[{"qty":', cast(doc_id % 5 as string), '},7]}') as json""".stripMargin)
+      .as[(Long, String)]
+      .map { case (id, json) =>
+        val flat = ScalarKernels.flattenJson(json)
+        val m = flat.toMap
+        (id, flat.size.toLong,
+          ScalarKernels.findField(flat, "age").orNull,
+          m.getOrElse("items[0].qty", null),
+          m.getOrElse("items[1]", null))
+      }
+      .toDF("doc_id", "n_keys", "age_found", "qty", "scalar_item")
+  }
+
+  val flattenFindSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(4 AS BIGINT) AS n_keys,
+      |  CAST(doc_id % 90 AS VARCHAR) AS age_found,
+      |  CAST(doc_id % 5 AS VARCHAR) AS qty,
+      |  '7' AS scalar_item
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------- assembled D6 record
 
   /** The reference's END PRODUCT: the assembled StructuredOCR document
@@ -637,6 +672,7 @@ object FormOps {
     "q_clean_token" -> (cleanTokenQ(_, _)),
     "q_find_key_recursive" -> (findKeyRecursiveQ(_, _)),
     "q_marital_enum" -> (maritalEnum(_, _)),
+    "q_flatten_find" -> (flattenFind(_, _)),
     "q_clean_ocr" -> (cleanOcr(_, _)),
     "q_checkbox_kernel" -> (checkboxKernel(_, _)),
     "q_fragment_rejoin" -> (fragmentRejoin(_, _)),
@@ -658,6 +694,7 @@ object FormOps {
     "q_clean_token" -> cleanTokenSql,
     "q_find_key_recursive" -> findKeyRecursiveSql,
     "q_marital_enum" -> maritalEnumSql,
+    "q_flatten_find" -> flattenFindSql,
     "q_clean_ocr" -> cleanOcrSql,
     "q_checkbox_kernel" -> checkboxKernelSql,
     "q_fragment_rejoin" -> fragmentRejoinSql,
