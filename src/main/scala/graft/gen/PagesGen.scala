@@ -214,6 +214,52 @@ object PagesGen {
     out.toByteArray
   }
 
+  /** Composite-font (Type0/Identity-H) PDF: text is shown as 2-byte CID
+    * hex strings and the per-file ToUnicode CMap (built from the page's
+    * distinct characters, first-occurrence code assignment) is the ONLY
+    * way back to text — the modern Unicode-PDF shape every mainstream
+    * producer emits.
+    */
+  def pdfBytesCid(pageLines: Seq[Seq[String]]): Array[Byte] = {
+    val codes = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+    pageLines.foreach(_.foreach(_.foreach { c =>
+      if (!codes.contains(c)) codes(c) = codes.size + 1
+    }))
+    val bf = codes.map { case (c, code) => f"<$code%04X> <${c.toInt}%04X>" }.mkString("\n")
+    val cmap = s"beginbfchar\n$bf\nendbfchar"
+    val nPages = pageLines.length
+    val fontObj = 3 + 2 * nPages
+    val cmapObj = fontObj + 1
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = pageLines.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n")
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      w(s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents $contObj 0 R /Resources << /Font << /FC $fontObj 0 R >> >> >> endobj\n")
+      val cs = new java.lang.StringBuilder(256)
+      cs.append("BT /FC 12 Tf 72 720 Td 14 TL\n")
+      lines.zipWithIndex.foreach { case (line, j) =>
+        if (j > 0) cs.append("T*\n")
+        cs.append(line.map(c => f"${codes(c)}%04X").mkString("<", "", "> Tj\n"))
+      }
+      cs.append("ET\n")
+      val raw = cs.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      w(s"$contObj 0 obj << /Length ${raw.length} >> stream\n")
+      out.write(raw)
+      w("\nendstream endobj\n")
+    }
+    w(s"$fontObj 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Synth " +
+      s"/Encoding /Identity-H /ToUnicode $cmapObj 0 R >> endobj\n")
+    w(s"$cmapObj 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
   // -------------------------------------------------------- corpus assembly
 
   final case class GenPage(row: PageRow, expected: String, kind: String)

@@ -220,6 +220,72 @@ object PdfTextExtractor {
     Some(PdfResult(pages.toArray, unsupported))
   }
 
+  // ---------------------------------------------------------- font decode
+
+  /** Per-font decode model: simple fonts map single bytes through a
+    * 256-entry table; composite (Type0/Identity-H) fonts consume 2-byte
+    * codes looked up in the ToUnicode CMap. Codes with no mapping drop
+    * (notdef) — honest loss, never mojibake.
+    */
+  private sealed trait FontDec
+  private final case class ByteTable(t: Array[Char]) extends FontDec
+  private final case class CidMap(m: java.util.HashMap[Integer, String]) extends FontDec
+
+  private val BfCharRe = java.util.regex.Pattern.compile(
+    "beginbfchar(.*?)endbfchar", java.util.regex.Pattern.DOTALL)
+  private val BfRangeRe = java.util.regex.Pattern.compile(
+    "beginbfrange(.*?)endbfrange", java.util.regex.Pattern.DOTALL)
+  private val HexTokRe = java.util.regex.Pattern.compile("<([0-9A-Fa-f]+)>")
+
+  private def utf16Hex(hex: String): String = {
+    val sb = new java.lang.StringBuilder(hex.length / 4)
+    var i = 0
+    while (i + 4 <= hex.length) {
+      sb.append(Integer.parseInt(hex.substring(i, i + 4), 16).toChar)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Parse a ToUnicode CMap stream (bfchar pairs + simple bfrange runs —
+    * the shapes every mainstream producer emits).
+    */
+  private def parseToUnicode(cmap: String): CidMap = {
+    val m = new java.util.HashMap[Integer, String]()
+    val bc = BfCharRe.matcher(cmap)
+    while (bc.find()) {
+      val toks = HexTokRe.matcher(bc.group(1))
+      var src = -1
+      while (toks.find()) {
+        if (src < 0) src = Integer.parseInt(toks.group(1), 16)
+        else { m.put(src, utf16Hex(toks.group(1))); src = -1 }
+      }
+    }
+    val br = BfRangeRe.matcher(cmap)
+    while (br.find()) {
+      val toks = HexTokRe.matcher(br.group(1))
+      val trio = new ArrayBuffer[String](3)
+      while (toks.find()) {
+        trio += toks.group(1)
+        if (trio.length == 3) {
+          val lo = Integer.parseInt(trio(0), 16)
+          val hi = Integer.parseInt(trio(1), 16)
+          val dst0 = utf16Hex(trio(2))
+          if (dst0.nonEmpty && hi - lo <= 0xFFFF) {
+            var c = lo
+            while (c <= hi) {
+              val last = dst0.charAt(dst0.length - 1)
+              m.put(c, dst0.substring(0, dst0.length - 1) + (last + (c - lo)).toChar)
+              c += 1
+            }
+          }
+          trio.clear()
+        }
+      }
+    }
+    CidMap(m)
+  }
+
   // ------------------------------------------------------------- encodings
 
   private def charsetTable(cs: String): Array[Char] = {
@@ -309,7 +375,7 @@ object PdfTextExtractor {
     * → 256-entry char map. Fonts with no /Encoding get no entry (Latin-1
     * identity at emit).
     */
-  private def fontTables(doc: PdfDoc, pageDict: String): Map[String, Array[Char]] = {
+  private def fontTables(doc: PdfDoc, pageDict: String): Map[String, FontDec] = {
     val resText = refOf(pageDict, "Resources") match {
       case Some(r) => doc.dict(r)
       case None =>
@@ -326,20 +392,29 @@ object PdfTextExtractor {
     // font entries: referenced (/F1 5 0 R) or inline (/F1 << ... >>)
     val m = java.util.regex.Pattern
       .compile("/(\\w+)\\s*(<<|(\\d+)\\s+\\d+\\s+R)").matcher(fontDict)
-    val out = Map.newBuilder[String, Array[Char]]
+    val out = Map.newBuilder[String, FontDec]
     while (m.find()) {
       val fname = m.group(1)
       val fdict =
         if (m.group(3) != null) doc.dict(m.group(3).toInt)
         else balancedDict(fontDict, m.start(2)).getOrElse("")
-      encodingTable(doc, fdict).foreach(t => out += fname -> t)
+      fontDecode(doc, fdict).foreach(t => out += fname -> t)
     }
     out.result()
   }
 
-  /** /Encoding of one font: named base, or an encoding object with
-    * /BaseEncoding + /Differences.
+  /** Decode model of one font: Type0 fonts resolve their ToUnicode CMap
+    * (2-byte Identity-H codes); simple fonts resolve /Encoding (named
+    * base, or an encoding object with /BaseEncoding + /Differences).
     */
+  private def fontDecode(doc: PdfDoc, fontDict: String): Option[FontDec] = {
+    if (nameOf(fontDict, "Subtype").contains("Type0"))
+      return refOf(fontDict, "ToUnicode")
+        .flatMap(n => streamOf(doc, n))
+        .map(b => parseToUnicode(new String(b, Latin1)))
+    encodingTable(doc, fontDict).map(ByteTable)
+  }
+
   private def encodingTable(doc: PdfDoc, fontDict: String): Option[Array[Char]] =
     nameOf(fontDict, "Encoding") match {
       case Some(n) => baseTable(n)
@@ -468,7 +543,7 @@ object PdfTextExtractor {
     * semantics. Notdef codes (U+0000 in a table) are dropped.
     */
   private def parseContentStream(data: Array[Byte],
-      fonts: Map[String, Array[Char]]): ArrayBuffer[Run] = {
+      fonts: Map[String, FontDec]): ArrayBuffer[Run] = {
     val runs = new ArrayBuffer[Run](32)
     val s = new String(data, Latin1)
     val n = s.length
@@ -480,26 +555,37 @@ object PdfTextExtractor {
     var fontSize = 12.0
     var inText = false
     var lastName: String = null
-    var curTable: Array[Char] = null
+    var curFont: FontDec = null
     val nums = new ArrayBuffer[Double](8)
     var pendingString: String = null
     val pendingArray = new ArrayBuffer[String](8)
     var inArray = false
 
     def emit(t0: String): Unit = if (inText && t0.nonEmpty) {
-      val t =
-        if (curTable == null) t0
-        else {
+      val t = curFont match {
+        case null => t0
+        case ByteTable(tab) =>
           val sb = new java.lang.StringBuilder(t0.length)
           var k = 0
           while (k < t0.length) {
             val c = t0.charAt(k)
-            val u = if (c < 256) curTable(c) else c
+            val u = if (c < 256) tab(c) else c
             if (u != '\u0000') sb.append(u)
             k += 1
           }
           sb.toString
-        }
+        case CidMap(m) =>
+          // composite font: consume 2-byte codes
+          val sb = new java.lang.StringBuilder(t0.length / 2)
+          var k = 0
+          while (k + 1 < t0.length) {
+            val code = Integer.valueOf((t0.charAt(k) << 8) | t0.charAt(k + 1))
+            val u = m.get(code)
+            if (u != null) sb.append(u)
+            k += 2
+          }
+          sb.toString
+      }
       if (t.nonEmpty) runs += Run(x, y, fontSize, t)
     }
 
@@ -509,7 +595,7 @@ object PdfTextExtractor {
         case "ET" => inText = false
         case "Tf" =>
           if (nums.nonEmpty) fontSize = nums.last
-          if (lastName != null) curTable = fonts.getOrElse(lastName, null)
+          if (lastName != null) curFont = fonts.getOrElse(lastName, null)
         case "TL" => if (nums.nonEmpty) leading = nums.last
         case "Td" =>
           if (nums.length >= 2) {

@@ -109,6 +109,20 @@ object DocPages {
     }
   }
 
+  /** Type0/Identity-H wrap: the whole text as 2-byte CID codes with a
+    * generated ToUnicode CMap — recoverable ONLY through the CMap path.
+    * An Arabic marker rides along so multi-byte UTF-16 mapping is
+    * exercised, not just ASCII.
+    */
+  def pdfCid(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val t = "نص " + d.text
+      PageRow(s"doc://pc/${d.doc_id}", Ts0,
+        PagesGen.pdfBytesCid(Seq(Seq(t))), "", d.lang)
+    }
+  }
+
   /** Arabic/RTL byte-fidelity wrap: prefixes Arabic text + typographic
     * punctuation before the chrome wrap — the kernel must return it
     * byte-identically (input_hint invariant; the reference demands exact

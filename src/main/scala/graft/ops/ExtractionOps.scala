@@ -93,6 +93,18 @@ object ExtractionOps {
   val extractPdfWinAnsiSql: String =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, '\u20ac \u2014 \u00ab\u0153uvre\u00bb ' || text AS extracted_text FROM documents"
 
+  /** Type0/Identity-H + ToUnicode CMap round trip at corpus level: every
+    * character travels as a 2-byte CID and returns byte-identically
+    * (Arabic prefix included) — the modern Unicode-PDF path under the
+    * DuckDB oracle.
+    */
+  def extractPdfCid(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.pdfCid(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
+  val extractPdfCidSql: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'نص ' || text AS extracted_text FROM documents"
+
   /** Empty-html rows take the crawl-text passthrough branch. */
   def extractPassthrough(spark: SparkSession, dir: String): DataFrame =
     extracted(spark, DocPages.passthrough(spark, dir))
@@ -196,6 +208,7 @@ object ExtractionOps {
     "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
     "q_extract_pdf_scrambled" -> (extractPdfScrambled(_, _)),
     "q_extract_pdf_winansi" -> (extractPdfWinAnsi(_, _)),
+    "q_extract_pdf_cid" -> (extractPdfCid(_, _)),
     "q_extract_passthrough" -> (extractPassthrough(_, _)),
     "q_extract_mixed" -> (extractMixed(_, _)),
     "q_extract_spans" -> (extractSpans(_, _)))
@@ -212,6 +225,7 @@ object ExtractionOps {
     "q_extract_pdf_multipage" -> extractPdfMultipageSql,
     "q_extract_pdf_scrambled" -> extractPdfMultipageSql,
     "q_extract_pdf_winansi" -> extractPdfWinAnsiSql,
+    "q_extract_pdf_cid" -> extractPdfCidSql,
     "q_extract_passthrough" -> extractPassthroughSql,
     "q_extract_mixed" -> extractMixedSql,
     "q_extract_spans" -> extractSpansSql)

@@ -121,6 +121,29 @@ class PdfObjectGraphSpec extends AnyFunSuite {
     assert(r.pages.head.text === "Hello kerned world")
   }
 
+  test("Type0 font with ToUnicode CMap decodes 2-byte hex strings") {
+    // codes: 0001->H 0002->é 0003->l 0004->o 0005->space (bfchar),
+    // 0010..0012 -> A,B,C (bfrange)
+    val cmap = "/CIDInit /ProcSet findresource begin\n" +
+      "beginbfchar\n<0001> <0048>\n<0002> <00E9>\n<0003> <006C>\n<0004> <006F>\n<0005> <0020>\nendbfchar\n" +
+      "beginbfrange\n<0010> <0012> <0041>\nendbfrange\nend"
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /FC 5 0 R >> >> >> endobj",
+      // Héllo ABC via 2-byte codes
+      "4 0 obj << /Length 70 >> stream\n" +
+        "BT /FC 12 Tf 72 720 Td <000100020003000300040005001000110012> Tj ET\n" +
+        "endstream endobj",
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Noto " +
+        "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj",
+      s"6 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("Héllo ABC"))
+    assert(r.unsupported === 0)
+  }
+
   test("no catalog falls back to file-order scanning") {
     val bytes = ("%PDF-1.4\n" +
       "9 0 obj << /Length 40 >> stream\nBT /F1 12 Tf 72 720 Td (orphan) Tj ET\nendstream endobj\n" +
