@@ -22,8 +22,11 @@ object PlanAudit {
     val names =
       if (wanted.nonEmpty) wanted.toSeq.sorted
       else Seq("q1_agg", "q_derived_fields", "q_fuzzy_top1", "q_dedup_exact",
-        "q_token_count", "q_ann_brute", "q_resume_antijoin", "q_topk_per_group",
-        "q_bucketed_join", "q_url_parse", "q_asof_join", "q_range_join")
+        "q_token_count", "q_ann_brute", "q_ann_ivf", "q_resume_antijoin",
+        "q_topk_per_group", "q_bucketed_join", "q_url_parse", "q_asof_join",
+        "q_range_join", "q_dedup_minhash_lsh", "q_distinct_sketch")
+    // hard invariants live in PlanShapeSpec (CI); this main is the
+    // eyeball/report surface
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
