@@ -111,6 +111,62 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+
+  // ------------------------------------------------- Gopher quality rules
+
+  /** The published Gopher/Dolma-style document-shape filters (Rae et al.
+    * 2021, Appendix A — public), the standard pre-training quality gate:
+    * word-count window, mean-word-length window, symbol-to-word ratio,
+    * alphabetic-word fraction, minimum stop-word hits. Every rule is a
+    * codegen'd projection over one scan; at 10^12 docs this whole gate is
+    * a map-side filter that never shuffles.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = hitsExpr(Stopwords)
+    docs(spark, dir)
+      .selectExpr(
+        "cast(doc_id as long) as doc_id",
+        "split(text, ' ') as ws",
+        "text",
+        s"cast($stop as long) as stop_hits")
+      .selectExpr(
+        "doc_id",
+        "cast(size(ws) as long) as n_words",
+        "round(cast(length(text) - size(ws) + 1 as double) / size(ws), 6) as mean_wlen",
+        "round(cast(length(text) - length(replace(text, '#', '')) + " +
+          "length(text) - length(replace(text, '…', '')) as double) / size(ws), 6) as symbol_ratio",
+        "round(cast(size(filter(ws, w -> w rlike '[a-zA-Z]')) as double) / size(ws), 6) as alpha_frac",
+        "stop_hits")
+      .selectExpr("doc_id", "n_words", "mean_wlen", "symbol_ratio", "alpha_frac", "stop_hits",
+        """cast(n_words between 50 and 100000
+          |  and mean_wlen between 3 and 10
+          |  and symbol_ratio <= 0.1
+          |  and alpha_frac >= 0.8
+          |  and stop_hits >= 2 as boolean) as gopher_ok""".stripMargin)
+  }
+
+  val gopherQualitySql: String = {
+    val stop = hitsSqlExpr(Stopwords)
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       |    string_split(text, ' ') AS ws, CAST($stop AS BIGINT) AS stop_hits
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    round(CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws), 6) AS mean_wlen,
+       |    round(CAST(length(text) - length(replace(text, '#', '')) +
+       |      length(text) - length(replace(text, '…', '')) AS DOUBLE) / len(ws), 6) AS symbol_ratio,
+       |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(ws), 6) AS alpha_frac,
+       |    stop_hits
+       |  FROM w)
+       |SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac, stop_hits,
+       |  (n_words BETWEEN 50 AND 100000
+       |    AND mean_wlen BETWEEN 3 AND 10
+       |    AND symbol_ratio <= 0.1
+       |    AND alpha_frac >= 0.8
+       |    AND stop_hits >= 2) AS gopher_ok
+       |FROM m""".stripMargin
+  }
+
   // ----------------------------------------------------------- fingerprint
 
   /** Content fingerprint: md5 (hex) + 64-bit prefix. The md5 is also the
@@ -207,6 +263,7 @@ object TextOps {
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_quality" -> (quality(_, _)),
+    "q_gopher_quality" -> (gopherQuality(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)),
     "q_url_parse" -> (urlParse(_, _)))
 
@@ -215,6 +272,7 @@ object TextOps {
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
+    "q_gopher_quality" -> gopherQualitySql,
     "q_fingerprint" -> fingerprintSql,
     "q_url_parse" -> urlParseSql)
 }
