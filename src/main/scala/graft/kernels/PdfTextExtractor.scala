@@ -73,14 +73,19 @@ object PdfTextExtractor {
   // -------------------------------------------------- object graph / pages
 
   private final case class PdfDoc(s: String, bytes: Array[Byte],
-      objs: Map[Int, (Int, Int)]) {
-    /** Dict text of an object (body up to its `stream` keyword, if any). */
+      objs: Map[Int, (Int, Int)],
+      extra: Map[Int, String] = Map.empty) {
+    /** Dict text of an object (body up to its `stream` keyword, if any).
+      * Direct file objects win; `extra` holds members expanded out of
+      * /ObjStm compressed object streams (PDF 1.5+), which never carry
+      * streams of their own.
+      */
     def dict(num: Int): String = objs.get(num) match {
       case Some((a, b)) =>
         val body = s.substring(a, b)
         val k = body.indexOf("stream")
         if (k >= 0) body.substring(0, k) else body
-      case None => ""
+      case None => extra.getOrElse(num, "")
     }
   }
 
@@ -171,11 +176,57 @@ object PdfTextExtractor {
       }
     }
 
+  private def intOf(dict: String, key: String): Option[Int] = {
+    val m = java.util.regex.Pattern
+      .compile("/" + key + "\\s+(\\d+)").matcher(dict)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** Expand /ObjStm compressed object streams (PDF 1.5+): the decoded
+    * payload is N (objNum, offset) integer pairs followed by the
+    * serialized member objects (no obj/endobj wrappers, never streams).
+    * Returns the doc with members visible plus the count of object
+    * streams that failed to expand (→ unsupported).
+    */
+  private def expandObjStm(doc0: PdfDoc): (PdfDoc, Int) = {
+    var extra = Map.empty[Int, String]
+    var failed = 0
+    doc0.objs.keys.foreach { n =>
+      val d = doc0.dict(n)
+      if (d.contains("/ObjStm")) {
+        val ok = (for {
+          data <- streamOf(doc0, n)
+          nObjs <- intOf(d, "N")
+          first <- intOf(d, "First")
+        } yield {
+          val s2 = new String(data, Latin1)
+          if (first > s2.length) false
+          else {
+            val header = s2.substring(0, first)
+            val ints = "\\d+".r.findAllIn(header).map(_.toInt).toArray
+            val pairs = (0 until math.min(nObjs, ints.length / 2))
+              .map(i => (ints(2 * i), ints(2 * i + 1)))
+            pairs.zipWithIndex.foreach { case ((num, off), i) =>
+              val from = math.min(first + off, s2.length)
+              val to = if (i + 1 < pairs.length)
+                math.min(first + pairs(i + 1)._2, s2.length) else s2.length
+              if (from < to) extra += num -> s2.substring(from, to)
+            }
+            true
+          }
+        }).getOrElse(false)
+        if (!ok) failed += 1
+      }
+    }
+    (doc0.copy(extra = extra), failed)
+  }
+
   /** Page-tree extraction; None when no catalog/page tree resolves. */
   private def extractViaPageTree(bytes: Array[Byte]): Option[PdfResult] = {
-    val doc = indexObjects(bytes).getOrElse(return None)
+    val doc1 = indexObjects(bytes).getOrElse(return None)
+    val (doc, objStmFailed) = expandObjStm(doc1)
     val rootNum = refOf(doc.s, "Root").orElse {
-      doc.objs.keys.find(n => doc.dict(n).contains("/Catalog"))
+      (doc.objs.keys ++ doc.extra.keys).find(n => doc.dict(n).contains("/Catalog"))
     }.getOrElse(return None)
     val pagesRoot = refOf(doc.dict(rootNum), "Pages").getOrElse(return None)
     // walk the page tree in Kids order
@@ -215,8 +266,8 @@ object PdfTextExtractor {
         }
       }
     }
-    // object streams hold objects we cannot see — count them honestly
-    unsupported += doc.objs.keys.count(n => doc.dict(n).contains("/ObjStm"))
+    // object streams that failed to expand stay honestly counted
+    unsupported += objStmFailed
     Some(PdfResult(pages.toArray, unsupported))
   }
 

@@ -144,6 +144,43 @@ class PdfObjectGraphSpec extends AnyFunSuite {
     assert(r.unsupported === 0)
   }
 
+  test("catalog and page tree inside an /ObjStm expand and drive page order") {
+    // PDF 1.5 shape: structural objects live inside a compressed object
+    // stream; only the content streams are direct objects
+    val members = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      5 -> "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+    val bodies = members.map(_._2 + "\n")
+    val offsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = members.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = header + bodies.mkString
+    val bytes = ("%PDF-1.5\n" +
+      s"7 0 obj << /Type /ObjStm /N 4 /First ${header.length} /Length ${payload.length} >> stream\n" +
+      payload + "\nendstream endobj\n" +
+      "6 0 obj << /Length 44 >> stream\nBT /F1 12 Tf 72 720 Td (second page) Tj ET\nendstream endobj\n" +
+      "4 0 obj << /Length 43 >> stream\nBT /F1 12 Tf 72 720 Td (first page) Tj ET\nendstream endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes(ISO_8859_1)
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("first page", "second page"))
+    assert(r.unsupported === 0)
+  }
+
+  test("a truncated /ObjStm still counts as unsupported") {
+    val bytes = ("%PDF-1.5\n" +
+      "7 0 obj << /Type /ObjStm /N 4 /First 9999 /Length 4 >> stream\nxxxx\nendstream endobj\n" +
+      "4 0 obj << /Length 40 >> stream\nBT /F1 12 Tf 72 720 Td (loose) Tj ET\nendstream endobj\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes(ISO_8859_1)
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("loose"))
+    assert(r.unsupported === 1)
+  }
+
   test("no catalog falls back to file-order scanning") {
     val bytes = ("%PDF-1.4\n" +
       "9 0 obj << /Length 40 >> stream\nBT /F1 12 Tf 72 720 Td (orphan) Tj ET\nendstream endobj\n" +
