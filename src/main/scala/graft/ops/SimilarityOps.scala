@@ -201,15 +201,46 @@ object SimilarityOps {
       |  FROM s)
       |SELECT q_id, n_id, rn, sim FROM r WHERE rn <= 3""".stripMargin
 
+
+  /** Recall@3 of the sign-LSH path against brute-force ground truth —
+    * the evaluation op any approximate index needs before it replaces the
+    * exact one. Both sides reuse the production queries; the oracle
+    * composes the same two pipelines in SQL, so the recall numbers are
+    * exact, per query vector.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annBrute(spark, dir).filter(col("rn") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val approx = annLsh(spark, dir)
+      .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+    truth.join(approx,
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("a_n")).as("hits"))
+      .select(col("q_id"), col("hits"),
+        round(col("hits").cast("double") / 3.0, 6).as("recall_at_3"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH t0 AS ($annBruteSql),
+       |t AS (SELECT q_id, n_id FROM t0 WHERE rn <= 3),
+       |a AS ($annLshSql)
+       |SELECT t.q_id, CAST(count(a.n_id) AS BIGINT) AS hits,
+       |  round(CAST(count(a.n_id) AS DOUBLE) / 3.0, 6) AS recall_at_3
+       |FROM t LEFT JOIN a ON a.q_id = t.q_id AND a.n_id = t.n_id
+       |GROUP BY t.q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> (annBrute(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
-    "q_knn_label" -> (knnLabel(_, _)))
+    "q_knn_label" -> (knnLabel(_, _)),
+    "q_ann_recall" -> (annRecall(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_ann_brute" -> annBruteSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
-    "q_knn_label" -> knnLabelSql)
+    "q_knn_label" -> knnLabelSql,
+    "q_ann_recall" -> annRecallSql)
 }

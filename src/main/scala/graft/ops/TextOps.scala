@@ -167,6 +167,47 @@ object TextOps {
        |FROM m""".stripMargin
   }
 
+
+  /** The other half of the Gopher gate: repetition filters. Duplicate
+    * 2-gram mass (fraction of bigram occurrences beyond each bigram's
+    * first) and top-bigram share, computed ENTIRELY in-row with
+    * higher-order functions — no explode, no shuffle; a 10^12-doc
+    * repetition pass stays map-side.
+    */
+  def repetitionGate(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "split(text, ' ') as ws")
+      .selectExpr("doc_id",
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2))) as gs")
+      .selectExpr("doc_id",
+        "cast(size(gs) as long) as n_bigrams",
+        "cast(size(array_distinct(gs)) as long) as n_distinct",
+        // top-bigram count: max over distinct bigrams of occurrence count
+        "array_max(transform(array_distinct(gs), g -> size(filter(gs, x -> x = g)))) as top_count")
+      .selectExpr("doc_id", "n_bigrams", "n_distinct",
+        "round(cast(n_bigrams - n_distinct as double) / n_bigrams, 6) as dup_bigram_frac",
+        "round(cast(top_count as double) / n_bigrams, 6) as top_bigram_frac",
+        """cast(round(cast(n_bigrams - n_distinct as double) / n_bigrams, 6) <= 0.5
+          |  and round(cast(top_count as double) / n_bigrams, 6) <= 0.2 as boolean) as repetition_ok""".stripMargin)
+
+  val repetitionGateSql: String =
+    """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |    list_transform(range(1, len(ws)), i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS gs
+      |  FROM w),
+      |m AS (SELECT doc_id,
+      |    CAST(len(gs) AS BIGINT) AS n_bigrams,
+      |    CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+      |    list_max(list_transform(list_distinct(gs),
+      |      g -> len(list_filter(gs, x -> x = g)))) AS top_count
+      |  FROM g)
+      |SELECT doc_id, n_bigrams, n_distinct,
+      |  round(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac,
+      |  round(CAST(top_count AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+      |  (round(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 6) <= 0.5
+      |    AND round(CAST(top_count AS DOUBLE) / n_bigrams, 6) <= 0.2) AS repetition_ok
+      |FROM m""".stripMargin
+
   // ----------------------------------------------------------- fingerprint
 
   /** Content fingerprint: md5 (hex) + 64-bit prefix. The md5 is also the
@@ -264,6 +305,7 @@ object TextOps {
     "q_lang_id" -> (langId(_, _)),
     "q_quality" -> (quality(_, _)),
     "q_gopher_quality" -> (gopherQuality(_, _)),
+    "q_repetition_gate" -> (repetitionGate(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)),
     "q_url_parse" -> (urlParse(_, _)))
 
@@ -273,6 +315,7 @@ object TextOps {
     "q_lang_id" -> langIdSql,
     "q_quality" -> qualitySql,
     "q_gopher_quality" -> gopherQualitySql,
+    "q_repetition_gate" -> repetitionGateSql,
     "q_fingerprint" -> fingerprintSql,
     "q_url_parse" -> urlParseSql)
 }
