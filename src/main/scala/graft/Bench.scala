@@ -112,7 +112,7 @@ object Bench {
         }
       }
     val corpusDir = ensureCorpus(spark, benchDocs)
-    medianExtract(spark, corpusDir, cpus) // warmup (JIT + parquet footers)
+    timeExtract(spark, corpusDir, cpus) // one warmup pass (JIT + footers)
     // expression-only fast path at the same parallelism (no Dataset
     // encoder; sum(n_chars) forces every extraction)
     def timeExpr(): Double = {

@@ -205,7 +205,7 @@ object MainTextExtractor {
       if (!keep(i) && kindOf(b.tag) == "heading" && b.linkChars == 0 && b.words >= 1) {
         var j = i + 1
         var hops = 0
-        while (j < n && !keep(j) && hops <= 2 &&
+        while (j < n && !keep(j) && hops < 2 &&
           (blocks(j).chars == 0 ||
             (blocks(j).words < 10 && blocks(j).linkDensity <= 0.4))) {
           if (blocks(j).chars > 0) hops += 1

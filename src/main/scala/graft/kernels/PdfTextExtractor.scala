@@ -110,15 +110,23 @@ object PdfTextExtractor {
     Some(PdfDoc(s, bytes, objs))
   }
 
+  // key-parameterized patterns compile once per (shape, key) — these run
+  // per page per document on the corpus hot path
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def cachedPattern(id: String, regex: => String): java.util.regex.Pattern = {
+    val p = patternCache.get(id)
+    if (p != null) p
+    else { val c = java.util.regex.Pattern.compile(regex); patternCache.putIfAbsent(id, c); c }
+  }
+
   private def refOf(dict: String, key: String): Option[Int] = {
-    val m = java.util.regex.Pattern
-      .compile("/" + key + "\\s+(\\d+)\\s+\\d+\\s+R").matcher(dict)
+    val m = cachedPattern("ref:" + key, "/" + key + "\\s+(\\d+)\\s+\\d+\\s+R").matcher(dict)
     if (m.find()) Some(m.group(1).toInt) else None
   }
 
   private def refsOf(dict: String, key: String): Seq[Int] = {
-    val arr = java.util.regex.Pattern
-      .compile("/" + key + "\\s*\\[([^\\]]*)\\]").matcher(dict)
+    val arr = cachedPattern("refs:" + key, "/" + key + "\\s*\\[([^\\]]*)\\]").matcher(dict)
     if (arr.find()) {
       val inner = arr.group(1)
       val r = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R").matcher(inner)
@@ -129,8 +137,7 @@ object PdfTextExtractor {
   }
 
   private def nameOf(dict: String, key: String): Option[String] = {
-    val m = java.util.regex.Pattern
-      .compile("/" + key + "\\s*/(\\w+)").matcher(dict)
+    val m = cachedPattern("name:" + key, "/" + key + "\\s*/(\\w+)").matcher(dict)
     if (m.find()) Some(m.group(1)) else None
   }
 
@@ -177,8 +184,7 @@ object PdfTextExtractor {
     }
 
   private def intOf(dict: String, key: String): Option[Int] = {
-    val m = java.util.regex.Pattern
-      .compile("/" + key + "\\s+(\\d+)").matcher(dict)
+    val m = cachedPattern("int:" + key, "/" + key + "\\s+(\\d+)").matcher(dict)
     if (m.find()) Some(m.group(1).toInt) else None
   }
 
@@ -353,6 +359,7 @@ object PdfTextExtractor {
 
   private lazy val WinAnsi: Array[Char] = charsetTable("windows-1252")
   private lazy val MacRoman: Array[Char] = charsetTable("x-MacRoman")
+  private lazy val Latin1Table: Array[Char] = charsetTable("ISO-8859-1")
 
   /** AGL subset for /Differences: letters/digits/punct + Latin-1 accents
     * + typographic names; `uniXXXX` parsed numerically; unknown → notdef
@@ -427,13 +434,20 @@ object PdfTextExtractor {
     * identity at emit).
     */
   private def fontTables(doc: PdfDoc, pageDict: String): Map[String, FontDec] = {
-    val resText = refOf(pageDict, "Resources") match {
-      case Some(r) => doc.dict(r)
-      case None =>
-        val i = pageDict.indexOf("/Resources")
-        if (i < 0) return Map.empty
-        balancedDict(pageDict, i).getOrElse(return Map.empty)
-    }
+    // /Resources is INHERITABLE: a missing entry on the leaf page must be
+    // looked up the /Parent chain (producers routinely declare fonts once
+    // on the /Pages node) — otherwise encoded fonts silently degrade to
+    // Latin-1 mojibake
+    def resolveRes(d: String, depth: Int): Option[String] =
+      refOf(d, "Resources") match {
+        case Some(r) => Some(doc.dict(r))
+        case None =>
+          val i = d.indexOf("/Resources")
+          if (i >= 0) balancedDict(d, i)
+          else if (depth < 8) refOf(d, "Parent").flatMap(p => resolveRes(doc.dict(p), depth + 1))
+          else None
+      }
+    val resText = resolveRes(pageDict, 0).getOrElse(return Map.empty)
     val fi = resText.indexOf("/Font")
     if (fi < 0) return Map.empty
     val fontDict = refOf(resText.substring(fi), "Font") match {
@@ -473,7 +487,7 @@ object PdfTextExtractor {
         refOf(fontDict, "Encoding").flatMap { encNum =>
           val ed = doc.dict(encNum)
           val base = nameOf(ed, "BaseEncoding").flatMap(baseTable)
-            .getOrElse(charsetTable("ISO-8859-1"))
+            .getOrElse(Latin1Table)
           val t = base.clone()
           val di = ed.indexOf("/Differences")
           if (di >= 0) {
@@ -612,8 +626,7 @@ object PdfTextExtractor {
     val pendingArray = new ArrayBuffer[String](8)
     var inArray = false
 
-    def emit(t0: String): Unit = if (inText && t0.nonEmpty) {
-      val t = curFont match {
+    def decode(t0: String): String = curFont match {
         case null => t0
         case ByteTable(tab) =>
           val sb = new java.lang.StringBuilder(t0.length)
@@ -636,7 +649,19 @@ object PdfTextExtractor {
             k += 2
           }
           sb.toString
-      }
+    }
+
+    def emit(t0: String): Unit = if (inText && t0 != null && t0.nonEmpty) {
+      val t = decode(t0)
+      if (t.nonEmpty) runs += Run(x, y, fontSize, t)
+    }
+
+    // TJ arrays decode PER ELEMENT so a kern-injected word space (null
+    // sentinel) can never shift the 2-byte alignment of a CID string
+    def emitArray(parts: scala.collection.Seq[String]): Unit = if (inText) {
+      val sb = new java.lang.StringBuilder(32)
+      parts.foreach(p => sb.append(if (p == null) " " else decode(p)))
+      val t = sb.toString
       if (t.nonEmpty) runs += Run(x, y, fontSize, t)
     }
 
@@ -675,7 +700,7 @@ object PdfTextExtractor {
           lineY -= leading; x = lineX; y = lineY
           if (pendingString != null) emit(pendingString)
         case "TJ" =>
-          if (pendingArray.nonEmpty) emit(pendingArray.mkString(""))
+          if (pendingArray.nonEmpty) emitArray(pendingArray)
         case _ => ()
       }
       nums.clear()
@@ -757,8 +782,10 @@ object PdfTextExtractor {
           // thousandths of an em) is how real PDFs encode inter-word
           // gaps without a space glyph; the conventional extractor
           // heuristic maps adjustments beyond ~a sixth of an em to one
-          // space. Small kerns (ligature/letter spacing) stay invisible.
-          else if (v <= -180.0) pendingArray += " "
+          // space (null sentinel: added AFTER per-element font decode so
+          // it cannot break 2-byte CID alignment). Small kerns stay
+          // invisible.
+          else if (v <= -180.0) pendingArray += null
         } catch { case _: NumberFormatException => () }
       } else if (c == '%') { // comment to EOL
         while (i < n && s.charAt(i) != '\n') i += 1

@@ -238,22 +238,11 @@ object ScalarKernels {
       .fold(desc)(desc.substring(0, _))
     cut.replaceAll("\\s+", " ").trim
   }
-  /** clean_token (convert_to_json.py:145-154, exact port): strip, shed
-    * leading '['/trailing ']', one balanced brace/bracket pair, drop
-    * quotes, commas → spaces, collapse whitespace, lowercase.
+  /** clean_token (convert_to_json.py:145-154): canonical entry — the
+    * single port lives in [[ServiceExtractor.cleanToken]] (it predates
+    * this alias); python-verified vectors in ScalarKernelsSpec pin it.
     */
-  private val BracePairRe = java.util.regex.Pattern.compile("^[\\[{](.*)[\\]}]$")
-  def cleanToken(token0: String): String = {
-    var t = token0.strip()
-    t = t.dropWhile(_ == '[')
-    t = t.reverse.dropWhile(_ == ']').reverse
-    val m = BracePairRe.matcher(t)
-    if (m.matches()) t = m.group(1)
-    t = t.replaceAll("['\"]", "")
-    t = t.replace(",", " ")
-    t = t.replaceAll("\\s+", " ")
-    t.toLowerCase(Locale.ROOT).strip()
-  }
+  def cleanToken(token: String): String = ServiceExtractor.cleanToken(token)
 
   /** find_key_recursive (automate_upload.py:956-974, exact port): walk a
     * JSON tree depth-first in DICT-ENTRY ORDER — at each dict, first a

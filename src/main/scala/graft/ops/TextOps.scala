@@ -177,6 +177,9 @@ object TextOps {
   def repetitionGate(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .selectExpr("cast(doc_id as long) as doc_id", "split(text, ' ') as ws")
+      // sub-2-word docs have no bigrams: sequence(1, 0) would descend and
+      // slice would throw — such docs are trivially non-repetitive, drop
+      .filter("size(ws) >= 2")
       .selectExpr("doc_id",
         "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2))) as gs")
       .selectExpr("doc_id",
@@ -191,7 +194,8 @@ object TextOps {
           |  and round(cast(top_count as double) / n_bigrams, 6) <= 0.2 as boolean) as repetition_ok""".stripMargin)
 
   val repetitionGateSql: String =
-    """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
       |g AS (SELECT doc_id,
       |    list_transform(range(1, len(ws)), i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS gs
       |  FROM w),

@@ -50,11 +50,17 @@ object ParquetFormat extends TableFormat {
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(table)
 
-  /** Copy-on-write merge, partition-scoped: only partitions named by the
-    * updates are read and rewritten — at 10^12 rows the merge cost is
-    * proportional to the touched partitions, never the table. The
-    * localCheckpoint breaks the read lineage so the dynamic overwrite
-    * can legally target the path it just read.
+  /** Copy-on-write merge, partition-scoped: the rewritten set is the
+    * partitions the updates name PLUS the partitions currently holding a
+    * matched key (a key-and-partition-column-only scan — column-pruned,
+    * the same metadata-sized lookup Iceberg answers from manifests), so
+    * an update that MOVES a key to a new partition relocates the single
+    * row instead of leaving a stale duplicate behind. At 10^12 rows the
+    * data rewritten stays proportional to the touched partitions, never
+    * the table. The localCheckpoint breaks the read lineage so the
+    * dynamic overwrite can legally target the path it just read; a
+    * touched partition that ends up empty has its directory removed
+    * (dynamic overwrite cannot delete a partition it writes no rows to).
     */
   override def merge(spark: SparkSession, table: String, updates: DataFrame,
       key: String, partitionCol: String): Unit = {
@@ -62,8 +68,13 @@ object ParquetFormat extends TableFormat {
       overwritePartitions(updates, table, partitionCol)
       return
     }
-    val affected = updates.select(col(partitionCol).cast("string"))
+    val updParts = updates.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq
+    val matchedParts = read(spark, table)
+      .select(col(key), col(partitionCol).cast("string").as(partitionCol))
+      .join(updates.select(col(key)).distinct(), Seq(key), "left_semi")
+      .select(col(partitionCol)).distinct().collect().map(_.getString(0)).toSeq
+    val affected = (updParts ++ matchedParts).distinct
     val current = read(spark, table)
       .withColumn(partitionCol, col(partitionCol).cast("string"))
       .filter(col(partitionCol).isin(affected: _*))
@@ -76,5 +87,15 @@ object ParquetFormat extends TableFormat {
       .withColumn(partitionCol, col(partitionCol).cast("string"))
       .localCheckpoint(true)
     overwritePartitions(merged, table, partitionCol)
+    // relocation can empty an affected partition; drop its directory
+    val remaining = merged.select(col(partitionCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    affected.filterNot(remaining).foreach { pv =>
+      val dir = new java.io.File(s"$table/$partitionCol=$pv")
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
   }
 }

@@ -181,6 +181,39 @@ class PdfObjectGraphSpec extends AnyFunSuite {
     assert(r.unsupported === 1)
   }
 
+  test("fonts inherit /Resources from the /Pages node (/Parent walk)") {
+    // page objects declare NO resources; the WinAnsi font lives on /Pages
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 5 0 R >> >> >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
+      "4 0 obj << /Length 48 >> stream\n" +
+        "BT /F1 12 Tf 72 720 Td (\\200100 \\227 ok) Tj ET\n" +
+        "endstream endobj",
+      "5 0 obj << /Type /Font /Encoding /WinAnsiEncoding >> endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.pages.map(_.text).toSeq === Seq("\u20ac100 \u2014 ok"))
+  }
+
+  test("TJ kern space cannot break 2-byte CID alignment") {
+    val cmap = "beginbfchar\n<0001> <0041>\n<0002> <0042>\nendbfchar"
+    val bytes = pdf(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /FC 5 0 R >> >> >> endobj",
+      "4 0 obj << /Length 60 >> stream\n" +
+        "BT /FC 12 Tf 72 720 Td [<0001> -250 <0002>] TJ ET\n" +
+        "endstream endobj",
+      "5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+        "/ToUnicode 6 0 R >> endobj",
+      s"6 0 obj << /Length ${cmap.length} >> stream\n$cmap\nendstream endobj")
+    val r = PdfTextExtractor.extract(bytes)
+    // the kern space lands BETWEEN decoded CIDs, not inside the byte stream
+    assert(r.pages.map(_.text).toSeq === Seq("A B"))
+  }
+
   test("no catalog falls back to file-order scanning") {
     val bytes = ("%PDF-1.4\n" +
       "9 0 obj << /Length 40 >> stream\nBT /F1 12 Tf 72 720 Td (orphan) Tj ET\nendstream endobj\n" +

@@ -51,6 +51,23 @@ class TableFormatSpec extends SparkTestBase {
       ("u7", "2025-01-01", "new-row")))
   }
 
+  test("merge relocates a key whose partition value changed (no stale twin)") {
+    val t = tmpDir("tf_move") + "/t"
+    ParquetFormat.overwritePartitions(base, t, "p_day")
+    // u3 moves from 2025-01-02 to 2025-01-05; 01-02 had only u3 → dir must go
+    val updates = Seq(("u3", "2025-01-05", "gamma-moved")).toDF("url", "p_day", "text")
+    ParquetFormat.merge(spark, t, updates, "url", "p_day")
+    val got = ParquetFormat.read(spark, t)
+      .select($"url", $"p_day".cast("string"), $"text").as[(String, String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("u1", "2025-01-01", "alpha"),
+      ("u2", "2025-01-01", "beta"),
+      ("u3", "2025-01-05", "gamma-moved"),
+      ("u4", "2025-01-03", "delta")))
+    assert(!new java.io.File(s"$t/p_day=2025-01-02").exists())
+  }
+
   test("merge into an empty table is a plain write") {
     val t = tmpDir("tf_empty") + "/t"
     ParquetFormat.merge(spark, t, base, "url", "p_day")
