@@ -587,16 +587,22 @@ object FormOps {
           "(Code) Service", "Type", "Req.Qty", "Req.Cost", "Gross Amount",
           "App.Qty", "App.Cost", "App.Gross", "Note",
           s"($id-00-01) $w1 scan", "Imaging", "1", "345.5", "600", "2",
-          "340", "680", s"note $w2")
-        val r = graft.kernels.ServiceExtractor.extractLadder(lines)._1.head
+          "340", "680", s"note $w2",
+          s"($id-00-02) $w2 lab", "Laboratory", "3", "80", "240", "3",
+          "75", "225", s"note $w1")
+        val rs = graft.kernels.ServiceExtractor.extractLadder(lines)._1
+        def f(i: Int, k: String): String = rs(i)(k).toString
+        def d(i: Int, k: String): Double =
+          rs(i)(k).asInstanceOf[java.lang.Double].doubleValue
         (id, w1, w2, nChars, text, checked,
-          r("code").toString, r("description").toString, r("type").toString,
-          r("reqQty").asInstanceOf[java.lang.Double].doubleValue,
-          r("appGross").asInstanceOf[java.lang.Double].doubleValue,
-          r("note").toString)
+          f(0, "code"), f(0, "description"), f(0, "type"),
+          d(0, "reqQty"), d(0, "appGross"), f(0, "note"),
+          f(1, "code"), f(1, "description"), f(1, "type"),
+          d(1, "reqQty"), d(1, "appGross"), f(1, "note"))
       }
       .toDF("doc_id", "w1", "w2", "n_chars", "text", "checked",
-        "code", "description", "svc_type", "req_qty", "app_gross", "note")
+        "code", "description", "svc_type", "req_qty", "app_gross", "note",
+        "code2", "description2", "svc_type2", "req_qty2", "app_gross2", "note2")
       .selectExpr("doc_id",
         """to_json(named_struct(
           |  'file_name', concat('doc_', cast(doc_id as string), '.pdf'),
@@ -621,9 +627,13 @@ object FormOps {
           |      'sex', case when doc_id % 2 = 0 then 'M' else 'F' end,
           |      'age', cast(doc_id % 90 + 1 as string),
           |      'gender', case cast(doc_id % 3 as int) when 0 then 'M' when 1 then 'F' end),
-          |    'services', array(named_struct(
-          |      'code', code, 'description', description, 'type', svc_type,
-          |      'reqQty', req_qty, 'appGross', app_gross, 'note', note))),
+          |    'services', array(
+          |      named_struct(
+          |        'code', code, 'description', description, 'type', svc_type,
+          |        'reqQty', req_qty, 'appGross', app_gross, 'note', note),
+          |      named_struct(
+          |        'code', code2, 'description', description2, 'type', svc_type2,
+          |        'reqQty', req_qty2, 'appGross', app_gross2, 'note', note2))),
           |  'page_count', cast(doc_id % 3 + 1 as int),
           |  'extracted_text_length', n_chars)) as record_json""".stripMargin)
   }
@@ -660,7 +670,10 @@ object FormOps {
       |           WHEN 1 THEN ',"gender":"F"' ELSE '' END || '},' ||
       |    '"services":[{"code":"' || CAST(doc_id AS VARCHAR) || '-00-01",' ||
       |      '"description":"' || w1 || ' scan","type":"imaging",' ||
-      |      '"reqQty":1.0,"appGross":680.0,"note":"note ' || w2 || '"}]},' ||
+      |      '"reqQty":1.0,"appGross":680.0,"note":"note ' || w2 || '"},' ||
+      |      '{"code":"' || CAST(doc_id AS VARCHAR) || '-00-02",' ||
+      |      '"description":"' || w2 || ' lab","type":"laboratory",' ||
+      |      '"reqQty":3.0,"appGross":225.0,"note":"note ' || w1 || '"}]},' ||
       |  '"page_count":' || CAST(doc_id % 3 + 1 AS VARCHAR) || ',' ||
       |  '"extracted_text_length":' || CAST(n_chars AS VARCHAR) || '}' AS record_json
       |FROM h""".stripMargin

@@ -212,6 +212,49 @@ object TextOps {
       |    AND round(CAST(top_count AS DOUBLE) / n_bigrams, 6) <= 0.2) AS repetition_ok
       |FROM m""".stripMargin
 
+
+  // ------------------------------------------------- URL canonicalization
+
+  /** Crawl-dedup URL canonicalization: lowercase scheme+host, strip the
+    * default port, drop the fragment and utm_* tracking params, strip a
+    * trailing path slash. The oracle does NOT mirror the regex chain —
+    * it constructs the expected canonical form directly, so the chain is
+    * validated against ground truth (a wrong regex cannot pass by being
+    * wrong identically on both sides).
+    */
+  def urlCanon(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "element_at(split(text, ' '), 1) as w1")
+      .selectExpr("doc_id", "w1",
+        """concat('HTTPS://Host-', cast(doc_id % 50 as string), '.Example.COM:443/Path/', w1,
+          |  case when doc_id % 2 = 0 then '/' else '' end,
+          |  '?utm_source=x&id=', cast(doc_id as string),
+          |  '&utm_campaign=y#s', cast(doc_id % 7 as string)) as raw_url""".stripMargin)
+      .selectExpr("doc_id", "raw_url",
+        "regexp_replace(regexp_replace(regexp_replace(raw_url, '#.*$', ''), 'utm_[^&#]*&', ''), '[?&]utm_[^&#]*$', '') as u3")
+      .selectExpr("doc_id", "raw_url",
+        "lower(regexp_extract(u3, '^([A-Za-z]+)://', 1)) as scheme",
+        "lower(regexp_extract(u3, '^[A-Za-z]+://([^/?#]*)', 1)) as hostport",
+        "regexp_replace(regexp_replace(u3, '^[A-Za-z]+://[^/?#]*', ''), '/(\\\\?|$)', '$1') as rest")
+      .selectExpr("doc_id", "raw_url",
+        """concat(scheme, '://',
+          |  case when scheme = 'https' then regexp_replace(hostport, ':443$', '')
+          |       when scheme = 'http' then regexp_replace(hostport, ':80$', '')
+          |       else hostport end,
+          |  rest) as canon_url""".stripMargin)
+
+  val urlCanonSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'HTTPS://Host-' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM:443/Path/'
+      |    || string_split(text, ' ')[1]
+      |    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      |    || '?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+      |    || '&utm_campaign=y#s' || CAST(doc_id % 7 AS VARCHAR) AS raw_url,
+      |  'https://host-' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/Path/'
+      |    || string_split(text, ' ')[1] || '?id=' || CAST(doc_id AS VARCHAR) AS canon_url
+      |FROM documents""".stripMargin
+
   // ----------------------------------------------------------- fingerprint
 
   /** Content fingerprint: md5 (hex) + 64-bit prefix. The md5 is also the
@@ -311,7 +354,8 @@ object TextOps {
     "q_gopher_quality" -> (gopherQuality(_, _)),
     "q_repetition_gate" -> (repetitionGate(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)),
-    "q_url_parse" -> (urlParse(_, _)))
+    "q_url_parse" -> (urlParse(_, _)),
+    "q_url_canon" -> (urlCanon(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_corpus_clean" -> corpusCleanSql,
@@ -321,5 +365,6 @@ object TextOps {
     "q_gopher_quality" -> gopherQualitySql,
     "q_repetition_gate" -> repetitionGateSql,
     "q_fingerprint" -> fingerprintSql,
-    "q_url_parse" -> urlParseSql)
+    "q_url_parse" -> urlParseSql,
+    "q_url_canon" -> urlCanonSql)
 }
