@@ -255,6 +255,62 @@ object TextOps {
       |    || string_split(text, ' ')[1] || '?id=' || CAST(doc_id AS VARCHAR) AS canon_url
       |FROM documents""".stripMargin
 
+
+  // ----------------------------------------------------------- PII scrub
+
+  /** Training-data PII scrubbing: emails, dashed phone numbers and IPv4
+    * literals replaced with typed placeholders. The input plants PII at
+    * known positions so the oracle constructs the expected redacted
+    * string directly — the scrubber is graded against ground truth, not
+    * against a mirrored regex.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "element_at(split(text, ' '), 1) as w1",
+        "element_at(split(text, ' '), 2) as w2")
+      .selectExpr("doc_id",
+        """concat(w1, ' mail user', cast(doc_id as string), '@example.com then call ',
+          |  '555-', lpad(cast(doc_id % 10000 as string), 4, '0'),
+          |  ' from 10.0.', cast(doc_id % 256 as string), '.1 says ', w2) as raw""".stripMargin)
+      .selectExpr("doc_id",
+        """regexp_replace(regexp_replace(regexp_replace(raw,
+          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]'),
+          |  '\\b[0-9]{3}-[0-9]{4}\\b', '[PHONE]'),
+          |  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]') as scrubbed""".stripMargin)
+
+  val piiScrubSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  string_split(text, ' ')[1] || ' mail [EMAIL] then call [PHONE] from [IP] says '
+      |    || string_split(text, ' ')[2] AS scrubbed
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------- BPE-style pretokenizer
+
+  /** GPT-2-family pretokenization (the public regex shape: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs)
+    * as a token-count signal — the count LLM data pipelines budget by.
+    * Pure RE2-compatible pattern, identical in both engines; oracle
+    * cross-checks count and the first/last token.
+    */
+  private val BpeTok = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        s"regexp_extract_all(text, \"$BpeTok\", 0) as toks")
+      .selectExpr("doc_id",
+        "cast(size(toks) as long) as n_tokens",
+        "element_at(toks, 1) as first_tok",
+        "element_at(toks, -1) as last_tok")
+
+  val bpeTokensSql: String =
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    regexp_extract_all(text, '${BpeTok.replace("'", "''")}') AS toks FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  toks[1] AS first_tok, toks[len(toks)] AS last_tok
+       |FROM t""".stripMargin
+
   // ----------------------------------------------------------- fingerprint
 
   /** Content fingerprint: md5 (hex) + 64-bit prefix. The md5 is also the
@@ -355,7 +411,9 @@ object TextOps {
     "q_repetition_gate" -> (repetitionGate(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)),
     "q_url_parse" -> (urlParse(_, _)),
-    "q_url_canon" -> (urlCanon(_, _)))
+    "q_url_canon" -> (urlCanon(_, _)),
+    "q_pii_scrub" -> (piiScrub(_, _)),
+    "q_bpe_tokens" -> (bpeTokens(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_corpus_clean" -> corpusCleanSql,
@@ -366,5 +424,7 @@ object TextOps {
     "q_repetition_gate" -> repetitionGateSql,
     "q_fingerprint" -> fingerprintSql,
     "q_url_parse" -> urlParseSql,
-    "q_url_canon" -> urlCanonSql)
+    "q_url_canon" -> urlCanonSql,
+    "q_pii_scrub" -> piiScrubSql,
+    "q_bpe_tokens" -> bpeTokensSql)
 }
