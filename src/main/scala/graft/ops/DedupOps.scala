@@ -242,6 +242,52 @@ object DedupOps {
        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5 AS accepted
        |FROM j""".stripMargin
 
+
+  // ------------------------------------------------- near-dup clustering
+
+  /** Terminal dedup step: accepted near-dup PAIRS resolve into connected
+    * components so each cluster keeps exactly one representative. Label
+    * propagation (min-id) over the undirected candidate graph, a fixed
+    * 10 rounds (far above any near-dup cluster diameter; boilerplate
+    * mega-clusters are already excluded by the LSH bucket cap):
+    * per round one join + partial-aggregated min per node, lineage
+    * truncated per round. The oracle computes the SAME components
+    * exactly with a recursive CTE, so cluster assignment is under the
+    * hash compare, not just cluster counts.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val accepted = lshVerify(spark, dir).filter(col("accepted"))
+      .select(col("a_id"), col("b_id"))
+    val edges = accepted
+      .union(accepted.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var i = 0
+    while (i < 10) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      labels = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE acc AS (
+       |  SELECT a_id, b_id FROM ($lshVerifySql) WHERE accepted),
+       |e AS (SELECT a_id AS s, b_id AS d FROM acc
+       |      UNION SELECT b_id, a_id FROM acc),
+       |reach(id, lbl) AS (
+       |  SELECT s, s FROM e
+       |  UNION
+       |  SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.id)
+       |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+       |FROM reach GROUP BY id""".stripMargin
+
   // ------------------------------------------------ embedding-cosine near-dup
 
   /** Embedding-cosine near-dup: candidate pairs share an 8-bit sign-LSH
@@ -321,7 +367,8 @@ object DedupOps {
     "q_lsh_bucket_stats" -> (lshBucketStats(_, _)),
     "q_dedup_simhash" -> (simhash(_, _)),
     "q_dedup_embed_cosine" -> (embedCosine(_, _)),
-    "q_dedup_lsh_verify" -> (lshVerify(_, _)))
+    "q_dedup_lsh_verify" -> (lshVerify(_, _)),
+    "q_dedup_clusters" -> (dedupClusters(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -331,5 +378,6 @@ object DedupOps {
     "q_lsh_bucket_stats" -> lshBucketStatsSql,
     "q_dedup_simhash" -> simhashSql,
     "q_dedup_embed_cosine" -> embedCosineSql,
-    "q_dedup_lsh_verify" -> lshVerifySql)
+    "q_dedup_lsh_verify" -> lshVerifySql,
+    "q_dedup_clusters" -> dedupClustersSql)
 }
