@@ -206,6 +206,48 @@ object DedupOps {
        |SELECT doc_id, $bits AS simhash16 FROM a""".stripMargin
   }
 
+
+  /** SimHash near-dup pairing: the banded join that makes the
+    * fingerprint useful. 16 bits split into 4 bands of 4; by pigeonhole
+    * any pair within hamming distance 3 shares at least one band, so a
+    * (band_no, bits) equi-join finds a complete candidate set for the
+    * hamming<=2 accept threshold — bucketed, never all-pairs, the same
+    * scale shape as MinHash LSH. Exact hamming verifies candidates.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhash(spark, dir)
+    val bands = fp.selectExpr("doc_id", "simhash16",
+      "posexplode(array(substring(simhash16, 1, 4), substring(simhash16, 5, 4), " +
+        "substring(simhash16, 9, 4), substring(simhash16, 13, 4))) as (band_no, bits)")
+    val x = bands.toDF("a_id", "a_fp", "band_no", "bits")
+    val y = bands.toDF("b_id", "b_fp", "y_band_no", "y_bits")
+    x.join(y, col("band_no") === col("y_band_no") && col("bits") === col("y_bits") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+      .selectExpr("a_id", "b_id",
+        """aggregate(transform(sequence(1, 16),
+          |  i -> case when substring(a_fp, i, 1) = substring(b_fp, i, 1) then 0 else 1 end),
+          |  0, (acc, v) -> acc + v) as hamming""".stripMargin)
+      .filter(col("hamming") <= 2)
+      .selectExpr("a_id", "b_id", "cast(hamming as long) as hamming")
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH fp AS ($simhashSql),
+       |b AS (SELECT doc_id, simhash16, band_no,
+       |    substr(simhash16, band_no * 4 + 1, 4) AS bits
+       |  FROM fp, (SELECT unnest(range(0, 4)) AS band_no)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    x.simhash16 AS a_fp, y.simhash16 AS b_fp
+       |  FROM b x JOIN b y ON x.band_no = y.band_no AND x.bits = y.bits
+       |    AND x.doc_id < y.doc_id),
+       |h AS (SELECT a_id, b_id,
+       |    list_sum(list_transform(range(1, 17),
+       |      i -> CASE WHEN substr(a_fp, i, 1) = substr(b_fp, i, 1) THEN 0 ELSE 1 END)) AS hamming
+       |  FROM cand)
+       |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+       |FROM h WHERE hamming <= 2""".stripMargin
+
   // ------------------------------------------- LSH candidate verification
 
   /** Candidate-verification stage of the LSH pipeline: for every
@@ -366,6 +408,7 @@ object DedupOps {
     "q_dedup_minhash_lsh" -> (minhashLsh(_, _)),
     "q_lsh_bucket_stats" -> (lshBucketStats(_, _)),
     "q_dedup_simhash" -> (simhash(_, _)),
+    "q_simhash_pairs" -> (simhashPairs(_, _)),
     "q_dedup_embed_cosine" -> (embedCosine(_, _)),
     "q_dedup_lsh_verify" -> (lshVerify(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)))
@@ -377,6 +420,7 @@ object DedupOps {
     "q_dedup_minhash_lsh" -> minhashLshSql,
     "q_lsh_bucket_stats" -> lshBucketStatsSql,
     "q_dedup_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_dedup_embed_cosine" -> embedCosineSql,
     "q_dedup_lsh_verify" -> lshVerifySql,
     "q_dedup_clusters" -> dedupClustersSql)
