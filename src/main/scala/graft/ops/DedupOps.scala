@@ -300,19 +300,40 @@ object DedupOps {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val accepted = lshVerify(spark, dir).filter(col("accepted"))
       .select(col("a_id"), col("b_id"))
+    // materialize the (tiny) accepted-pair set ONCE — without this every
+    // label-propagation round would re-execute the whole LSH pipeline
+    // through the un-truncated `edges` lineage (observed: ~10x the
+    // pipeline cost in the bench)
+    // the candidate graph is orders of magnitude smaller than the corpus
+    // (pairs that SURVIVED blocking + verification), so the iteration runs
+    // at graph-sized parallelism: one partition here; at 10^12 docs the
+    // same constant would be |accepted| / target-partition-rows
     val edges = accepted
       .union(accepted.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
+      .coalesce(1)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
     var i = 0
-    while (i < 10) {
+    var changed = 1L
+    // near-dup cluster diameters are tiny (mega-clusters are excluded by
+    // the LSH cap), so convergence lands in 2-3 rounds; the changed-count
+    // check between checkpointed (materialized, tiny) tables costs far
+    // less than running the fixed worst-case round count
+    while (i < 10 && changed > 0) {
+      val prev = labels
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       labels = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
+      changed = labels.as("n")
+        .join(prev.withColumnRenamed("lbl", "old").withColumnRenamed("id", "pid"),
+          col("id") === col("pid"))
+        .filter(col("lbl") =!= col("old")).count()
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
