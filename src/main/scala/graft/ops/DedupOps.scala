@@ -207,46 +207,93 @@ object DedupOps {
   }
 
 
-  /** SimHash near-dup pairing: the banded join that makes the
-    * fingerprint useful. 16 bits split into 4 bands of 4; by pigeonhole
-    * any pair within hamming distance 3 shares at least one band, so a
-    * (band_no, bits) equi-join finds a complete candidate set for the
-    * hamming<=2 accept threshold — bucketed, never all-pairs, the same
-    * scale shape as MinHash LSH. Exact hamming verifies candidates.
+  /** SimHash near-dup pairing — the Manku-et-al table configuration: a
+    * 64-BIT simhash split into 4 bands of 16 bits. By pigeonhole any
+    * pair within hamming distance 3 shares a band, and a 16-bit band
+    * value space (65536 buckets per band) keeps bucket populations — and
+    * therefore pair expansion — tiny. (The first cut of this query
+    * banded the 16-bit demo fingerprint into 4-bit values: 16 buckets
+    * per band collapsed the corpus into a near-quadratic join, 240 s at
+    * sf0.1. Band-value cardinality IS the scale knob.) Exact hamming
+    * over the 64 bits verifies candidates at <= 3.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = simhash(spark, dir)
-    val bands = fp.selectExpr("doc_id", "simhash16",
-      "posexplode(array(substring(simhash16, 1, 4), substring(simhash16, 5, 4), " +
-        "substring(simhash16, 9, 4), substring(simhash16, 13, 4))) as (band_no, bits)")
+    // 64-bit simhash: bit j = majority over distinct words of bit j of
+    // the word's md5 (first 16 hex nibbles, MSB-first within nibble)
+    val e = docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "explode(array_distinct(split(text, ' '))) as w")
+      .withColumn("h", md5(col("w").cast("binary")))
+    val sums = (1 to 64).map { j =>
+      val nib = (j - 1) / 4 + 1
+      val p = 1 << (3 - ((j - 1) % 4))
+      sum(expr(s"(cast(conv(substring(h, $nib, 1), 16, 10) as int) div $p) % 2").cast("long")).as(s"c$j")
+    }
+    val agg = e.groupBy("doc_id").agg(count(lit(1)).as("n"), sums: _*)
+    val bits = (1 to 64).map(j => when(col(s"c$j") * 2 > col("n"), "1").otherwise("0"))
+    val fp = agg.select(col("doc_id"), concat(bits: _*).as("fp64"))
+    val bands0 = fp.selectExpr("doc_id", "fp64",
+      "posexplode(array(substring(fp64, 1, 16), substring(fp64, 17, 16), " +
+        "substring(fp64, 33, 16), substring(fp64, 49, 16))) as (band_no, bits)")
+    // same degenerate-bucket guard as the MinHash path: a band bucket
+    // larger than the cap means a mass of (near-)identical fingerprints
+    // (boilerplate/small-vocab corpora) that belongs to exact dedup, not
+    // m^2/2 pair expansion; the count window shares the join partitioning
+    val bands = {
+      import org.apache.spark.sql.expressions.Window
+      bands0.withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(col("band_no"), col("bits"))))
+        .filter(col("bsz") <= DefaultSimhashBucketCap)
+        .drop("bsz")
+    }
     val x = bands.toDF("a_id", "a_fp", "band_no", "bits")
     val y = bands.toDF("b_id", "b_fp", "y_band_no", "y_bits")
     x.join(y, col("band_no") === col("y_band_no") && col("bits") === col("y_bits") &&
         col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
       .selectExpr("a_id", "b_id",
-        """aggregate(transform(sequence(1, 16),
+        """aggregate(transform(sequence(1, 64),
           |  i -> case when substring(a_fp, i, 1) = substring(b_fp, i, 1) then 0 else 1 end),
           |  0, (acc, v) -> acc + v) as hamming""".stripMargin)
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= 3)
       .selectExpr("a_id", "b_id", "cast(hamming as long) as hamming")
   }
 
-  val simhashPairsSql: String =
-    s"""WITH fp AS ($simhashSql),
-       |b AS (SELECT doc_id, simhash16, band_no,
-       |    substr(simhash16, band_no * 4 + 1, 4) AS bits
+  /** Band-bucket cap for [[simhashPairs]] — small enough to bind on the
+    * small-vocabulary synthetic corpus (whose fingerprints genuinely
+    * collapse), large enough that realistic near-dup groups pass.
+    */
+  val DefaultSimhashBucketCap = 50
+
+  val simhashPairsSql: String = {
+    val sums = (1 to 64).map { j =>
+      val nib = (j - 1) / 4 + 1
+      val p = 1 << (3 - ((j - 1) % 4))
+      s"sum(((strpos('0123456789abcdef', substr(h, $nib, 1)) - 1) // $p) % 2) AS c$j"
+    }.mkString(", ")
+    val bits = (1 to 64).map(j => s"CASE WHEN c$j * 2 > n THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH e AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+       |hh AS (SELECT doc_id, md5(w) AS h FROM e),
+       |a AS (SELECT doc_id, count(*) AS n, $sums FROM hh GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $bits AS fp64 FROM a),
+       |b0 AS (SELECT doc_id, fp64, band_no, substr(fp64, band_no * 16 + 1, 16) AS bits
        |  FROM fp, (SELECT unnest(range(0, 4)) AS band_no)),
+       |b AS (SELECT doc_id, fp64, band_no, bits FROM (
+       |    SELECT doc_id, fp64, band_no, bits,
+       |      count(*) OVER (PARTITION BY band_no, bits) AS bsz FROM b0)
+       |  WHERE bsz <= $DefaultSimhashBucketCap),
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-       |    x.simhash16 AS a_fp, y.simhash16 AS b_fp
+       |    x.fp64 AS a_fp, y.fp64 AS b_fp
        |  FROM b x JOIN b y ON x.band_no = y.band_no AND x.bits = y.bits
        |    AND x.doc_id < y.doc_id),
-       |h AS (SELECT a_id, b_id,
-       |    list_sum(list_transform(range(1, 17),
+       |hm AS (SELECT a_id, b_id,
+       |    list_sum(list_transform(range(1, 65),
        |      i -> CASE WHEN substr(a_fp, i, 1) = substr(b_fp, i, 1) THEN 0 ELSE 1 END)) AS hamming
        |  FROM cand)
        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
-       |FROM h WHERE hamming <= 2""".stripMargin
+       |FROM hm WHERE hamming <= 3""".stripMargin
+  }
 
   // ------------------------------------------- LSH candidate verification
 
