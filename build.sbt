@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// compact JSON. Default sbt output wraps forked stdout in "[info] " and
+// appends "[success] Total time..." after it, defeating the tail parse
+// (BENCH_r01/r02 both recorded parsed:null). Route the forked process
+// straight to stdout and suppress the [success] line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,7 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (NOT used by the driver): comma-separated
+    // exact query names; unset = run everything.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
@@ -50,7 +54,7 @@ object Verify {
       .filter(f => f.isDirectory && f.getName.endsWith(".parquet")).map(_.getName)
     val orphans = dumped.filterNot(d =>
       SparkEntry.oracleSql.contains(d.stripSuffix(".parquet")))
-    if (orphans.nonEmpty) {
+    if (orphans.nonEmpty && only.isEmpty) {
       System.err.println(s"[verify] FATAL: dumps without oracle entry: ${orphans.mkString(", ")}")
       spark.stop()
       sys.exit(1)

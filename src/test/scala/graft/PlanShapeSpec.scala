@@ -40,4 +40,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_"))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }
+
+  test("banded pair generation computes the signature pipeline ONCE") {
+    // r2 regression guard: the x/y self-join recomputed the expensive
+    // shingle→minhash (resp. 64-bit fingerprint) aggregation twice. The
+    // in-bucket pair expansion reads documents exactly once — a second
+    // FileScan means the double-compute is back.
+    Seq("q_dedup_minhash_lsh", "q_simhash_pairs").foreach { q =>
+      val p = plan(q)
+      assert("FileScan".r.findAllIn(p).size === 1,
+        s"$q scans its input more than once (self-join double-compute regression)")
+      assert(!p.contains("Window ["),
+        s"$q uses a sort-based count window for the bucket cap; the cap must ride the partial-agg'd groupBy")
+    }
+  }
+
+  test("minhash/simhash signatures are in-row projections (no per-doc agg shuffle)") {
+    // the first exchange in both pipelines must be the bucket groupBy:
+    // exactly 2 hash exchanges total (bucket agg + cross-band distinct)
+    Seq("q_dedup_minhash_lsh", "q_simhash_pairs").foreach { q =>
+      val n = "Exchange hashpartitioning".r.findAllIn(plan(q)).size
+      assert(n === 2,
+        s"$q has $n hash exchanges; expected bucket-groupBy + distinct only — the signature must stay in-row")
+    }
+    // the fingerprint map is a pure projection: zero exchanges
+    assert(!plan("q_dedup_simhash").contains("Exchange"),
+      "q_dedup_simhash fingerprinting must be a shuffle-free projection")
+  }
 }
