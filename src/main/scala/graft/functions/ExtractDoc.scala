@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.kernels.{ExtractKernel, MainTextExtractor, PdfTextExtractor}
+import graft.kernels.{ExtractKernel, HtmlCharset, MainTextExtractor, PdfTextExtractor}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
-import java.nio.charset.StandardCharsets.UTF_8
 
 /** `extract_doc(html binary) -> struct<text string, n_chars int, kind
   * string>` — the struct-returning sibling of `extract_main_text`: one
@@ -66,7 +65,7 @@ object ExtractDoc {
             if (res.pages.isEmpty) null
             else UTF8String.fromString(res.pages.map(_.text).mkString("\n"))
           case _ =>
-            UTF8String.fromString(MainTextExtractor.extract(new String(bytes, UTF_8)).text)
+            UTF8String.fromString(MainTextExtractor.extract(HtmlCharset.decode(bytes)).text)
         }
       } catch { case _: Throwable => null }
     val n = if (text == null) 0 else text.numChars()

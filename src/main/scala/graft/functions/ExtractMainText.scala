@@ -1,13 +1,12 @@
 package graft.functions
 
-import graft.kernels.{ExtractKernel, MainTextExtractor, PdfTextExtractor}
+import graft.kernels.{ExtractKernel, HtmlCharset, MainTextExtractor, PdfTextExtractor}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
-import java.nio.charset.StandardCharsets.UTF_8
 
 /** SQL-callable main-content extraction (SURVEY §4.3 / §7.4 phase-2 item):
   * `extract_main_text(html binary) -> string` as a native Catalyst
@@ -73,7 +72,7 @@ object ExtractMainText {
           if (res.pages.isEmpty) null
           else UTF8String.fromString(res.pages.map(_.text).mkString("\n"))
         case _ =>
-          UTF8String.fromString(MainTextExtractor.extract(new String(bytes, UTF_8)).text)
+          UTF8String.fromString(MainTextExtractor.extract(HtmlCharset.decode(bytes)).text)
       }
     } catch { case _: Throwable => null }
 

@@ -214,6 +214,167 @@ object PagesGen {
     out.toByteArray
   }
 
+  /** PDF whose content streams travel through realistic filter chains:
+    * `mode` is "png" (FlateDecode + PNG predictors 10-15 via
+    * /DecodeParms — every row tag 0-4 exercised), "tiff" (FlateDecode +
+    * TIFF predictor 2), "ahx" (/Filter [/ASCIIHexDecode /FlateDecode]
+    * chain) or "rl" (RunLengthDecode with literal AND repeat runs).
+    * Rows are space-padded to the predictor column width — harmless
+    * between content-stream tokens.
+    */
+  def pdfBytesFiltered(pageLines: Seq[Seq[String]], mode: String): Array[Byte] = {
+    val objs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    objs += "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n".getBytes(UTF_8)
+    val kids = pageLines.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pageLines.length} >> endobj\n".getBytes(UTF_8)
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      objs += (s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents $contObj 0 R /Resources << /Font << /F1 << /Type /Font " +
+        "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n").getBytes(UTF_8)
+      val cs = new java.lang.StringBuilder(256)
+      cs.append("BT /F1 12 Tf 72 720 Td 14 TL\n")
+      lines.zipWithIndex.foreach { case (line, j) =>
+        if (j > 0) cs.append("T*\n")
+        cs.append(s"(${escapePdf(line)}) Tj\n")
+      }
+      cs.append("ET\n")
+      val raw = cs.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val (payload, filterDecl) = mode match {
+        case "png"  =>
+          val cols = 16
+          (deflateBytes(pngPredict(padTo(raw, cols), cols)),
+            s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>")
+        case "tiff" =>
+          val cols = 16
+          (deflateBytes(tiffPredict(padTo(raw, cols), cols)),
+            s" /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns $cols >>")
+        case "ahx"  =>
+          (asciiHexEncode(deflateBytes(raw)),
+            " /Filter [/ASCIIHexDecode /FlateDecode]")
+        case "rl"   =>
+          (runLengthEncode(raw), " /Filter /RunLengthDecode")
+        case other  => throw new IllegalArgumentException(s"mode $other")
+      }
+      val head = new java.io.ByteArrayOutputStream(payload.length + 96)
+      head.write(s"$contObj 0 obj << /Length ${payload.length}$filterDecl >> stream\n".getBytes(UTF_8))
+      head.write(payload)
+      head.write("\nendstream endobj\n".getBytes(UTF_8))
+      objs += head.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write("%PDF-1.4\n".getBytes(UTF_8))
+    objs.foreach(out.write)
+    out.write("trailer << /Root 1 0 R >>\n%%EOF\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  private def padTo(raw: Array[Byte], cols: Int): Array[Byte] = {
+    val rem = raw.length % cols
+    if (rem == 0) raw else raw ++ Array.fill[Byte](cols - rem)(' '.toByte)
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new java.io.ByteArrayOutputStream(raw.length)
+    val chunk = new Array[Byte](8192)
+    while (!d.finished()) buf.write(chunk, 0, d.deflate(chunk))
+    d.end()
+    buf.toByteArray
+  }
+
+  /** PNG-predict rows (tag cycles 0..4: None, Sub, Up, Average, Paeth). */
+  private def pngPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
+    val nRows = raw.length / cols
+    val out = new Array[Byte](nRows * (cols + 1))
+    val prior = new Array[Byte](cols)
+    var r = 0
+    while (r < nRows) {
+      val tag = r % 5
+      out(r * (cols + 1)) = tag.toByte
+      var i = 0
+      while (i < cols) {
+        val cur = raw(r * cols + i) & 0xff
+        val left = if (i > 0) raw(r * cols + i - 1) & 0xff else 0
+        val up = prior(i) & 0xff
+        val upLeft = if (i > 0) prior(i - 1) & 0xff else 0
+        val pred = tag match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+        }
+        out(r * (cols + 1) + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(raw, r * cols, prior, 0, cols)
+      r += 1
+    }
+    out
+  }
+
+  /** TIFF predictor 2: per row, byte minus left neighbor (8-bit). */
+  private def tiffPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
+    val out = raw.clone()
+    var r = 0
+    while (r * cols < out.length) {
+      var i = cols - 1
+      while (i >= 1) {
+        out(r * cols + i) = ((raw(r * cols + i) - raw(r * cols + i - 1)) & 0xff).toByte
+        i -= 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def asciiHexEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(data.length * 2 + data.length / 32 + 2)
+    var i = 0
+    while (i < data.length) {
+      sb.append(f"${data(i) & 0xff}%02X")
+      if (i % 32 == 31) sb.append('\n')
+      i += 1
+    }
+    sb.append('>')
+    sb.toString.getBytes(UTF_8)
+  }
+
+  /** RunLengthDecode encoder: repeat runs (>=3 identical bytes) as
+    * (257-n, byte), literals chunked to <=128, EOD marker 128.
+    */
+  private def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i)); i += run
+      } else {
+        // literal: extend until a >=3 repeat starts or 128 bytes
+        var j = i + 1
+        var ok = true
+        while (ok && j < data.length && j - i < 128) {
+          var r2 = 1
+          while (j + r2 < data.length && data(j + r2) == data(j) && r2 < 3) r2 += 1
+          if (r2 >= 3) ok = false else j += 1
+        }
+        out.write(j - i - 1)
+        out.write(data, i, j - i)
+        i = j
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
   /** Composite-font (Type0/Identity-H) PDF: text is shown as 2-byte CID
     * hex strings and the per-file ToUnicode CMap (built from the page's
     * distinct characters, first-occurrence code assignment) is the ONLY

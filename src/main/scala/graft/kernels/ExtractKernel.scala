@@ -1,7 +1,6 @@
 package graft.kernels
 
 import graft.model.{ExtractedPage, PageRow, Span}
-import java.nio.charset.StandardCharsets.UTF_8
 
 /** Per-row extraction dispatch: content sniffing + kernel invocation +
   * poison-pill isolation (SURVEY §2.2 "extension dispatch" re-expressed as
@@ -54,7 +53,7 @@ object ExtractKernel {
             }
           }
         case _ =>
-          val html = new String(row.html, UTF_8)
+          val html = HtmlCharset.decode(row.html)
           val ex = MainTextExtractor.extract(html)
           Iterator.single(
             ExtractedPage(row.url, 0, row.warc_ts, KindHtml, ex.text, ex.spans.toSeq, null))

@@ -1,0 +1,98 @@
+package graft.kernels
+
+import java.nio.ByteBuffer
+import java.nio.charset.{Charset, CodingErrorAction}
+import java.nio.charset.StandardCharsets.{UTF_16BE, UTF_16LE, UTF_8}
+
+/** WHATWG-style encoding sniff for raw crawled HTML bytes.
+  *
+  * The reference never faced this (its OCR service returned Unicode,
+  * azure_ocr.py:129-137), but a crawl-facing extractor must: real pages
+  * are full of windows-1252 / ISO-8859-x / meta-declared legacy
+  * encodings, and mis-decoding them breaks the byte-identity north rule
+  * on exactly the pages that need care.
+  *
+  * Resolution order (per the WHATWG Encoding + HTML sniffing algorithm,
+  * trimmed to what a batch pipeline can know — there is no transport
+  * Content-Type header in the input table):
+  *   1. BOM (UTF-8 / UTF-16LE / UTF-16BE) — always wins, stripped;
+  *   2. `<meta charset=...>` / `<meta http-equiv=Content-Type ...>`
+  *      declaration in the first 1024 bytes (ASCII-safe prefix scan);
+  *      ISO-8859-1 / US-ASCII / latin1 labels resolve to windows-1252
+  *      exactly as the WHATWG label table demands;
+  *   3. strict UTF-8 validation — valid UTF-8 is taken as UTF-8 (modern
+  *      crawls are overwhelmingly undeclared UTF-8);
+  *   4. windows-1252 fallback (the WHATWG default for western locales) —
+  *      every byte decodes, so legacy pages always yield text.
+  */
+object HtmlCharset {
+
+  private val Win1252: Charset = Charset.forName("windows-1252")
+
+  /** WHATWG label table subset: every label here resolves to
+    * windows-1252 (the spec folds the whole Latin-1/ASCII family in).
+    */
+  private val Win1252Labels: Set[String] = Set(
+    "windows-1252", "cp1252", "x-cp1252",
+    "iso-8859-1", "iso8859-1", "iso88591", "iso_8859-1", "iso_8859-1:1987",
+    "iso-ir-100", "latin1", "l1", "csisolatin1", "ibm819", "cp819",
+    "ascii", "us-ascii", "ansi_x3.4-1968")
+
+  /** Resolve a declared label to a JDK charset; None = unknown label
+    * (caller falls through to content sniffing).
+    */
+  def forLabel(label: String): Option[Charset] = {
+    val l = label.trim.toLowerCase
+    if (l == "utf-8" || l == "utf8" || l == "unicode-1-1-utf-8") Some(UTF_8)
+    else if (Win1252Labels.contains(l)) Some(Win1252)
+    // a meta-declared utf-16 is unreachable in utf-16 bytes; WHATWG maps
+    // such declarations to UTF-8 to defang encoding-confusion tricks
+    else if (l == "utf-16" || l == "utf-16le" || l == "utf-16be") Some(UTF_8)
+    else
+      try if (Charset.isSupported(l)) Some(Charset.forName(l)) else None
+      catch { case _: Exception => None }
+  }
+
+  private val MetaCharset =
+    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([a-zA-Z0-9._:-]+)".r
+
+  /** Declared charset label from the first 1024 bytes, if any. The scan
+    * is ASCII-safe: bytes >= 0x80 become a placeholder so multi-byte
+    * sequences can't fabricate or split a match.
+    */
+  def sniffDeclared(bytes: Array[Byte]): Option[String] = {
+    val n = math.min(bytes.length, 1024)
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      sb.append(if (b < 0x80) b.toChar else '\u0080')
+      i += 1
+    }
+    MetaCharset.findFirstMatchIn(sb).map(_.group(1))
+  }
+
+  private def strictUtf8(bytes: Array[Byte]): Option[String] = {
+    val dec = UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try Some(dec.decode(ByteBuffer.wrap(bytes)).toString)
+    catch { case _: Exception => None }
+  }
+
+  /** Decode raw page bytes to text per the resolution order above. */
+  def decode(bytes: Array[Byte]): String = {
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+      bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      return new String(bytes, 3, bytes.length - 3, UTF_8)
+    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte)
+      return new String(bytes, 2, bytes.length - 2, UTF_16LE)
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)
+      return new String(bytes, 2, bytes.length - 2, UTF_16BE)
+    sniffDeclared(bytes).flatMap(forLabel) match {
+      // declared encodings decode with U+FFFD replacement, per WHATWG
+      case Some(cs) => new String(bytes, cs)
+      case None => strictUtf8(bytes).getOrElse(new String(bytes, Win1252))
+    }
+  }
+}

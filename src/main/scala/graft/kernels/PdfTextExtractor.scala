@@ -21,17 +21,19 @@ import scala.collection.mutable.ArrayBuffer
   *    windows-1252 / x-MacRoman charsets), `/Differences` overrides via
   *    a glyph-name→Unicode table (AGL subset + `uniXXXX`), Latin-1
   *    semantics for fonts with no declared encoding.
-  *  - streams: FlateDecode via java.util.zip.Inflater, raw otherwise;
-  *    content-stream lexer for BT/ET, Tf (font + size), Td, TD, Tm, TL,
-  *    T*, Tj, TJ, quote; literal `(..)` strings with escapes and hex
-  *    `<..>` strings.
+  *  - streams: declared filter CHAINS of FlateDecode (with PNG
+  *    predictors 10-15 and TIFF predictor 2 via /DecodeParms — common on
+  *    real /ObjStm, XRef and content streams), ASCIIHexDecode and
+  *    RunLengthDecode; raw when no filter; content-stream lexer for
+  *    BT/ET, Tf (font + size), Td, TD, Tm, TL, T*, Tj, TJ, quote;
+  *    literal `(..)` strings with escapes and hex `<..>` strings.
   *  - lines: y-cluster rule re-derived from the reference's dormant
   *    `group_lines` (azure_ocr.py:42-82): runs share a line when y
   *    distance < 0.8 × average text height (azure_ocr.py:55-56).
   *  - files with no parseable catalog fall back to file-order stream
-  *    scanning; anything outside scope (CMap/Type0 fonts, encryption,
-  *    non-Flate filters, object streams) is surfaced via `unsupported` —
-  *    honest counting, never silent.
+  *    scanning; anything outside scope (encryption, LZW/DCT/JBIG2
+  *    filters) is surfaced via `unsupported` — honest counting, never
+  *    silent.
   *
   * Pages: one extraction unit per page-tree leaf; `pages` returns
   * per-page text in page-tree order (reference per-page loop
@@ -91,12 +93,43 @@ object PdfTextExtractor {
 
   private val ObjHeadRe = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
 
+  /** stream…endstream payload spans — `N G obj` byte patterns INSIDE a
+    * compressed payload (or page text) are phantom headers: under the
+    * later-duplicate-wins rule one could shadow a real object and
+    * silently corrupt extraction, so the header scan skips these spans.
+    */
+  private def streamPayloadSpans(s: String): ArrayBuffer[(Int, Int)] = {
+    val spans = new ArrayBuffer[(Int, Int)](8)
+    var i = 0
+    while (i >= 0 && i < s.length) {
+      val k = s.indexOf("stream", i)
+      if (k < 0) i = -1
+      else if (k >= 3 && s.regionMatches(k - 3, "end", 0, 3)) i = k + 6
+      else {
+        var p = k + 6
+        if (p < s.length && s.charAt(p) == '\r') p += 1
+        if (p < s.length && s.charAt(p) == '\n') p += 1
+        val e = s.indexOf("endstream", p)
+        if (e < 0) { spans += ((p, s.length)); i = -1 }
+        else { spans += ((p, e)); i = e + 9 }
+      }
+    }
+    spans
+  }
+
   private def indexObjects(bytes: Array[Byte]): Option[PdfDoc] = {
     val s = new String(bytes, Latin1)
     val m = ObjHeadRe.matcher(s)
-    val heads = new ArrayBuffer[(Int, Int, Int)](16) // (num, bodyStart, headStart)
-    while (m.find()) heads += ((m.group(1).toInt, m.end(), m.start()))
-    if (heads.isEmpty) return None
+    val all = new ArrayBuffer[(Int, Int, Int)](16) // (num, bodyStart, headStart)
+    while (m.find()) all += ((m.group(1).toInt, m.end(), m.start()))
+    if (all.isEmpty) return None
+    val payload = streamPayloadSpans(s)
+    val filtered = all.filterNot { case (_, _, h) =>
+      payload.exists { case (a, b) => h >= a && h < b }
+    }
+    // raw-scan fallback: if span exclusion leaves nothing (pathological
+    // framing), trust the raw header scan as before
+    val heads = if (filtered.nonEmpty) filtered else all
     var objs = Map.empty[Int, (Int, Int)]
     var i = 0
     while (i < heads.length) {
@@ -123,6 +156,17 @@ object PdfTextExtractor {
   private def refOf(dict: String, key: String): Option[Int] = {
     val m = cachedPattern("ref:" + key, "/" + key + "\\s+(\\d+)\\s+\\d+\\s+R").matcher(dict)
     if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** LAST match of `/key N 0 R` — for whole-file keys (e.g. /Root) the
+    * final trailer governs in incrementally-updated files, consistent
+    * with the later-object-wins rule applied to object bodies.
+    */
+  private def lastRefOf(s: String, key: String): Option[Int] = {
+    val m = cachedPattern("ref:" + key, "/" + key + "\\s+(\\d+)\\s+\\d+\\s+R").matcher(s)
+    var r: Option[Int] = None
+    while (m.find()) r = Some(m.group(1).toInt)
+    r
   }
 
   private def refsOf(dict: String, key: String): Seq[Int] = {
@@ -157,8 +201,9 @@ object PdfTextExtractor {
     None
   }
 
-  /** Stream payload of object `num`, Flate-decoded when declared.
-    * Returns None when the object has no stream or an unsupported filter.
+  /** Stream payload of object `num`, decoded through its declared filter
+    * chain. Returns None when the object has no stream or an unsupported
+    * filter (encryption, LZW, DCT, ... stay honestly `unsupported`).
     */
   private def streamOf(doc: PdfDoc, num: Int): Option[Array[Byte]] =
     doc.objs.get(num).flatMap { case (a, b) =>
@@ -167,21 +212,169 @@ object PdfTextExtractor {
       if (k < 0) None
       else {
         val d = body.substring(0, k)
-        val flate = d.contains("/FlateDecode")
-        if (d.contains("/Filter") && !flate) None
-        else {
-          var p = a + k + 6
-          if (p < doc.bytes.length && doc.bytes(p) == '\r') p += 1
-          if (p < doc.bytes.length && doc.bytes(p) == '\n') p += 1
-          val e = doc.s.indexOf("endstream", p)
-          var q = if (e < 0) b else e
-          if (q > p && doc.bytes(q - 1) == '\n') q -= 1
-          if (q > p && doc.bytes(q - 1) == '\r') q -= 1
-          val raw = java.util.Arrays.copyOfRange(doc.bytes, p, math.max(p, q))
-          if (flate) inflate(raw) else Some(raw)
+        var p = a + k + 6
+        if (p < doc.bytes.length && doc.bytes(p) == '\r') p += 1
+        if (p < doc.bytes.length && doc.bytes(p) == '\n') p += 1
+        val e = doc.s.indexOf("endstream", p)
+        var q = if (e < 0) b else e
+        if (q > p && doc.bytes(q - 1) == '\n') q -= 1
+        if (q > p && doc.bytes(q - 1) == '\r') q -= 1
+        val raw = java.util.Arrays.copyOfRange(doc.bytes, p, math.max(p, q))
+        decodeStream(d, raw)
+      }
+    }
+
+  // ------------------------------------------------------- stream filters
+
+  private val FilterRe =
+    java.util.regex.Pattern.compile("/Filter\\s*(?:\\[([^\\]]*)\\]|/(\\w+))")
+  private val NameRe = java.util.regex.Pattern.compile("/(\\w+)")
+
+  /** Declared filter names in application (decode) order. */
+  private def filtersOf(dict: String): Seq[String] = {
+    val m = FilterRe.matcher(dict)
+    if (!m.find()) Seq.empty
+    else if (m.group(2) != null) Seq(m.group(2))
+    else {
+      val inner = NameRe.matcher(m.group(1))
+      val out = new ArrayBuffer[String](2)
+      while (inner.find()) out += inner.group(1)
+      out.toSeq
+    }
+  }
+
+  /** Apply the declared filter chain (ASCIIHex / RunLength / Flate with
+    * PNG+TIFF predictors). Unknown filter → None.
+    */
+  private def decodeStream(dict: String, raw: Array[Byte]): Option[Array[Byte]] =
+    filtersOf(dict).foldLeft(Option(raw)) { (acc, f) =>
+      acc.flatMap { data =>
+        f match {
+          case "FlateDecode" | "Fl" =>
+            inflate(data).flatMap(applyPredictor(dict, _))
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+          case "RunLengthDecode" | "RL" => runLengthDecode(data)
+          case _ => None // unsupported filter, counted honestly upstream
         }
       }
     }
+
+  /** Undo the /DecodeParms /Predictor transform after Inflate: PNG
+    * predictors 10-15 (per-row filter-tag byte, the form real producers
+    * emit on /ObjStm, XRef and content streams) and TIFF predictor 2
+    * (8-bit components). Predictor 1 / absent = identity.
+    */
+  private def applyPredictor(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val pi = dict.indexOf("/DecodeParms") match {
+      case -1 => dict.indexOf("/DP")
+      case x  => x
+    }
+    if (pi < 0) return Some(data)
+    val parms = balancedDict(dict, pi).getOrElse(return Some(data))
+    val pred = intOf(parms, "Predictor").getOrElse(1)
+    if (pred <= 1) return Some(data)
+    val colors = intOf(parms, "Colors").getOrElse(1)
+    val bpc = intOf(parms, "BitsPerComponent").getOrElse(8)
+    val columns = intOf(parms, "Columns").getOrElse(1)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (rowLen <= 0) return None
+    if (pred == 2) {
+      if (bpc != 8) return None // TIFF predictor only for 8-bit comps
+      val out = data.clone()
+      var r = 0
+      while (r * rowLen < out.length) {
+        val base = r * rowLen
+        var i = bpp
+        while (i < rowLen && base + i < out.length) {
+          out(base + i) = (out(base + i) + out(base + i - bpp)).toByte
+          i += 1
+        }
+        r += 1
+      }
+      Some(out)
+    } else if (pred >= 10) {
+      val stride = rowLen + 1
+      val nRows = data.length / stride
+      if (nRows * stride != data.length) return None
+      val out = new Array[Byte](nRows * rowLen)
+      val prior = new Array[Byte](rowLen)
+      var r = 0
+      while (r < nRows) {
+        val tag = data(r * stride) & 0xff
+        val row = java.util.Arrays.copyOfRange(data, r * stride + 1, (r + 1) * stride)
+        var i = 0
+        while (i < rowLen) {
+          val rawB = row(i) & 0xff
+          val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+          val up = prior(i) & 0xff
+          val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
+          val recon = tag match {
+            case 0 => rawB
+            case 1 => rawB + left
+            case 2 => rawB + up
+            case 3 => rawB + ((left + up) / 2)
+            case 4 =>
+              val p = left + up - upLeft
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+              rawB + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+            case _ => return None // invalid row tag
+          }
+          row(i) = (recon & 0xff).toByte
+          i += 1
+        }
+        System.arraycopy(row, 0, out, r * rowLen, rowLen)
+        System.arraycopy(row, 0, prior, 0, rowLen)
+        r += 1
+      }
+      Some(out)
+    } else None
+  }
+
+  private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') i = data.length
+      else {
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0.toChar) -2
+          else return None
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+        i += 1
+      }
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+    Some(out.toByteArray)
+  }
+
+  private def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val len = data(i) & 0xff
+      if (len == 128) i = data.length // EOD
+      else if (len < 128) {
+        if (i + len + 2 > data.length) return None
+        out.write(data, i + 1, len + 1)
+        i += len + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var k = 0
+        while (k < 257 - len) { out.write(data(i + 1)); k += 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray)
+  }
 
   private def intOf(dict: String, key: String): Option[Int] = {
     val m = cachedPattern("int:" + key, "/" + key + "\\s+(\\d+)").matcher(dict)
@@ -231,7 +424,7 @@ object PdfTextExtractor {
   private def extractViaPageTree(bytes: Array[Byte]): Option[PdfResult] = {
     val doc1 = indexObjects(bytes).getOrElse(return None)
     val (doc, objStmFailed) = expandObjStm(doc1)
-    val rootNum = refOf(doc.s, "Root").orElse {
+    val rootNum = lastRefOf(doc.s, "Root").orElse {
       (doc.objs.keys ++ doc.extra.keys).find(n => doc.dict(n).contains("/Catalog"))
     }.getOrElse(return None)
     val pagesRoot = refOf(doc.dict(rootNum), "Pages").getOrElse(return None)
@@ -351,7 +544,13 @@ object PdfTextExtractor {
     var b = 0
     while (b < 256) {
       val d = new String(Array(b.toByte), charset)
-      t(b) = if (d.length == 1) d.charAt(0) else b.toChar
+      // bytes the charset leaves undefined (JDK decodes to U+FFFD, e.g.
+      // windows-1252's 0x81/0x8D/0x8F/0x90/0x9D) drop as notdef at emit
+      // (notdef sentinel) — honest loss, never a replacement glyph
+      t(b) =
+        if (d.length == 1 && d.charAt(0) != '�') d.charAt(0)
+        else if (d.length == 1) 0.toChar
+        else b.toChar
       b += 1
     }
     t
@@ -528,8 +727,6 @@ object PdfTextExtractor {
         val dict =
           if (dictStart >= 0) new String(bytes, dictStart, s - dictStart, Latin1)
           else ""
-        val flate = dict.contains("/FlateDecode")
-        val otherFilter = dict.contains("/Filter") && !flate
         // payload starts after "stream" + EOL
         var p = s + 6
         if (p < n && bytes(p) == '\r') p += 1
@@ -541,9 +738,8 @@ object PdfTextExtractor {
         if (q > p && bytes(q - 1) == '\n') q -= 1
         if (q > p && bytes(q - 1) == '\r') q -= 1
         val raw = java.util.Arrays.copyOfRange(bytes, p, math.max(p, q))
-        if (otherFilter) out += ((Array.emptyByteArray, false))
-        else if (flate) {
-          inflate(raw) match {
+        if (dict.contains("/Filter") || dict.contains("/DecodeParms")) {
+          decodeStream(dict, raw) match {
             case Some(d) => out += ((d, true))
             case None    => out += ((Array.emptyByteArray, false))
           }

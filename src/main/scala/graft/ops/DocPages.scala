@@ -94,6 +94,25 @@ object DocPages {
     }
   }
 
+  /** Filter-chain PDF: content streams travel through PNG-predictor
+    * Flate (doc_id%4=0), TIFF-predictor Flate (1), an ASCIIHex→Flate
+    * chain (2) or RunLengthDecode (3) — byte-identical recovery requires
+    * the declared-filter pipeline incl. /DecodeParms predictors.
+    */
+  def pdfFiltered(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val mode = (d.doc_id % 4) match {
+        case 0 => "png"
+        case 1 => "tiff"
+        case 2 => "ahx"
+        case _ => "rl"
+      }
+      PageRow(s"doc://pf/${d.doc_id}", Ts0,
+        PagesGen.pdfBytesFiltered(Seq(Seq(d.text)), mode), "", d.lang)
+    }
+  }
+
   /** WinAnsi-encoded PDF: the text is prefixed with glyphs that live at
     * 0x80-0x9F in windows-1252 (euro, em-dash, oe) where Latin-1 has
     * control characters — byte-identical recovery REQUIRES the font
@@ -134,6 +153,27 @@ object DocPages {
       val t = "نص تجريبي — " + d.text
       PageRow(s"doc://a/${d.doc_id}", Ts0,
         PagesGen.htmlPage(Seq(t), None, d.doc_id).getBytes(UTF_8), "", d.lang)
+    }
+  }
+
+  /** Legacy-encoding wrap: the page BYTES are windows-1252 (glyphs at
+    * 0x80-0x9F where Latin-1 has control chars), declared via `<meta
+    * charset>` on even doc_ids and the `http-equiv="Content-Type"` form
+    * with the ISO-8859-1 label — which the WHATWG label table folds into
+    * windows-1252 — on odd ones. Byte-identical recovery REQUIRES the
+    * charset sniff; a UTF-8-only decoder mojibakes every prefix glyph.
+    */
+  val Win1252Prefix = "€ — «œuvre» ™ "
+  def htmlWin1252(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val decl =
+        if (d.doc_id % 2 == 0) "<meta charset=\"windows-1252\">"
+        else "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\">"
+      val page = PagesGen.htmlPage(Seq(Win1252Prefix + d.text), None, d.doc_id)
+        .replace("<meta charset=\"utf-8\">", decl)
+      PageRow(s"doc://w1252/${d.doc_id}", Ts0,
+        page.getBytes(java.nio.charset.Charset.forName("windows-1252")), "", d.lang)
     }
   }
 

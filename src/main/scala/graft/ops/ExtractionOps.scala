@@ -56,6 +56,14 @@ object ExtractionOps {
   val extractPdfSql: String =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS extracted_text FROM documents"
 
+  /** PDF content streams through declared filter chains (PNG/TIFF
+    * predictor Flate, ASCIIHex→Flate, RunLength); identity oracle — a
+    * silent predictor failure would corrupt every 4th-row document.
+    */
+  def extractPdfFilters(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.pdfFiltered(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
   /** Multi-page PDF → one combined document: the kernel emits one page
     * per PDF page object, mergePages '\n'-joins them in page order and
     * reports page_count — the reference's `{page_count, pages:[...]}`
@@ -104,6 +112,18 @@ object ExtractionOps {
 
   val extractPdfCidSql: String =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'نص ' || text AS extracted_text FROM documents"
+
+  /** windows-1252 page bytes with meta-declared charset (both the
+    * `<meta charset>` and `http-equiv` + ISO-8859-1-label forms): the
+    * kernel must sniff + decode through the WHATWG label table before
+    * extraction; identity-plus-prefix oracle like the WinAnsi PDF wrap.
+    */
+  def extractWin1252(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.htmlWin1252(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
+  val extractWin1252Sql: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, '€ — «œuvre» ™ ' || text AS extracted_text FROM documents"
 
   /** Empty-html rows take the crawl-text passthrough branch. */
   def extractPassthrough(spark: SparkSession, dir: String): DataFrame =
@@ -205,13 +225,15 @@ object ExtractionOps {
     "q_extract_html_chunked" -> (extractHtmlChunked(_, _)),
     "q_extract_pdf" -> (extractPdf(_, _)),
     "q_extract_pdf_flate" -> (extractPdfFlate(_, _)),
+    "q_extract_pdf_filters" -> (extractPdfFilters(_, _)),
     "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
     "q_extract_pdf_scrambled" -> (extractPdfScrambled(_, _)),
     "q_extract_pdf_winansi" -> (extractPdfWinAnsi(_, _)),
     "q_extract_pdf_cid" -> (extractPdfCid(_, _)),
     "q_extract_passthrough" -> (extractPassthrough(_, _)),
     "q_extract_mixed" -> (extractMixed(_, _)),
-    "q_extract_spans" -> (extractSpans(_, _)))
+    "q_extract_spans" -> (extractSpans(_, _)),
+    "q_extract_win1252" -> (extractWin1252(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_extract_doc_struct" -> extractDocStructSql,
@@ -222,11 +244,13 @@ object ExtractionOps {
     "q_extract_html_chunked" -> extractHtmlChunkedSql,
     "q_extract_pdf" -> extractPdfSql,
     "q_extract_pdf_flate" -> extractPdfSql,
+    "q_extract_pdf_filters" -> extractPdfSql,
     "q_extract_pdf_multipage" -> extractPdfMultipageSql,
     "q_extract_pdf_scrambled" -> extractPdfMultipageSql,
     "q_extract_pdf_winansi" -> extractPdfWinAnsiSql,
     "q_extract_pdf_cid" -> extractPdfCidSql,
     "q_extract_passthrough" -> extractPassthroughSql,
     "q_extract_mixed" -> extractMixedSql,
-    "q_extract_spans" -> extractSpansSql)
+    "q_extract_spans" -> extractSpansSql,
+    "q_extract_win1252" -> extractWin1252Sql)
 }

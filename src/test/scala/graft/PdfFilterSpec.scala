@@ -1,0 +1,83 @@
+package graft
+
+import graft.gen.PagesGen
+import graft.kernels.PdfTextExtractor
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream-filter chains and crawl-realism object indexing. */
+class PdfFilterSpec extends AnyFunSuite {
+
+  private val lines = Seq("the quick brown fox", "jumps over the lazy dog",
+    "aaaaaaaaaaaaaaaaaa repeated run content")
+
+  test("PNG-predictor Flate round-trips byte-identically (all row tags)") {
+    val pdf = PagesGen.pdfBytesFiltered(Seq(lines), "png")
+    val r = PdfTextExtractor.extract(pdf)
+    assert(r.unsupported === 0)
+    assert(r.pages.map(_.text).mkString("\n") === lines.mkString("\n"))
+  }
+
+  test("TIFF-predictor Flate round-trips byte-identically") {
+    val pdf = PagesGen.pdfBytesFiltered(Seq(lines), "tiff")
+    val r = PdfTextExtractor.extract(pdf)
+    assert(r.unsupported === 0)
+    assert(r.pages.map(_.text).mkString("\n") === lines.mkString("\n"))
+  }
+
+  test("ASCIIHex -> Flate filter chain round-trips") {
+    val pdf = PagesGen.pdfBytesFiltered(Seq(lines), "ahx")
+    val r = PdfTextExtractor.extract(pdf)
+    assert(r.unsupported === 0)
+    assert(r.pages.map(_.text).mkString("\n") === lines.mkString("\n"))
+  }
+
+  test("RunLengthDecode (repeat + literal runs) round-trips") {
+    val pdf = PagesGen.pdfBytesFiltered(Seq(lines), "rl")
+    val r = PdfTextExtractor.extract(pdf)
+    assert(r.unsupported === 0)
+    assert(r.pages.map(_.text).mkString("\n") === lines.mkString("\n"))
+  }
+
+  test("unsupported filters stay honestly counted") {
+    val pdf = new String(PagesGen.pdfBytes(Seq(Seq("hello"))
+      .map(identity), compress = false), ISO_8859_1)
+      .replace(">> stream", "/Filter /LZWDecode >> stream")
+      .getBytes(ISO_8859_1)
+    val r = PdfTextExtractor.extract(pdf)
+    assert(r.unsupported > 0)
+    assert(r.pages.isEmpty)
+  }
+
+  test("phantom obj header inside a stream payload cannot shadow a real object") {
+    // craft: object 4 (content) whose payload CONTAINS the bytes
+    // "3 0 obj" + junk; the raw header scan would index a phantom object
+    // 3 AFTER the real page object 3 → later-wins shadows the page
+    val base = PagesGen.pdfBytes(Seq(Seq("real page text")), compress = false)
+    val s = new String(base, ISO_8859_1)
+    val poisoned = s.replace("(real page text) Tj",
+      "(real page text) Tj\n% 3 0 obj << /Type /Junk >> endobj\n")
+    val r = PdfTextExtractor.extract(poisoned.getBytes(ISO_8859_1))
+    assert(r.pages.map(_.text).mkString === "real page text")
+  }
+
+  test("incremental update: the LAST /Root trailer governs") {
+    // append an updated catalog (obj 10) pointing at a new page tree with
+    // different text, plus a second trailer — later-object/last-trailer
+    // semantics must surface the UPDATED text
+    val base = new String(PagesGen.pdfBytes(Seq(Seq("original")), compress = false), ISO_8859_1)
+    val stripped = base.stripSuffix("%%EOF\n")
+    val update =
+      """10 0 obj << /Type /Catalog /Pages 11 0 R >> endobj
+        |11 0 obj << /Type /Pages /Kids [12 0 R] /Count 1 >> endobj
+        |12 0 obj << /Type /Page /Parent 11 0 R /MediaBox [0 0 612 792] /Contents 13 0 R /Resources << /Font << /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj
+        |13 0 obj << /Length 44 >> stream
+        |BT /F1 12 Tf 72 720 Td (updated text) Tj ET
+        |endstream endobj
+        |trailer << /Root 10 0 R >>
+        |%%EOF
+        |""".stripMargin
+    val r = PdfTextExtractor.extract((stripped + update).getBytes(ISO_8859_1))
+    assert(r.pages.map(_.text).mkString === "updated text")
+  }
+}
