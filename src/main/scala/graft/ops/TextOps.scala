@@ -35,12 +35,35 @@ object TextOps {
 
   // ------------------------------------------------------------ language id
 
-  // marker vocabularies; scoring = |distinct words ∩ markers|
+  // Marker vocabularies from PUBLIC stopword profiles (the top-frequency
+  // function words every published stopword list agrees on — e.g. the
+  // NLTK / Snowball / ranks.nl lists), 10 per language across 20
+  // languages incl. Cyrillic + Arabic scripts; scoring = |distinct words
+  // ∩ markers|. Shared words (de/nl "die", es/pt "de", da/no "og") are
+  // deliberate: scoring is by TOTAL hits with a fixed tie order, the way
+  // marker-profile LID heuristics are published. Space-separated scripts
+  // only — CJK would need a char-n-gram profile, out of scope here.
   private val Markers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
-    "fr" -> Seq("le", "la", "et", "les", "des"),
-    "es" -> Seq("el", "los", "una", "como"),
-    "de" -> Seq("der", "die", "und", "nicht"))
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "was", "for", "with"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "que", "pour", "dans", "pas", "vous"),
+    "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "pero", "como", "más"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "von", "mit", "ist", "auf", "ein"),
+    "it" -> Seq("il", "gli", "che", "per", "con", "sono", "della", "più", "anche", "questo"),
+    "pt" -> Seq("os", "uma", "não", "com", "para", "por", "mais", "mas", "são", "foi"),
+    "nl" -> Seq("de", "het", "een", "van", "niet", "met", "voor", "naar", "zijn", "dat"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med"),
+    "da" -> Seq("og", "det", "at", "en", "til", "er", "som", "på", "ikke", "med"),
+    "no" -> Seq("og", "det", "at", "en", "til", "er", "som", "på", "ikke", "jeg"),
+    "fi" -> Seq("ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "niin", "kuin"),
+    "pl" -> Seq("nie", "się", "jest", "na", "że", "do", "jak", "ale", "po", "co"),
+    "cs" -> Seq("je", "se", "na", "že", "si", "ale", "jako", "už", "tak", "co"),
+    "ro" -> Seq("și", "de", "la", "cu", "un", "este", "pentru", "care", "nu", "din"),
+    "hu" -> Seq("az", "és", "hogy", "nem", "is", "egy", "van", "de", "ez", "volt"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "ne", "için", "ile", "ama", "gibi", "çok"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+    "ca" -> Seq("els", "les", "amb", "per", "una", "dels", "com", "més", "això", "també"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с", "это", "как", "по", "но"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "هذا", "التي", "كان", "مع", "عن"))
 
   private def hitsExpr(ws: Seq[String]): String = {
     val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
@@ -185,9 +208,17 @@ object TextOps {
       .selectExpr("doc_id",
         "cast(size(gs) as long) as n_bigrams",
         "cast(size(array_distinct(gs)) as long) as n_distinct",
-        // top-bigram count: max over distinct bigrams of occurrence count
-        "array_max(transform(array_distinct(gs), g -> size(filter(gs, x -> x = g)))) as top_count")
-      .selectExpr("doc_id", "n_bigrams", "n_distinct",
+        // top-bigram count via sort + one run-length fold: O(d log d)
+        // per row, not the O(d²) per-distinct filter scan that let one
+        // pathological 100k-word doc stall a whole task
+        """aggregate(array_sort(gs),
+          |  named_struct('run', 0L, 'best', 0L, 'prev', cast(null as string)),
+          |  (a, x) -> named_struct(
+          |    'run',  case when a.prev = x then a.run + 1 else 1L end,
+          |    'best', greatest(a.best, case when a.prev = x then a.run + 1 else 1L end),
+          |    'prev', x),
+          |  a -> a.best) as top_count""".stripMargin)
+      .selectExpr("doc_id", "n_bigrams", "n_distinct", "top_count",
         "round(cast(n_bigrams - n_distinct as double) / n_bigrams, 6) as dup_bigram_frac",
         "round(cast(top_count as double) / n_bigrams, 6) as top_bigram_frac",
         """cast(round(cast(n_bigrams - n_distinct as double) / n_bigrams, 6) <= 0.5
@@ -205,7 +236,7 @@ object TextOps {
       |    list_max(list_transform(list_distinct(gs),
       |      g -> len(list_filter(gs, x -> x = g)))) AS top_count
       |  FROM g)
-      |SELECT doc_id, n_bigrams, n_distinct,
+      |SELECT doc_id, n_bigrams, n_distinct, CAST(top_count AS BIGINT) AS top_count,
       |  round(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac,
       |  round(CAST(top_count AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
       |  (round(CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams, 6) <= 0.5

@@ -26,7 +26,8 @@ object Ledger {
       chars: Long,
       errors: Long,
       wallMs: Long,
-      committedAtMs: Long)
+      committedAtMs: Long,
+      snapshot: Long = 0L) // monotonically increasing commit id; 0 = auto-assign
 
   private def enc(partition: String): String =
     java.net.URLEncoder.encode(partition, "UTF-8")
@@ -44,12 +45,24 @@ object Ledger {
         .toMap
   }
 
-  def commit(dir: String, e: Entry): Unit = {
+  /** Highest snapshot id committed so far (0 = empty ledger) — the
+    * Iceberg `currentSnapshot().snapshotId()` analog, the value a caller
+    * records to later ask for "rows since" via TableFormat.readSince.
+    */
+  def currentSnapshot(dir: String): Long =
+    committed(dir).values.map(_.snapshot).maxOption.getOrElse(0L)
+
+  def commit(dir: String, e0: Entry): Unit = {
     val p = ledgerPath(dir)
     Files.createDirectories(p)
+    // snapshot 0 = auto-assign the next id (single-driver commit point,
+    // like Iceberg's sequence numbers)
+    val e = if (e0.snapshot != 0L) e0
+      else e0.copy(snapshot = currentSnapshot(dir) + 1L)
     val json =
       s"""{"partition":${q(e.partition)},"rows":${e.rows},"chars":${e.chars},""" +
-        s""""errors":${e.errors},"wall_ms":${e.wallMs},"committed_at_ms":${e.committedAtMs}}"""
+        s""""errors":${e.errors},"wall_ms":${e.wallMs},"committed_at_ms":${e.committedAtMs},""" +
+        s""""snapshot":${e.snapshot}}"""
     val tmp = p.resolve(s".tmp-${enc(e.partition)}-${Thread.currentThread().getId}")
     Files.write(tmp, json.getBytes(UTF_8))
     // atomic rename = the commit point (move-after-success)
@@ -87,6 +100,7 @@ object Ledger {
       p <- str("partition")
       r <- num("rows")
     } yield Entry(p, r, num("chars").getOrElse(0L), num("errors").getOrElse(0L),
-      num("wall_ms").getOrElse(0L), num("committed_at_ms").getOrElse(0L))
+      num("wall_ms").getOrElse(0L), num("committed_at_ms").getOrElse(0L),
+      num("snapshot").getOrElse(0L))
   }
 }

@@ -34,6 +34,19 @@ trait TableFormat {
     */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
       key: String, partitionCol: String): Unit
+
+  /** Incremental snapshot-diff read — rows belonging to partitions
+    * committed AFTER `sinceSnapshot` (the Iceberg
+    * `spark.read.option("start-snapshot-id", N).table(t)` analog; a
+    * caller records `Ledger.currentSnapshot` after a run and later reads
+    * only what newer runs added). Writes here are partition-granular
+    * (overwrite/merge rewrite whole partitions), so the diff unit is the
+    * partition: a rewritten partition re-appears in full — a superset of
+    * the row-level append diff, and exactly what a downstream
+    * re-derivation must reprocess.
+    */
+  def readSince(spark: SparkSession, table: String, ledgerDir: String,
+      sinceSnapshot: Long): DataFrame
 }
 
 /** Parquet-directory implementation. */
@@ -49,6 +62,26 @@ object ParquetFormat extends TableFormat {
 
   override def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(table)
+
+  /** Partition-granular diff from the ledger's snapshot ids: scan stays
+    * partition-pruned (the isin filter sits on the partition column), so
+    * an incremental consumer reads only the new partitions' files.
+    */
+  override def readSince(spark: SparkSession, table: String, ledgerDir: String,
+      sinceSnapshot: Long): DataFrame = {
+    val newer = Ledger.committed(ledgerDir).values
+      .filter(_.snapshot > sinceSnapshot).map(_.partition).toSeq
+    val base = read(spark, table)
+    if (newer.isEmpty) return base.filter(lit(false))
+    val byCol = newer.map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"ledger partition '$p' is not col=value")
+      (p.substring(0, i), p.substring(i + 1))
+    }.groupBy(_._1)
+    byCol.foldLeft(base) { case (df, (c, vs)) =>
+      df.filter(col(c).cast("string").isin(vs.map(_._2): _*))
+    }
+  }
 
   /** Copy-on-write merge, partition-scoped: the rewritten set is the
     * partitions the updates name PLUS the partitions currently holding a
