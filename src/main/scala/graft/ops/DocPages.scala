@@ -177,6 +177,27 @@ object DocPages {
     }
   }
 
+  /** UTF-16 wrap: page bytes are BOM-prefixed UTF-16 (LE on even
+    * doc_ids, BE on odd) — the BOM outranks every declaration in the
+    * sniff order, and the unchanged `<meta charset="utf-8">` chrome
+    * inside is a decoy the decoder must ignore.
+    */
+  val Utf16Prefix = "Ωμέγα — "
+  def htmlUtf16(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val page = PagesGen.htmlPage(Seq(Utf16Prefix + d.text), None, d.doc_id)
+      val bytes =
+        if (d.doc_id % 2 == 0)
+          Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+            page.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        else
+          Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+            page.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+      PageRow(s"doc://u16/${d.doc_id}", Ts0, bytes, "", d.lang)
+    }
+  }
+
   /** Empty html → crawl-text passthrough branch. */
   def passthrough(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._

@@ -125,6 +125,17 @@ object ExtractionOps {
   val extractWin1252Sql: String =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, '€ — «œuvre» ™ ' || text AS extracted_text FROM documents"
 
+  /** BOM-prefixed UTF-16 page bytes (LE/BE by parity) with a decoy
+    * `<meta charset="utf-8">` inside: the BOM must outrank the
+    * declaration; identity-plus-prefix oracle.
+    */
+  def extractUtf16(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.htmlUtf16(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
+  val extractUtf16Sql: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'Ωμέγα — ' || text AS extracted_text FROM documents"
+
   /** Empty-html rows take the crawl-text passthrough branch. */
   def extractPassthrough(spark: SparkSession, dir: String): DataFrame =
     extracted(spark, DocPages.passthrough(spark, dir))
@@ -233,7 +244,8 @@ object ExtractionOps {
     "q_extract_passthrough" -> (extractPassthrough(_, _)),
     "q_extract_mixed" -> (extractMixed(_, _)),
     "q_extract_spans" -> (extractSpans(_, _)),
-    "q_extract_win1252" -> (extractWin1252(_, _)))
+    "q_extract_win1252" -> (extractWin1252(_, _)),
+    "q_extract_utf16" -> (extractUtf16(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_extract_doc_struct" -> extractDocStructSql,
@@ -252,5 +264,6 @@ object ExtractionOps {
     "q_extract_passthrough" -> extractPassthroughSql,
     "q_extract_mixed" -> extractMixedSql,
     "q_extract_spans" -> extractSpansSql,
-    "q_extract_win1252" -> extractWin1252Sql)
+    "q_extract_win1252" -> extractWin1252Sql,
+    "q_extract_utf16" -> extractUtf16Sql)
 }

@@ -102,6 +102,66 @@ object TextOps {
        |FROM h""".stripMargin
   }
 
+  // ----------------------------------------------------- CJK language id
+
+  // Character profiles for the unsegmented scripts the word-marker LID
+  // cannot handle: top function CHARACTERS (public frequency lists —
+  // zh particles, ja kana particles, ko josa/eomi syllables). Kana is
+  // uniquely Japanese and hangul uniquely Korean; shared han characters
+  // just add to the total like shared stopwords do in [[Markers]].
+  private val CjkProfiles: Seq[(String, Seq[String])] = Seq(
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+    "ja" -> Seq("の", "は", "を", "に", "が", "と", "で", "す", "ま", "し"),
+    "ko" -> Seq("이", "다", "는", "을", "가", "에", "한", "하", "고", "지"))
+
+  private val CjkSamples: Map[Long, (String, String)] = Map(
+    0L -> ("zh", "我们在这里有一个很好的机会就是不要错过了人生"),
+    1L -> ("ja", "これはテストのページですがとてもよいでしょうまた来ます"),
+    2L -> ("ko", "이것은 한국어 문서이다 오늘을 좋게 하고 지낸다 그가 말한다"))
+
+  /** Char-profile LID for unsegmented CJK text: score = number of
+    * profile characters PRESENT in the text (substring containment, no
+    * tokenization). The corpus text is Latin, so a deterministic CJK
+    * sample rides in front by doc_id%3 and the oracle knows the answer
+    * in closed form — the profiles are graded against ground truth.
+    * Pure Catalyst projection, zero shuffle.
+    */
+  def langIdCjk(spark: SparkSession, dir: String): DataFrame = {
+    val sampleCase = CjkSamples.map { case (k, (_, s)) => s"when $k then '$s'" }.mkString(" ")
+    val hits = CjkProfiles.map { case (l, cs) =>
+      val arr = cs.map(c => s"'$c'").mkString("array(", ", ", ")")
+      s"cast(size(filter($arr, c -> instr(txt, c) > 0)) as long) as hits_$l"
+    }
+    val best = CjkProfiles.map { case (l, _) => s"hits_$l" }
+    val caseChain = CjkProfiles.map { case (l, _) =>
+      s"when hits_$l = greatest(${best.mkString(", ")}) and hits_$l > 0 then '$l'"
+    }.mkString(" ")
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        s"concat(case doc_id % 3 $sampleCase end, ' ', text) as txt")
+      .selectExpr(Seq("doc_id") ++ hits: _*)
+      .selectExpr(Seq("doc_id") ++ best ++
+        Seq(s"case $caseChain else 'und' end as lang_pred"): _*)
+  }
+
+  val langIdCjkSql: String = {
+    val sampleCase = CjkSamples.map { case (k, (_, s)) => s"WHEN $k THEN '$s'" }.mkString(" ")
+    val hits = CjkProfiles.map { case (l, cs) =>
+      val arr = cs.map(c => s"'$c'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter($arr, c -> strpos(txt, c) > 0)) AS BIGINT) AS hits_$l"
+    }
+    val best = CjkProfiles.map { case (l, _) => s"hits_$l" }
+    val caseChain = CjkProfiles.map { case (l, _) =>
+      s"WHEN hits_$l = greatest(${best.mkString(", ")}) AND hits_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    concat(CASE doc_id % 3 $sampleCase END, ' ', text) AS txt FROM documents),
+       |h AS (SELECT doc_id, ${hits.mkString(", ")} FROM t)
+       |SELECT doc_id, ${best.mkString(", ")},
+       |  CASE $caseChain ELSE 'und' END AS lang_pred
+       |FROM h""".stripMargin
+  }
+
   // ---------------------------------------------------------- quality score
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -437,6 +497,7 @@ object TextOps {
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
+    "q_lang_id_cjk" -> (langIdCjk(_, _)),
     "q_quality" -> (quality(_, _)),
     "q_gopher_quality" -> (gopherQuality(_, _)),
     "q_repetition_gate" -> (repetitionGate(_, _)),
@@ -450,6 +511,7 @@ object TextOps {
     "q_corpus_clean" -> corpusCleanSql,
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
+    "q_lang_id_cjk" -> langIdCjkSql,
     "q_quality" -> qualitySql,
     "q_gopher_quality" -> gopherQualitySql,
     "q_repetition_gate" -> repetitionGateSql,

@@ -52,6 +52,17 @@ class LangIdSpec extends SparkTestBase {
     }
   }
 
+  test("CJK char profiles identify unsegmented zh/ja/ko samples (ground truth by doc_id%3)") {
+    val rows = (0L until 9L).map(i => (i, "web", 10L, "latin filler words", "en"))
+    val dir = writeDocs("langid_cjk", rows)
+    val got = TextOps.langIdCjk(spark, dir).select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 9L).foreach { i =>
+      val want = (i % 3) match { case 0 => "zh"; case 1 => "ja"; case _ => "ko" }
+      assert(got(i) === want, s"doc $i")
+    }
+  }
+
   test("zero marker hits stays 'und'") {
     val dir = writeDocs("langid_und",
       Seq((0L, "web", 10L, "zzz qqq xxyy", "en")))
