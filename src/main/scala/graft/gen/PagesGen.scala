@@ -270,12 +270,12 @@ object PagesGen {
     out.toByteArray
   }
 
-  private def padTo(raw: Array[Byte], cols: Int): Array[Byte] = {
+  private[graft] def padTo(raw: Array[Byte], cols: Int): Array[Byte] = {
     val rem = raw.length % cols
     if (rem == 0) raw else raw ++ Array.fill[Byte](cols - rem)(' '.toByte)
   }
 
-  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+  private[graft] def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(raw); d.finish()
     val buf = new java.io.ByteArrayOutputStream(raw.length)
@@ -286,7 +286,7 @@ object PagesGen {
   }
 
   /** PNG-predict rows (tag cycles 0..4: None, Sub, Up, Average, Paeth). */
-  private def pngPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
+  private[graft] def pngPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
     val nRows = raw.length / cols
     val out = new Array[Byte](nRows * (cols + 1))
     val prior = new Array[Byte](cols)
@@ -320,7 +320,7 @@ object PagesGen {
   }
 
   /** TIFF predictor 2: per row, byte minus left neighbor (8-bit). */
-  private def tiffPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
+  private[graft] def tiffPredict(raw: Array[Byte], cols: Int): Array[Byte] = {
     val out = raw.clone()
     var r = 0
     while (r * cols < out.length) {

@@ -39,6 +39,35 @@ class PdfFilterSpec extends AnyFunSuite {
     assert(r.pages.map(_.text).mkString("\n") === lines.mkString("\n"))
   }
 
+  test("/ObjStm compressed with predictor-Flate expands (the real-world PDF 1.5 shape)") {
+    // structural objects live in an object stream whose payload is
+    // Flate + PNG-predictor compressed — the exact combination real
+    // producers emit for /ObjStm and XRef streams
+    val members = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val bodies = members.map(_._2 + "\n")
+    val offsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = members.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payloadRaw = (header + bodies.mkString)
+      .getBytes(ISO_8859_1)
+    val cols = 8
+    val payload = PagesGen.deflateBytes(
+      PagesGen.pngPredict(PagesGen.padTo(payloadRaw, cols), cols))
+    val bytes = ("%PDF-1.5\n" +
+      s"7 0 obj << /Type /ObjStm /N 3 /First ${header.length} /Length ${payload.length} " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >> >> stream\n")
+      .getBytes(ISO_8859_1) ++ payload ++
+      ("\nendstream endobj\n" +
+        "4 0 obj << /Length 46 >> stream\nBT /F1 12 Tf 72 720 Td (objstm page) Tj ET\nendstream endobj\n" +
+        "trailer << /Root 1 0 R >>\n%%EOF\n").getBytes(ISO_8859_1)
+    val r = PdfTextExtractor.extract(bytes)
+    assert(r.unsupported === 0)
+    assert(r.pages.map(_.text).toSeq === Seq("objstm page"))
+  }
+
   test("unsupported filters stay honestly counted") {
     val pdf = new String(PagesGen.pdfBytes(Seq(Seq("hello"))
       .map(identity), compress = false), ISO_8859_1)
