@@ -16,5 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (TokenSortRatio.fnName, TokenSortRatio.fnInfo, TokenSortRatio.builder))
     ext.injectFunction(
       (ExtractDoc.fnName, ExtractDoc.fnInfo, ExtractDoc.builder))
+    ext.injectFunction(
+      (SimHash64.fnName, SimHash64.fnInfo, SimHash64.builder))
   }
 }

@@ -238,18 +238,15 @@ object DedupOps {
     * [[simhashBucketStats]].
     */
   private def simhashBandLongForm(spark: SparkSession, dir: String): DataFrame = {
-    // in-row majority vote over the per-doc distinct-word md5 array —
-    // like [[simhash]], a pure projection with zero shuffle; the only
-    // exchange in the simhash pipeline is the band-bucket groupBy
-    val bits = (1 to 64).map { j =>
-      val nib = (j - 1) / 4 + 1
-      val p = 1 << (3 - ((j - 1) % 4))
-      expr(s"case when size(filter(hs, h -> (cast(conv(substring(h, $nib, 1), 16, 10) as int) div $p) % 2 = 1)) * 2 > size(hs) then '1' else '0' end")
-    }
+    // single-pass native simhash64 expression (full doGenCode, one md5
+    // per distinct word, all 64 counters in one scan) — like [[simhash]]
+    // a pure projection with zero shuffle; the only exchange in the
+    // simhash pipeline is the band-bucket groupBy. The kernel reproduces
+    // the md5-hex bit math exactly, so the DuckDB oracle is untouched.
+    graft.functions.SimHash64.register(spark)
     val fp = docs(spark, dir).selectExpr(
       "cast(doc_id as long) as doc_id",
-      "transform(array_distinct(split(text, ' ')), w -> md5(cast(w as binary))) as hs")
-      .select(col("doc_id"), concat(bits: _*).as("fp64"))
+      "simhash64(text) as fp64")
     fp.selectExpr("doc_id", "fp64",
       "posexplode(array(substring(fp64, 1, 16), substring(fp64, 17, 16), " +
         "substring(fp64, 33, 16), substring(fp64, 49, 16))) as (band_no, bits)")
@@ -265,6 +262,10 @@ object DedupOps {
     // aggregation executes exactly once, no sort window, no self-join —
     // and pairs expand in-bucket from the sorted list (a_id < b_id
     // structural; sort_array on structs orders by doc_id first).
+    // hamming as bit_count(xor) over two 32-bit halves (codegen'd integer
+    // ops, not a 64-step string lambda), computed BEFORE the distinct so
+    // the hamming<=3 filter shrinks the dedup input to the few real
+    // near-dup pairs and the 64-char fingerprints never shuffle
     bands0.groupBy(col("band_no"), col("bits"))
       .agg(collect_list(struct(col("doc_id"), col("fp64"))).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= DefaultSimhashBucketCap)
@@ -274,14 +275,13 @@ object DedupOps {
           |  (a, i) -> transform(slice(ms, i + 2, size(ms)),
           |            b -> struct(a.doc_id as a_id, b.doc_id as b_id,
           |                        a.fp64 as a_fp, b.fp64 as b_fp))))) as p""".stripMargin)
-      .select(col("p.a_id"), col("p.b_id"), col("p.a_fp"), col("p.b_fp"))
-      .distinct()
-      .selectExpr("a_id", "b_id",
-        """aggregate(transform(sequence(1, 64),
-          |  i -> case when substring(a_fp, i, 1) = substring(b_fp, i, 1) then 0 else 1 end),
-          |  0, (acc, v) -> acc + v) as hamming""".stripMargin)
+      .selectExpr("p.a_id as a_id", "p.b_id as b_id",
+        """cast(bit_count(cast(conv(substring(p.a_fp, 1, 32), 2, 10) as bigint)
+          |             ^ cast(conv(substring(p.b_fp, 1, 32), 2, 10) as bigint))
+          |   + bit_count(cast(conv(substring(p.a_fp, 33, 32), 2, 10) as bigint)
+          |             ^ cast(conv(substring(p.b_fp, 33, 32), 2, 10) as bigint)) as long) as hamming""".stripMargin)
       .filter(col("hamming") <= 3)
-      .selectExpr("a_id", "b_id", "cast(hamming as long) as hamming")
+      .distinct()
   }
 
   /** Band-bucket cap for [[simhashPairs]] — small enough to bind on the
