@@ -18,5 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (ExtractDoc.fnName, ExtractDoc.fnInfo, ExtractDoc.builder))
     ext.injectFunction(
       (SimHash64.fnName, SimHash64.fnInfo, SimHash64.builder))
+    ext.injectFunction(
+      (MinHashBands.fnName, MinHashBands.fnInfo, MinHashBands.builder))
   }
 }

@@ -97,20 +97,18 @@ object DedupOps {
     * the raw text never shuffles.
     */
   private def lshLongForm(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = (1 to K).map(i =>
-      expr(s"array_min(transform(sh, s -> md5(cast(concat(s, '#$i') as binary))))").as(s"h$i"))
-    val sig = docs(spark, dir).selectExpr(
+    // native single-pass minhash_bands expression (full doGenCode): one
+    // walk over the shingles computing each salted digest straight into
+    // a running 16-byte minimum — no shingle/hash array materialization.
+    // Hex output orders identically to the digest bytes, so the band
+    // keys (and the DuckDB oracle) are byte-identical to the
+    // composed-builtins formulation.
+    graft.functions.MinHashBands.register(spark)
+    docs(spark, dir).selectExpr(
       "cast(doc_id as long) as doc_id",
-      """case when size(split(text, ' ')) >= 3
-        |  then transform(sequence(1, size(split(text, ' ')) - 2),
-        |       i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
-        |  else array(text) end as sh""".stripMargin)
-      .select(col("doc_id") +: sigs: _*)
-    val bandCols = (0 until Bands).map(b =>
-      concat(col(s"h${2 * b + 1}"), col(s"h${2 * b + 2}")).as(s"b$b"))
-    val bands = sig.select(col("doc_id") +: bandCols: _*)
-    bands.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"b$b")): _*)).as(Seq("band_no", "bkey")))
+      "minhash_bands(text) as bands")
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_no", "bkey")))
   }
 
   /** MinHash+LSH candidate pairs over 3-word shingles: shingle → K minhash
