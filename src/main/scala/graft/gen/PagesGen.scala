@@ -218,7 +218,8 @@ object PagesGen {
     * `mode` is "png" (FlateDecode + PNG predictors 10-15 via
     * /DecodeParms — every row tag 0-4 exercised), "tiff" (FlateDecode +
     * TIFF predictor 2), "ahx" (/Filter [/ASCIIHexDecode /FlateDecode]
-    * chain) or "rl" (RunLengthDecode with literal AND repeat runs).
+    * chain), "a85" (/Filter [/ASCII85Decode /FlateDecode] chain) or
+    * "rl" (RunLengthDecode with literal AND repeat runs).
     * Rows are space-padded to the predictor column width — harmless
     * between content-stream tokens.
     */
@@ -253,6 +254,9 @@ object PagesGen {
         case "ahx"  =>
           (asciiHexEncode(deflateBytes(raw)),
             " /Filter [/ASCIIHexDecode /FlateDecode]")
+        case "a85"  =>
+          (ascii85Encode(deflateBytes(raw)),
+            " /Filter [/ASCII85Decode /FlateDecode]")
         case "rl"   =>
           (runLengthEncode(raw), " /Filter /RunLengthDecode")
         case other  => throw new IllegalArgumentException(s"mode $other")
@@ -332,6 +336,40 @@ object PagesGen {
       r += 1
     }
     out
+  }
+
+  /** ASCII85 (btoa/Adobe) encode with `z` shorthand for zero groups and
+    * the `~>` terminator.
+    */
+  private[graft] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i + 4 <= data.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (data(i + k) & 0xffL); k += 1 }
+      if (v == 0L) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        sb.append(cs)
+      }
+      if (sb.length % 64 < 5) sb.append('\n')
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < rem) data(i + k) & 0xffL else 0L); k += 1 }
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+      sb.append(cs, 0, rem + 1)
+    }
+    sb.append("~>")
+    sb.toString.getBytes(UTF_8)
   }
 
   private def asciiHexEncode(data: Array[Byte]): Array[Byte] = {

@@ -23,8 +23,9 @@ import scala.collection.mutable.ArrayBuffer
   *    semantics for fonts with no declared encoding.
   *  - streams: declared filter CHAINS of FlateDecode (with PNG
   *    predictors 10-15 and TIFF predictor 2 via /DecodeParms — common on
-  *    real /ObjStm, XRef and content streams), ASCIIHexDecode and
-  *    RunLengthDecode; raw when no filter; content-stream lexer for
+  *    real /ObjStm, XRef and content streams), ASCIIHexDecode,
+  *    ASCII85Decode and RunLengthDecode; raw when no filter;
+  *    content-stream lexer for
   *    BT/ET, Tf (font + size), Td, TD, Tm, TL, T*, Tj, TJ, quote;
   *    literal `(..)` strings with escapes and hex `<..>` strings.
   *  - lines: y-cluster rule re-derived from the reference's dormant
@@ -243,8 +244,8 @@ object PdfTextExtractor {
     }
   }
 
-  /** Apply the declared filter chain (ASCIIHex / RunLength / Flate with
-    * PNG+TIFF predictors). Unknown filter → None.
+  /** Apply the declared filter chain (ASCIIHex / ASCII85 / RunLength /
+    * Flate with PNG+TIFF predictors). Unknown filter → None.
     */
   private def decodeStream(dict: String, raw: Array[Byte]): Option[Array[Byte]] =
     filtersOf(dict).foldLeft(Option(raw)) { (acc, f) =>
@@ -253,6 +254,7 @@ object PdfTextExtractor {
           case "FlateDecode" | "Fl" =>
             inflate(data).flatMap(applyPredictor(dict, _))
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+          case "ASCII85Decode" | "A85" => ascii85Decode(data)
           case "RunLengthDecode" | "RL" => runLengthDecode(data)
           case _ => None // unsupported filter, counted honestly upstream
         }
@@ -353,6 +355,46 @@ object PdfTextExtractor {
       }
     }
     if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+    Some(out.toByteArray)
+  }
+
+  private def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var g = 0
+    var i = 0
+    // optional <~ leader (Adobe tools emit it; PDF streams usually don't)
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true // ~> terminator
+      else if (c == 'z' && g == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        group(g) = c - '!'
+        g += 1
+        if (g == 5) {
+          var v = 0L
+          var k = 0
+          while (k < 5) { v = v * 85 + group(k); k += 1 }
+          out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+          out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+          g = 0
+        }
+      } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0.toChar) ()
+      else return None
+      i += 1
+    }
+    if (g == 1) return None // a lone trailing char is malformed
+    if (g > 1) {
+      // final partial group of n chars encodes n-1 bytes (pad with 'u')
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < g) group(k) else 84); k += 1 }
+      val bs = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bs, 0, g - 1)
+    }
     Some(out.toByteArray)
   }
 

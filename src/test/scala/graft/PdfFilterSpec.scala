@@ -32,6 +32,13 @@ class PdfFilterSpec extends AnyFunSuite {
     assert(r.pages.map(_.text).mkString("\n") === lines.mkString("\n"))
   }
 
+  test("ASCII85 -> Flate filter chain round-trips (incl. z groups and partial tail)") {
+    val pdf = PagesGen.pdfBytesFiltered(Seq(lines), "a85")
+    val r = PdfTextExtractor.extract(pdf)
+    assert(r.unsupported === 0)
+    assert(r.pages.map(_.text).mkString("\n") === lines.mkString("\n"))
+  }
+
   test("RunLengthDecode (repeat + literal runs) round-trips") {
     val pdf = PagesGen.pdfBytesFiltered(Seq(lines), "rl")
     val r = PdfTextExtractor.extract(pdf)
