@@ -41,6 +41,19 @@ class GoldenHtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("golden: legacy_win1252.html.bin (raw cp1252 BYTES) decodes + extracts frozen text") {
+    // the one golden stored as raw bytes: a 2003-era French table-layout
+    // page encoded windows-1252 and declared via http-equiv — it must go
+    // through the charset sniff (HtmlCharset), not a UTF-8 assumption,
+    // to recover œ/€/—/’ byte-identically
+    val bytes = Files.readAllBytes(dir.resolve("legacy_win1252.html.bin"))
+    val expected = new String(
+      Files.readAllBytes(dir.resolve("legacy_win1252.expected.txt")), UTF_8)
+    val got = MainTextExtractor.extract(graft.kernels.HtmlCharset.decode(bytes)).text
+    assert(got === expected)
+    assert(got.contains("œufs") && got.contains("€") && got.contains("—"))
+  }
+
   test("golden sanity: chrome strings never leak into extractions") {
     // spot phrases that exist ONLY in boilerplate regions of the fixtures
     val leaked = Seq("Popular posts", "Related coverage", "Archive",
