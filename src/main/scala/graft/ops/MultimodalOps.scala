@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in partition-batched
   * typed transforms (the Scala analog of `mapInPandas` batches).
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs exist
-  * in this container): [[decodeStub]] derives deterministic fake
-  * width/height/features from the bytes. The Spark-side plumbing — binary
-  * schema, batch shape, partition amortization, feature-array output — is
-  * real and tested (MultimodalSpec).
+  * Two tiers of decode:
+  *  - REAL pure-JVM decoders for the containers that need no codec
+  *    library: BMP and PCM WAV ([[graft.kernels.MediaKernel]] —
+  *    `q_media_decode_bmp` / `q_media_decode_wav`, graded against
+  *    closed-form oracles that never see the bytes);
+  *  - a clearly-marked STUB for codec formats (JPEG/PNG/MP4 — no codecs
+  *    in this container): [[decodeStub]] derives deterministic fake
+  *    width/height/features from the bytes, and the Spark-side plumbing
+  *    — binary schema, batch shape, partition amortization,
+  *    feature-array output — is real and tested (MultimodalSpec).
   */
 object MultimodalOps {
 
@@ -158,15 +163,101 @@ object MultimodalOps {
       |  height * 224 // greatest(width, height) AS out_h
       |FROM d""".stripMargin
 
+  // ----------------------------------------------- REAL decoders (no stub)
+
+  /** REAL image decode: a deterministic 24bpp BMP is generated per doc
+    * (MediaGen — every pixel a closed-form function of (doc_id, x, y)),
+    * parsed by the pure-JVM [[graft.kernels.MediaKernel]] (row padding,
+    * bottom-up flip, BGR order), and reduced to exact integer channel
+    * sums plus a 4×4 nearest-neighbor resize checksum. The DuckDB oracle
+    * computes the expected values from the pixel formula WITHOUT parsing
+    * bytes — only a correct container parse can agree.
+    */
+  def mediaDecodeBmp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as media_id")
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val img = graft.kernels.MediaKernel
+            .decodeBmp(graft.gen.MediaGen.bmpBytes(d))
+            .getOrElse(throw new IllegalStateException(s"bmp decode failed for $d"))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var k = 0
+          while (k < img.px.length) { sr += img.px(k); sg += img.px(k + 1); sb += img.px(k + 2); k += 3 }
+          val small = graft.kernels.MediaKernel.resizeNearest(img, 4, 4)
+          var rs = 0L
+          var j = 0
+          while (j < small.px.length) { rs += small.px(j); j += 3 } // red channel
+          (d, img.width.toLong, img.height.toLong, sr, sg, sb, rs)
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b", "resized_r_sum")
+  }
+
+  val mediaDecodeBmpSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+      |  CAST(5 + doc_id % 7 AS BIGINT) AS height,
+      |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 9) * (5 + doc_id % 7)),
+      |    k -> ((k % (8 + doc_id % 9)) * 7 + (k // (8 + doc_id % 9)) * 13 + doc_id) % 256)) AS BIGINT) AS sum_r,
+      |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 9) * (5 + doc_id % 7)),
+      |    k -> ((k % (8 + doc_id % 9)) * 3 + (k // (8 + doc_id % 9)) * 5 + 2 * doc_id) % 256)) AS BIGINT) AS sum_g,
+      |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 9) * (5 + doc_id % 7)),
+      |    k -> ((k % (8 + doc_id % 9)) * 11 + (k // (8 + doc_id % 9)) * 2 + 3 * doc_id) % 256)) AS BIGINT) AS sum_b,
+      |  CAST(list_sum(list_transform(range(0, 16),
+      |    k -> (((k % 4) * (8 + doc_id % 9) // 4) * 7 + ((k // 4) * (5 + doc_id % 7) // 4) * 13 + doc_id) % 256)) AS BIGINT) AS resized_r_sum
+      |FROM documents""".stripMargin
+
+  /** REAL audio decode: a deterministic PCM-16 WAV (with a LIST metadata
+    * chunk between fmt and data, so the parser must chunk-walk) decoded
+    * to exact sample stats; closed-form oracle like the BMP query.
+    */
+  def mediaDecodeWav(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as media_id")
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val au = graft.kernels.MediaKernel
+            .decodeWav(graft.gen.MediaGen.wavBytes(d))
+            .getOrElse(throw new IllegalStateException(s"wav decode failed for $d"))
+          var absSum = 0L
+          var peak = 0L
+          au.samples.foreach { s =>
+            val a = math.abs(s.toLong); absSum += a; if (a > peak) peak = a
+          }
+          (d, au.sampleRate.toLong, au.samples.length.toLong, absSum, peak)
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "abs_sum", "peak")
+  }
+
+  val mediaDecodeWavSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(8000 + 100 * (doc_id % 5) AS BIGINT) AS sample_rate,
+      |  CAST(50 + doc_id % 100 AS BIGINT) AS n_samples,
+      |  CAST(list_sum(list_transform(range(0, CAST(50 + doc_id % 100 AS INT)),
+      |    i -> abs((i * 31 + doc_id * 17) % 2048 - 1024))) AS BIGINT) AS abs_sum,
+      |  CAST(list_max(list_transform(range(0, CAST(50 + doc_id % 100 AS INT)),
+      |    i -> abs((i * 31 + doc_id * 17) % 2048 - 1024))) AS BIGINT) AS peak
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta(_, _)),
     "q_media_frames" -> (mediaFrames(_, _)),
     "q_media_features" -> (mediaFeatures(_, _)),
-    "q_media_resize" -> (mediaResize(_, _)))
+    "q_media_resize" -> (mediaResize(_, _)),
+    "q_media_decode_bmp" -> (mediaDecodeBmp(_, _)),
+    "q_media_decode_wav" -> (mediaDecodeWav(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_media_meta" -> mediaMetaSql,
     "q_media_frames" -> mediaFramesSql,
     "q_media_features" -> mediaFeaturesSql,
-    "q_media_resize" -> mediaResizeSql)
+    "q_media_resize" -> mediaResizeSql,
+    "q_media_decode_bmp" -> mediaDecodeBmpSql,
+    "q_media_decode_wav" -> mediaDecodeWavSql)
 }

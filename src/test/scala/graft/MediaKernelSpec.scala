@@ -1,0 +1,85 @@
+package graft
+
+import graft.gen.MediaGen
+import graft.kernels.MediaKernel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM BMP/WAV decoders against generated containers and malformed
+  * input (the real-decode tier of the multimodal pipeline).
+  */
+class MediaKernelSpec extends AnyFunSuite {
+
+  test("BMP round-trip: every pixel recovered through padding + bottom-up + BGR") {
+    (0L until 25L).foreach { d =>
+      val img = MediaKernel.decodeBmp(MediaGen.bmpBytes(d)).get
+      assert(img.width === MediaGen.bmpWidth(d))
+      assert(img.height === MediaGen.bmpHeight(d))
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val p = (y * img.width + x) * 3
+          assert(img.px(p) === MediaGen.red(d, x, y), s"d=$d R($x,$y)")
+          assert(img.px(p + 1) === MediaGen.green(d, x, y), s"d=$d G($x,$y)")
+          assert(img.px(p + 2) === MediaGen.blue(d, x, y), s"d=$d B($x,$y)")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("top-down BMP (negative height) decodes to the same image") {
+    val d = 7L
+    val bu = MediaGen.bmpBytes(d)
+    val img1 = MediaKernel.decodeBmp(bu).get
+    // flip to top-down: negate height, reverse row order
+    val w = MediaGen.bmpWidth(d); val h = MediaGen.bmpHeight(d)
+    val stride = (w * 3 + 3) & ~3
+    val td = bu.clone()
+    val nh = -h
+    td(22) = nh.toByte; td(23) = (nh >> 8).toByte
+    td(24) = (nh >> 16).toByte; td(25) = (nh >> 24).toByte
+    (0 until h).foreach { r =>
+      System.arraycopy(bu, 54 + (h - 1 - r) * stride, td, 54 + r * stride, stride)
+    }
+    val img2 = MediaKernel.decodeBmp(td).get
+    assert(img1.px.toSeq === img2.px.toSeq)
+  }
+
+  test("nearest-neighbor resize uses integer source sampling") {
+    val d = 3L
+    val img = MediaKernel.decodeBmp(MediaGen.bmpBytes(d)).get
+    val small = MediaKernel.resizeNearest(img, 4, 4)
+    (0 until 4).foreach { j =>
+      (0 until 4).foreach { i =>
+        val sx = i * img.width / 4
+        val sy = j * img.height / 4
+        assert(small.px((j * 4 + i) * 3) === MediaGen.red(d, sx, sy))
+      }
+    }
+  }
+
+  test("WAV round-trip: chunk walk skips LIST, samples sign-exact") {
+    (0L until 25L).foreach { d =>
+      val au = MediaKernel.decodeWav(MediaGen.wavBytes(d)).get
+      assert(au.sampleRate === MediaGen.wavRate(d))
+      assert(au.samples.length === MediaGen.wavSampleCount(d))
+      au.samples.zipWithIndex.foreach { case (s, i) =>
+        assert(s.toInt === MediaGen.wavSample(d, i), s"d=$d i=$i")
+      }
+    }
+  }
+
+  test("malformed containers return None, never throw") {
+    assert(MediaKernel.decodeBmp(null).isEmpty)
+    assert(MediaKernel.decodeBmp(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaKernel.decodeBmp("BMgarbage".getBytes ++ new Array[Byte](64)).isEmpty)
+    val truncated = MediaGen.bmpBytes(5L).take(60)
+    assert(MediaKernel.decodeBmp(truncated).isEmpty)
+    assert(MediaKernel.decodeWav(null).isEmpty)
+    assert(MediaKernel.decodeWav("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
+    val wavTrunc = MediaGen.wavBytes(5L).take(50)
+    assert(MediaKernel.decodeWav(wavTrunc).isEmpty)
+  }
+}
