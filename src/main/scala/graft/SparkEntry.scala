@@ -34,7 +34,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtractionOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      ScalarOps.queries ++ FormOps.queries ++ AggOps.queries ++ SketchOps.queries
+      ScalarOps.queries ++ FormOps.queries ++ AggOps.queries ++ SketchOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Column names + types match the Spark side
@@ -43,5 +44,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ExtractionOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      ScalarOps.oracles ++ FormOps.oracles ++ AggOps.oracles ++ SketchOps.oracles
+      ScalarOps.oracles ++ FormOps.oracles ++ AggOps.oracles ++ SketchOps.oracles ++
+      graft.streaming.StreamingOps.oracles
 }

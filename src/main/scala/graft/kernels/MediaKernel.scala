@@ -86,6 +86,113 @@ object MediaKernel {
     BmpImage(ow, oh, out)
   }
 
+  /** Parse a non-interlaced 8-bit RGB (color type 2) or RGBA (6) PNG —
+    * the shape virtually every screenshot/figure pipeline emits. Pure
+    * JVM: chunk walk (IHDR → IDAT* → IEND, ancillary chunks skipped),
+    * zlib inflate of the concatenated IDAT payload, then per-row PNG
+    * filter reconstruction (None/Sub/Up/Average/Paeth — the same five
+    * filters the PDF /Predictor path implements). CRCs are not verified
+    * (a crawl decoder favors recovery); structural errors return None.
+    */
+  def decodePng(bytes: Array[Byte]): Option[BmpImage] = {
+    if (bytes == null || bytes.length < 45) return None
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var k = 0
+    while (k < 8) { if ((bytes(k) & 0xff) != sig(k)) return None; k += 1 }
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var pos = 8
+    var width = -1; var height = -1; var colorType = -1; var bitDepth = -1
+    val idat = new java.io.ByteArrayOutputStream(bytes.length)
+    var ended = false
+    while (pos + 8 <= bytes.length && !ended) {
+      val len = be32(pos).toInt
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val ctype = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      ctype match {
+        case "IHDR" =>
+          if (len < 13) return None
+          width = be32(pos + 8).toInt
+          height = be32(pos + 12).toInt
+          bitDepth = bytes(pos + 16) & 0xff
+          colorType = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          if (bitDepth != 8 || (colorType != 2 && colorType != 6) || interlace != 0)
+            return None
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary: tEXt, pHYs, gAMA, ...
+      }
+      pos += 12 + len // len + type + data + crc
+    }
+    if (width <= 0 || height <= 0 || idat.size() == 0) return None
+    if (width.toLong * height > 64L * 1024 * 1024) return None
+    val channels = if (colorType == 2) 3 else 4
+    val raw = inflateAll(idat.toByteArray).getOrElse(return None)
+    val rowLen = width * channels
+    val stride = rowLen + 1
+    if (raw.length < stride * height) return None
+    val px = new Array[Int](width * height * 3)
+    val prior = new Array[Byte](rowLen)
+    val row = new Array[Byte](rowLen)
+    var y = 0
+    while (y < height) {
+      val tag = raw(y * stride) & 0xff
+      System.arraycopy(raw, y * stride + 1, row, 0, rowLen)
+      var i = 0
+      while (i < rowLen) {
+        val a = if (i >= channels) row(i - channels) & 0xff else 0
+        val b = prior(i) & 0xff
+        val c = if (i >= channels) prior(i - channels) & 0xff else 0
+        val recon = tag match {
+          case 0 => row(i) & 0xff
+          case 1 => (row(i) & 0xff) + a
+          case 2 => (row(i) & 0xff) + b
+          case 3 => (row(i) & 0xff) + ((a + b) / 2)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            (row(i) & 0xff) + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        row(i) = (recon & 0xff).toByte
+        i += 1
+      }
+      var x = 0
+      while (x < width) {
+        val s = x * channels
+        val d = (y * width + x) * 3
+        px(d) = row(s) & 0xff
+        px(d + 1) = row(s + 1) & 0xff
+        px(d + 2) = row(s + 2) & 0xff // alpha (if any) dropped
+        x += 1
+      }
+      System.arraycopy(row, 0, prior, 0, rowLen)
+      y += 1
+    }
+    Some(BmpImage(width, height, px))
+  }
+
+  private def inflateAll(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(data)
+        val buf = new java.io.ByteArrayOutputStream(data.length * 4)
+        val chunk = new Array[Byte](8192)
+        var guard = 0
+        while (!inf.finished() && guard < (1 << 16)) {
+          val n = inf.inflate(chunk)
+          if (n == 0 && inf.needsInput()) guard = 1 << 16
+          else buf.write(chunk, 0, n)
+          guard += 1
+        }
+        if (inf.finished()) Some(buf.toByteArray) else None
+      } finally inf.end()
+    } catch { case _: Throwable => None }
+  }
+
   /** Parse a PCM 16-bit LE mono/stereo WAV (RIFF chunk walk — fmt may be
     * followed by LIST/fact chunks before data, as real encoders emit).
     */

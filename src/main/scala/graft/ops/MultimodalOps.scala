@@ -210,6 +210,43 @@ object MultimodalOps {
       |    k -> (((k % 4) * (8 + doc_id % 9) // 4) * 7 + ((k // 4) * (5 + doc_id % 7) // 4) * 13 + doc_id) % 256)) AS BIGINT) AS resized_r_sum
       |FROM documents""".stripMargin
 
+  /** REAL PNG decode: deterministic 8-bit PNGs (RGB/RGBA by parity, row
+    * filters cycling all 5 tags, split IDAT, tEXt ancillary chunk) are
+    * parsed by the pure-JVM chunk-walk + inflate + filter-reconstruction
+    * decoder; same closed-form pixel oracle as the BMP query — identical
+    * channel sums prove every filter reconstructed every byte.
+    */
+  def mediaDecodePng(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as media_id")
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val img = graft.kernels.MediaKernel
+            .decodePng(graft.gen.MediaGen.pngBytes(d))
+            .getOrElse(throw new IllegalStateException(s"png decode failed for $d"))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var k = 0
+          while (k < img.px.length) { sr += img.px(k); sg += img.px(k + 1); sb += img.px(k + 2); k += 3 }
+          (d, img.width.toLong, img.height.toLong, sr, sg, sb)
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  val mediaDecodePngSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+      |  CAST(5 + doc_id % 7 AS BIGINT) AS height,
+      |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 9) * (5 + doc_id % 7)),
+      |    k -> ((k % (8 + doc_id % 9)) * 7 + (k // (8 + doc_id % 9)) * 13 + doc_id) % 256)) AS BIGINT) AS sum_r,
+      |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 9) * (5 + doc_id % 7)),
+      |    k -> ((k % (8 + doc_id % 9)) * 3 + (k // (8 + doc_id % 9)) * 5 + 2 * doc_id) % 256)) AS BIGINT) AS sum_g,
+      |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 9) * (5 + doc_id % 7)),
+      |    k -> ((k % (8 + doc_id % 9)) * 11 + (k // (8 + doc_id % 9)) * 2 + 3 * doc_id) % 256)) AS BIGINT) AS sum_b
+      |FROM documents""".stripMargin
+
   /** REAL audio decode: a deterministic PCM-16 WAV (with a LIST metadata
     * chunk between fmt and data, so the parser must chunk-walk) decoded
     * to exact sample stats; closed-form oracle like the BMP query.
@@ -251,6 +288,7 @@ object MultimodalOps {
     "q_media_features" -> (mediaFeatures(_, _)),
     "q_media_resize" -> (mediaResize(_, _)),
     "q_media_decode_bmp" -> (mediaDecodeBmp(_, _)),
+    "q_media_decode_png" -> (mediaDecodePng(_, _)),
     "q_media_decode_wav" -> (mediaDecodeWav(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -259,5 +297,6 @@ object MultimodalOps {
     "q_media_features" -> mediaFeaturesSql,
     "q_media_resize" -> mediaResizeSql,
     "q_media_decode_bmp" -> mediaDecodeBmpSql,
+    "q_media_decode_png" -> mediaDecodePngSql,
     "q_media_decode_wav" -> mediaDecodeWavSql)
 }

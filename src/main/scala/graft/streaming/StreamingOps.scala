@@ -117,4 +117,49 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .select(col("window.start").as("window_start"), col("doc_kind"),
         col("n_docs"), col("sum_chars"))
+
+  /** ORACLE-GATED streaming run (not a batch analog): a real
+    * `readStream → event-time window agg → memory sink` query driven to
+    * completion with `Trigger.AvailableNow` (complete output mode, so
+    * every window is finalized when the source drains), whose RESULT the
+    * driver's DuckDB compare then grades like any batch query. Proves the
+    * incremental engine computes the same answer as the batch plan on the
+    * same input — the Iceberg-snapshot tailing story end-to-end.
+    */
+  def streamHourlyEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the testdata table is a single read-only FILE; the file-stream
+    // source monitors a DIRECTORY (each new file = one increment), so
+    // stage the file into a temp dir — the same landing-dir shape a
+    // continuously-written crawl table has
+    val stage = java.nio.file.Files.createTempDirectory("stream_hourly_src")
+    stage.toFile.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      stage.resolve("events-000.parquet"))
+    val src = spark.readStream.schema(schema).parquet(stage.toString)
+    val agg = src
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    val name = s"stream_hourly_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .selectExpr("unix_micros(window.start) as window_us", "event_type", "n", "sum_value")
+  }
+
+  val streamHourlyEventsSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_hourly" -> (streamHourlyEvents(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_hourly" -> streamHourlyEventsSql)
 }

@@ -71,6 +71,38 @@ class MediaKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG round-trip: all 5 row filters, RGB and RGBA, split IDAT, tEXt skipped") {
+    (0L until 25L).foreach { d =>
+      val img = MediaKernel.decodePng(MediaGen.pngBytes(d)).get
+      assert(img.width === MediaGen.bmpWidth(d))
+      assert(img.height === MediaGen.bmpHeight(d))
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val p = (y * img.width + x) * 3
+          assert(img.px(p) === MediaGen.red(d, x, y), s"d=$d R($x,$y)")
+          assert(img.px(p + 1) === MediaGen.green(d, x, y), s"d=$d G($x,$y)")
+          assert(img.px(p + 2) === MediaGen.blue(d, x, y), s"d=$d B($x,$y)")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("PNG malformed input returns None") {
+    assert(MediaKernel.decodePng(null).isEmpty)
+    assert(MediaKernel.decodePng(new Array[Byte](100)).isEmpty)
+    val good = MediaGen.pngBytes(4L)
+    assert(MediaKernel.decodePng(good.take(60)).isEmpty)
+    // corrupt bytes anywhere in the zlib payload: decode may fail (None)
+    // but must never throw — poison-pill totality
+    val bad = good.clone()
+    (8 until bad.length by 7).foreach(i => bad(i) = (bad(i) ^ 0x5a).toByte)
+    MediaKernel.decodePng(bad) // must not throw — poison-pill totality
+  }
+
   test("malformed containers return None, never throw") {
     assert(MediaKernel.decodeBmp(null).isEmpty)
     assert(MediaKernel.decodeBmp(Array[Byte](1, 2, 3)).isEmpty)
