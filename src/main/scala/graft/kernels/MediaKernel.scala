@@ -3,9 +3,10 @@ package graft.kernels
 /** REAL pure-JVM media decoders for the multimodal pipeline — no codec
   * libraries exist in this container, but uncompressed containers need
   * none: BMP (BITMAPINFOHEADER, 24bpp, bottom-up, 4-byte row padding,
-  * BGR order) and WAV (RIFF/WAVE, PCM 16-bit LE). These replace the
+  * BGR order), PNG (8-bit RGB/RGBA non-interlaced, zlib + the five row
+  * filters) and WAV (RIFF/WAVE, PCM 16-bit LE). These replace the
   * former deterministic stub for the formats a JVM can parse from bare
-  * bytes; formats that genuinely need a codec (JPEG/PNG/MP4) still go
+  * bytes; formats that genuinely need a codec (JPEG/MP4) still go
   * through the stub seam and say so.
   *
   * Decode failures return None — the caller surfaces an error column,
@@ -27,10 +28,15 @@ object MediaKernel {
   /** Parse an uncompressed 24bpp BMP. Supports the common
     * BITMAPINFOHEADER shape; top-down (negative height) too.
     */
-  def decodeBmp(bytes: Array[Byte]): Option[BmpImage] = {
+  def decodeBmp(bytes: Array[Byte]): Option[BmpImage] =
+    try decodeBmp0(bytes) catch { case _: Throwable => None }
+
+  private def decodeBmp0(bytes: Array[Byte]): Option[BmpImage] = {
     if (bytes == null || bytes.length < 54) return None
     if (bytes(0) != 'B' || bytes(1) != 'M') return None
-    val dataOffset = u32(bytes, 10).toInt
+    // u32 fields stay Long: a 2^31-range offset must fail the bounds
+    // check, not wrap negative and index backwards
+    val dataOffsetL = u32(bytes, 10)
     val headerSize = i32(bytes, 14)
     if (headerSize < 40) return None
     val width = i32(bytes, 18)
@@ -44,7 +50,8 @@ object MediaKernel {
       return None
     if (width.toLong * height > 64L * 1024 * 1024) return None // sanity cap
     val stride = (width * 3 + 3) & ~3
-    if (dataOffset.toLong + stride.toLong * height > bytes.length) return None
+    if (dataOffsetL < 0 || dataOffsetL + stride.toLong * height > bytes.length) return None
+    val dataOffset = dataOffsetL.toInt
     val px = new Array[Int](width * height * 3)
     var y = 0
     while (y < height) {
@@ -94,7 +101,10 @@ object MediaKernel {
     * filters the PDF /Predictor path implements). CRCs are not verified
     * (a crawl decoder favors recovery); structural errors return None.
     */
-  def decodePng(bytes: Array[Byte]): Option[BmpImage] = {
+  def decodePng(bytes: Array[Byte]): Option[BmpImage] =
+    try decodePng0(bytes) catch { case _: Throwable => None }
+
+  private def decodePng0(bytes: Array[Byte]): Option[BmpImage] = {
     if (bytes == null || bytes.length < 45) return None
     val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     var k = 0
@@ -107,8 +117,9 @@ object MediaKernel {
     val idat = new java.io.ByteArrayOutputStream(bytes.length)
     var ended = false
     while (pos + 8 <= bytes.length && !ended) {
-      val len = be32(pos).toInt
-      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val lenL = be32(pos) // Long: a 2^31-range length must fail, not wrap
+      if (lenL < 0 || pos + 12L + lenL > bytes.length) return None
+      val len = lenL.toInt
       val ctype = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       ctype match {
         case "IHDR" =>
@@ -131,44 +142,23 @@ object MediaKernel {
     val channels = if (colorType == 2) 3 else 4
     val raw = inflateAll(idat.toByteArray).getOrElse(return None)
     val rowLen = width * channels
-    val stride = rowLen + 1
-    if (raw.length < stride * height) return None
+    if (raw.length.toLong < (rowLen + 1).toLong * height) return None
+    // shared PNG row-filter reconstruction (same math as PDF /Predictor)
+    val flat = PngFilters.unfilter(
+      java.util.Arrays.copyOfRange(raw, 0, (rowLen + 1) * height),
+      rowLen, channels).getOrElse(return None)
     val px = new Array[Int](width * height * 3)
-    val prior = new Array[Byte](rowLen)
-    val row = new Array[Byte](rowLen)
     var y = 0
     while (y < height) {
-      val tag = raw(y * stride) & 0xff
-      System.arraycopy(raw, y * stride + 1, row, 0, rowLen)
-      var i = 0
-      while (i < rowLen) {
-        val a = if (i >= channels) row(i - channels) & 0xff else 0
-        val b = prior(i) & 0xff
-        val c = if (i >= channels) prior(i - channels) & 0xff else 0
-        val recon = tag match {
-          case 0 => row(i) & 0xff
-          case 1 => (row(i) & 0xff) + a
-          case 2 => (row(i) & 0xff) + b
-          case 3 => (row(i) & 0xff) + ((a + b) / 2)
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            (row(i) & 0xff) + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case _ => return None
-        }
-        row(i) = (recon & 0xff).toByte
-        i += 1
-      }
       var x = 0
       while (x < width) {
-        val s = x * channels
+        val s = y * rowLen + x * channels
         val d = (y * width + x) * 3
-        px(d) = row(s) & 0xff
-        px(d + 1) = row(s + 1) & 0xff
-        px(d + 2) = row(s + 2) & 0xff // alpha (if any) dropped
+        px(d) = flat(s) & 0xff
+        px(d + 1) = flat(s + 1) & 0xff
+        px(d + 2) = flat(s + 2) & 0xff // alpha (if any) dropped
         x += 1
       }
-      System.arraycopy(row, 0, prior, 0, rowLen)
       y += 1
     }
     Some(BmpImage(width, height, px))
@@ -196,7 +186,10 @@ object MediaKernel {
   /** Parse a PCM 16-bit LE mono/stereo WAV (RIFF chunk walk — fmt may be
     * followed by LIST/fact chunks before data, as real encoders emit).
     */
-  def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
+  def decodeWav(bytes: Array[Byte]): Option[WavAudio] =
+    try decodeWav0(bytes) catch { case _: Throwable => None }
+
+  private def decodeWav0(bytes: Array[Byte]): Option[WavAudio] = {
     if (bytes == null || bytes.length < 44) return None
     if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F') return None
     if (bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
@@ -208,8 +201,9 @@ object MediaKernel {
     var data: Option[(Int, Int)] = None
     while (pos + 8 <= bytes.length && data.isEmpty) {
       val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = u32(bytes, pos + 4).toInt
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      val sizeL = u32(bytes, pos + 4) // Long: no wrap past the bounds check
+      if (sizeL < 0 || pos + 8L + sizeL > bytes.length) return None
+      val size = sizeL.toInt
       id match {
         case "fmt " =>
           if (size < 16) return None

@@ -245,10 +245,16 @@ object PdfTextExtractor {
   }
 
   /** Apply the declared filter chain (ASCIIHex / ASCII85 / RunLength /
-    * Flate with PNG+TIFF predictors). Unknown filter → None.
+    * Flate with PNG+TIFF predictors). Unknown filter → None. A /Filter
+    * key the name regex cannot parse (indirect reference `/Filter 8 0 R`
+    * — legal, some producers emit it) must ALSO be None: returning the
+    * raw compressed bytes would feed deflate garbage to the lexer as a
+    * "successful" extraction, violating honest `unsupported` counting.
     */
-  private def decodeStream(dict: String, raw: Array[Byte]): Option[Array[Byte]] =
-    filtersOf(dict).foldLeft(Option(raw)) { (acc, f) =>
+  private def decodeStream(dict: String, raw: Array[Byte]): Option[Array[Byte]] = {
+    val filters = filtersOf(dict)
+    if (filters.isEmpty && dict.contains("/Filter")) return None
+    filters.foldLeft(Option(raw)) { (acc, f) =>
       acc.flatMap { data =>
         f match {
           case "FlateDecode" | "Fl" =>
@@ -260,6 +266,7 @@ object PdfTextExtractor {
         }
       }
     }
+  }
 
   /** Undo the /DecodeParms /Predictor transform after Inflate: PNG
     * predictors 10-15 (per-row filter-tag byte, the form real producers
@@ -296,40 +303,7 @@ object PdfTextExtractor {
       }
       Some(out)
     } else if (pred >= 10) {
-      val stride = rowLen + 1
-      val nRows = data.length / stride
-      if (nRows * stride != data.length) return None
-      val out = new Array[Byte](nRows * rowLen)
-      val prior = new Array[Byte](rowLen)
-      var r = 0
-      while (r < nRows) {
-        val tag = data(r * stride) & 0xff
-        val row = java.util.Arrays.copyOfRange(data, r * stride + 1, (r + 1) * stride)
-        var i = 0
-        while (i < rowLen) {
-          val rawB = row(i) & 0xff
-          val left = if (i >= bpp) row(i - bpp) & 0xff else 0
-          val up = prior(i) & 0xff
-          val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
-          val recon = tag match {
-            case 0 => rawB
-            case 1 => rawB + left
-            case 2 => rawB + up
-            case 3 => rawB + ((left + up) / 2)
-            case 4 =>
-              val p = left + up - upLeft
-              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
-              rawB + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
-            case _ => return None // invalid row tag
-          }
-          row(i) = (recon & 0xff).toByte
-          i += 1
-        }
-        System.arraycopy(row, 0, out, r * rowLen, rowLen)
-        System.arraycopy(row, 0, prior, 0, rowLen)
-        r += 1
-      }
-      Some(out)
+      PngFilters.unfilter(data, rowLen, bpp) // shared PNG row reconstruction
     } else None
   }
 

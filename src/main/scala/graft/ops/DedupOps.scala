@@ -128,12 +128,15 @@ object DedupOps {
     // expensive shingle→minhash lineage executes exactly once), drop
     // buckets over the cap, then expand the a<b pairs in-bucket. A doc
     // contributes one row per band, so members are distinct and the
-    // sorted list makes a_id < b_id structural.
+    // sorted list makes a_id < b_id structural. The BOUNDED collector
+    // (exact count + list capped at cap+1) keeps a degenerate
+    // mega-bucket from materializing its full membership in one
+    // aggregation buffer before the filter can drop it.
     lshLongForm(spark, dir)
       .groupBy(col("band_no"), col("bkey"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= cap)
-      .select(sort_array(col("ids")).as("ids"))
+      .agg(graft.functions.BoundedCollect.ids(cap)(col("doc_id")).as("c"))
+      .filter(col("c.n") > 1 && col("c.n") <= cap)
+      .select(sort_array(col("c.ids")).as("ids"))
       .selectExpr(
         """explode(flatten(transform(ids,
           |  (a, i) -> transform(slice(ids, i + 2, size(ids)),
@@ -265,9 +268,10 @@ object DedupOps {
     // the hamming<=3 filter shrinks the dedup input to the few real
     // near-dup pairs and the 64-char fingerprints never shuffle
     bands0.groupBy(col("band_no"), col("bits"))
-      .agg(collect_list(struct(col("doc_id"), col("fp64"))).as("ms"))
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= DefaultSimhashBucketCap)
-      .select(sort_array(col("ms")).as("ms"))
+      .agg(graft.functions.BoundedCollect.members(DefaultSimhashBucketCap)(
+        col("doc_id"), col("fp64")).as("c"))
+      .filter(col("c.n") > 1 && col("c.n") <= DefaultSimhashBucketCap)
+      .select(sort_array(col("c.ms")).as("ms"))
       .selectExpr(
         """explode(flatten(transform(ms,
           |  (a, i) -> transform(slice(ms, i + 2, size(ms)),

@@ -75,9 +75,14 @@ object ExtractJob {
 
     val wallMs = (System.nanoTime() - t0) / 1000000
     val now = System.currentTimeMillis()
+    // one RUN = one snapshot (the Iceberg-commit analog): compute the
+    // next id once — per-entry auto-assign would rescan the ledger per
+    // commit (O(n²) across a backfill) and tie ids to commit order
+    // within the run, which carries no meaning
+    val snap = Ledger.currentSnapshot(ledgerDir) + 1L
     stats.foreach { s =>
       Ledger.commit(ledgerDir,
-        Ledger.Entry(s"p_day=${s.day}", s.rows, s.chars, s.errors, wallMs, now))
+        Ledger.Entry(s"p_day=${s.day}", s.rows, s.chars, s.errors, wallMs, now, snap))
     }
     Result(stats.toSeq, committedDays.size, metrics.docsOk.value,
       metrics.docsFailed.value, wallMs)

@@ -48,6 +48,13 @@ object Ledger {
   /** Highest snapshot id committed so far (0 = empty ledger) — the
     * Iceberg `currentSnapshot().snapshotId()` analog, the value a caller
     * records to later ask for "rows since" via TableFormat.readSince.
+    *
+    * Snapshot assignment is a read-max-then-write and therefore a
+    * SINGLE-DRIVER commit point (like the rest of this driver-side
+    * ledger): two uncoordinated committers could mint the same id and an
+    * incremental reader would then skip one of them. Concurrent writers
+    * need the real table format's conditional commit (Iceberg CAS on the
+    * metadata pointer) — exactly the seam TableFormat exists to swap in.
     */
   def currentSnapshot(dir: String): Long =
     committed(dir).values.map(_.snapshot).maxOption.getOrElse(0L)
@@ -101,6 +108,8 @@ object Ledger {
       r <- num("rows")
     } yield Entry(p, r, num("chars").getOrElse(0L), num("errors").getOrElse(0L),
       num("wall_ms").getOrElse(0L), num("committed_at_ms").getOrElse(0L),
-      num("snapshot").getOrElse(0L))
+      // entries written before snapshot ids existed parse as snapshot 1,
+      // not 0: readSince(0) ("everything") must still include them
+      num("snapshot").getOrElse(1L))
   }
 }

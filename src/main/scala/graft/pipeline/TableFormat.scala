@@ -78,9 +78,14 @@ object ParquetFormat extends TableFormat {
       require(i > 0, s"ledger partition '$p' is not col=value")
       (p.substring(0, i), p.substring(i + 1))
     }.groupBy(_._1)
-    byCol.foldLeft(base) { case (df, (c, vs)) =>
-      df.filter(col(c).cast("string").isin(vs.map(_._2): _*))
-    }
+    // a row belongs to the diff if it falls in ANY newer partition —
+    // OR across partition columns (a ledger can carry entries keyed by
+    // different columns when merge() was called with different
+    // partitionCol values); AND would return the intersection
+    val pred = byCol.map { case (c, vs) =>
+      col(c).cast("string").isin(vs.map(_._2): _*)
+    }.reduce(_ || _)
+    base.filter(pred)
   }
 
   /** Copy-on-write merge, partition-scoped: the rewritten set is the

@@ -135,7 +135,6 @@ object StreamingOps {
     // stage the file into a temp dir — the same landing-dir shape a
     // continuously-written crawl table has
     val stage = java.nio.file.Files.createTempDirectory("stream_hourly_src")
-    stage.toFile.deleteOnExit()
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       stage.resolve("events-000.parquet"))
     val src = spark.readStream.schema(schema).parquet(stage.toString)
@@ -147,7 +146,11 @@ object StreamingOps {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally { // deleteOnExit can't remove a non-empty dir — clean up now
+      java.nio.file.Files.deleteIfExists(stage.resolve("events-000.parquet"))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
     spark.table(name)
       .selectExpr("unix_micros(window.start) as window_us", "event_type", "n", "sum_value")
   }

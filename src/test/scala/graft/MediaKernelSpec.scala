@@ -103,6 +103,24 @@ class MediaKernelSpec extends AnyFunSuite {
     MediaKernel.decodePng(bad) // must not throw — poison-pill totality
   }
 
+  test("hostile header fields (2^31-range offsets/lengths) return None, never throw") {
+    // BMP with dataOffset 0x90000000: must fail the Long bounds check,
+    // not wrap negative and index backwards
+    val bmp = MediaGen.bmpBytes(3L).clone()
+    bmp(10) = 0x00; bmp(11) = 0x00; bmp(12) = 0x00; bmp(13) = 0x90.toByte
+    assert(MediaKernel.decodeBmp(bmp).isEmpty)
+    // PNG chunk length 0x7FFFFFF4: pos + 12 + len must not wrap
+    val png = MediaGen.pngBytes(3L).clone()
+    png(8) = 0x7f; png(9) = 0xff.toByte; png(10) = 0xff.toByte; png(11) = 0xf4.toByte
+    assert(MediaKernel.decodePng(png).isEmpty)
+    // WAV data size near u32 max
+    val wav = MediaGen.wavBytes(3L).clone()
+    val dataOff = wav.indexOfSlice("data".getBytes)
+    wav(dataOff + 4) = 0xfc.toByte; wav(dataOff + 5) = 0xff.toByte
+    wav(dataOff + 6) = 0xff.toByte; wav(dataOff + 7) = 0xff.toByte
+    assert(MediaKernel.decodeWav(wav).isEmpty)
+  }
+
   test("malformed containers return None, never throw") {
     assert(MediaKernel.decodeBmp(null).isEmpty)
     assert(MediaKernel.decodeBmp(Array[Byte](1, 2, 3)).isEmpty)

@@ -75,6 +75,18 @@ class PdfFilterSpec extends AnyFunSuite {
     assert(r.pages.map(_.text).toSeq === Seq("objstm page"))
   }
 
+  test("indirect /Filter reference is unsupported, NOT silently raw") {
+    // '/Filter 8 0 R' is legal; the name regex can't resolve it — the
+    // stream must count as unsupported rather than feeding compressed
+    // bytes to the lexer as a successful extraction
+    val pdf = new String(PagesGen.pdfBytes(Seq(Seq("hello")), compress = true), ISO_8859_1)
+      .replace("/Filter /FlateDecode", "/Filter 8 0 R")
+      .getBytes(ISO_8859_1)
+    val r = PdfTextExtractor.extract(pdf)
+    assert(r.unsupported > 0)
+    assert(r.pages.isEmpty)
+  }
+
   test("unsupported filters stay honestly counted") {
     val pdf = new String(PagesGen.pdfBytes(Seq(Seq("hello"))
       .map(identity), compress = false), ISO_8859_1)

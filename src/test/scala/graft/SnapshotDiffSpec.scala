@@ -44,6 +44,34 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(Ledger.currentSnapshot(ledger) > s1)
   }
 
+  test("pre-snapshot ledger entries parse as snapshot 1 (readSince(0) still sees them)") {
+    val ledger = tmpDir("snapdiff_legacy")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ledger))
+    // a round-2-era entry: no snapshot field at all
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$ledger/p_day%3D2025-01-01.json"),
+      """{"partition":"p_day=2025-01-01","rows":3,"chars":9,"errors":0,"wall_ms":1,"committed_at_ms":2}""")
+    val e = Ledger.committed(ledger)("p_day=2025-01-01")
+    assert(e.snapshot === 1L)
+    assert(Ledger.currentSnapshot(ledger) === 1L)
+  }
+
+  test("readSince ORs across different partition columns") {
+    val out = tmpDir("snapdiff_or_out")
+    val ledger = tmpDir("snapdiff_or_ledger")
+    import org.apache.spark.sql.SaveMode
+    Seq((1L, "2025-01-01", "en"), (2L, "2025-01-02", "fr"))
+      .toDF("id", "p_day", "lang")
+      .write.partitionBy("p_day").mode(SaveMode.Overwrite).parquet(out)
+    // two newer entries keyed by DIFFERENT partition columns: the diff
+    // must be the union of both partitions, not their intersection
+    Ledger.commit(ledger, Ledger.Entry("p_day=2025-01-01", 1, 1, 0, 0, 0, 5))
+    Ledger.commit(ledger, Ledger.Entry("lang=fr", 1, 1, 0, 0, 0, 6))
+    val got = ParquetFormat.readSince(spark, out, ledger, 4L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
   test("snapshot ids are monotonic and survive the ledger round-trip") {
     val ledger = tmpDir("snapdiff_mono")
     Ledger.commit(ledger, Ledger.Entry("p_day=2025-01-01", 1, 1, 0, 0, 0))
