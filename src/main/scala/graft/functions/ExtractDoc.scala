@@ -54,7 +54,11 @@ object ExtractDoc {
   /** Shared by interpreted eval and generated code; always returns a row
     * (never null) — text null is the failure shape.
     */
-  def evalBytes(bytes: Array[Byte]): InternalRow = {
+  def evalBytes(bytes0: Array[Byte]): InternalRow = {
+    val bytes =
+      if (ExtractKernel.isGzip(bytes0))
+        ExtractKernel.gunzip(bytes0).orNull // corrupt transport -> null text below
+      else bytes0
     val kind = ExtractKernel.sniff(bytes)
     val text: UTF8String =
       try {

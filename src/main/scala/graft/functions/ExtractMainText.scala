@@ -63,8 +63,12 @@ object ExtractMainText {
     * pathological document must poison-pill to null — never fail the
     * task; mirrors ExtractKernel.extractPages' catch-all).
     */
-  def evalBytes(bytes: Array[Byte]): UTF8String =
+  def evalBytes(bytes0: Array[Byte]): UTF8String =
     try {
+      val bytes =
+        if (ExtractKernel.isGzip(bytes0))
+          ExtractKernel.gunzip(bytes0).getOrElse(return null) // corrupt transport
+        else bytes0
       ExtractKernel.sniff(bytes) match {
         case ExtractKernel.KindPassthrough => null // no bytes, nothing to extract
         case ExtractKernel.KindPdf =>

@@ -26,10 +26,46 @@ object ExtractKernel {
     else KindHtml
   }
 
+  /** gzip transport magic — crawl tables frequently store the raw
+    * compressed response body; the payload is decompressed transparently
+    * before content sniffing (the CONTENT type is whatever is inside).
+    */
+  def isGzip(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 && b(0) == 0x1f.toByte && (b(1) & 0xff) == 0x8b
+
+  /** Bounded gunzip; None on corrupt/truncated/oversized streams. */
+  def gunzip(bytes: Array[Byte], maxOut: Int = 64 * 1024 * 1024): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      var total = 0L
+      while (n >= 0 && total <= maxOut) {
+        out.write(chunk, 0, n)
+        total += n
+        n = in.read(chunk)
+      }
+      in.close()
+      if (total > maxOut) None else Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+
   /** Extract all pages of one input row. HTML and passthrough rows emit
     * exactly one page (page_no 0); PDFs emit one page per content stream.
     */
-  def extractPages(row: PageRow): Iterator[ExtractedPage] = {
+  def extractPages(row0: PageRow): Iterator[ExtractedPage] = {
+    // transparent gzip transport decode (content sniffing happens on the
+    // decompressed payload); a corrupt gzip body is an error row, never
+    // a task failure
+    val row =
+      if (!isGzip(row0.html)) row0
+      else gunzip(row0.html) match {
+        case Some(b) => row0.copy(html = b)
+        case None =>
+          return Iterator.single(ExtractedPage(row0.url, 0, row0.warc_ts,
+            KindHtml, "", Seq.empty, "gzip_corrupt"))
+      }
     try {
       sniff(row.html) match {
         case KindPassthrough =>

@@ -200,6 +200,25 @@ object DocPages {
     }
   }
 
+  /** gzip transport wrap: the stored payload is the raw COMPRESSED
+    * response body (common in crawl tables) — html chrome inside on even
+    * doc_ids, a PDF inside on odd ones, so the kernel must gunzip before
+    * content sniffing to recover either.
+    */
+  def gzipped(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val inner =
+        if (d.doc_id % 2 == 0)
+          PagesGen.htmlPage(Seq(d.text), None, d.doc_id).getBytes(UTF_8)
+        else PagesGen.pdfBytes(Seq(Seq(d.text)), compress = d.doc_id % 4 == 1)
+      val bos = new java.io.ByteArrayOutputStream(inner.length / 2)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(inner); gz.close()
+      PageRow(s"doc://gz/${d.doc_id}", Ts0, bos.toByteArray, "", d.lang)
+    }
+  }
+
   /** Empty html → crawl-text passthrough branch. */
   def passthrough(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._

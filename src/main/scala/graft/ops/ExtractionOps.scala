@@ -136,6 +136,19 @@ object ExtractionOps {
   val extractUtf16Sql: String =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, 'Ωμέγα — ' || text AS extracted_text FROM documents"
 
+  /** gzip transport bodies (html inside on even ids, PDF inside on odd):
+    * transparent gunzip before content sniffing; identity oracle with
+    * the recovered kind under compare.
+    */
+  def extractGzip(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.gzipped(spark, dir))
+      .select(col("doc_id"), col("doc_kind"), col("extracted_text"))
+
+  val extractGzipSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'html' ELSE 'pdf' END AS doc_kind,
+      |  text AS extracted_text FROM documents""".stripMargin
+
   /** Empty-html rows take the crawl-text passthrough branch. */
   def extractPassthrough(spark: SparkSession, dir: String): DataFrame =
     extracted(spark, DocPages.passthrough(spark, dir))
@@ -245,7 +258,8 @@ object ExtractionOps {
     "q_extract_mixed" -> (extractMixed(_, _)),
     "q_extract_spans" -> (extractSpans(_, _)),
     "q_extract_win1252" -> (extractWin1252(_, _)),
-    "q_extract_utf16" -> (extractUtf16(_, _)))
+    "q_extract_utf16" -> (extractUtf16(_, _)),
+    "q_extract_gzip" -> (extractGzip(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_extract_doc_struct" -> extractDocStructSql,
@@ -265,5 +279,6 @@ object ExtractionOps {
     "q_extract_mixed" -> extractMixedSql,
     "q_extract_spans" -> extractSpansSql,
     "q_extract_win1252" -> extractWin1252Sql,
-    "q_extract_utf16" -> extractUtf16Sql)
+    "q_extract_utf16" -> extractUtf16Sql,
+    "q_extract_gzip" -> extractGzipSql)
 }
