@@ -56,8 +56,8 @@ object ExtractDoc {
     */
   def evalBytes(bytes0: Array[Byte]): InternalRow = {
     val bytes =
-      if (ExtractKernel.isGzip(bytes0))
-        ExtractKernel.gunzip(bytes0).orNull // corrupt transport -> null text below
+      if (ExtractKernel.transportOf(bytes0) != null)
+        ExtractKernel.decompressTransport(bytes0).orNull // corrupt transport -> null text below
       else bytes0
     val kind = ExtractKernel.sniff(bytes)
     val text: UTF8String =

@@ -66,8 +66,8 @@ object ExtractMainText {
   def evalBytes(bytes0: Array[Byte]): UTF8String =
     try {
       val bytes =
-        if (ExtractKernel.isGzip(bytes0))
-          ExtractKernel.gunzip(bytes0).getOrElse(return null) // corrupt transport
+        if (ExtractKernel.transportOf(bytes0) != null)
+          ExtractKernel.decompressTransport(bytes0).getOrElse(return null) // corrupt transport
         else bytes0
       ExtractKernel.sniff(bytes) match {
         case ExtractKernel.KindPassthrough => null // no bytes, nothing to extract

@@ -26,18 +26,35 @@ object ExtractKernel {
     else KindHtml
   }
 
-  /** gzip transport magic — crawl tables frequently store the raw
+  /** Transport codec sniff — crawl tables frequently store the raw
     * compressed response body; the payload is decompressed transparently
     * before content sniffing (the CONTENT type is whatever is inside).
+    * gzip (1f 8b) and zstd (28 b5 2f fd — zstd-jni ships with Spark)
+    * are the two codecs real crawl archives use.
     */
-  def isGzip(b: Array[Byte]): Boolean =
-    b != null && b.length >= 2 && b(0) == 0x1f.toByte && (b(1) & 0xff) == 0x8b
+  def transportOf(b: Array[Byte]): String = {
+    if (b == null || b.length < 4) null
+    else if (b(0) == 0x1f.toByte && (b(1) & 0xff) == 0x8b) "gzip"
+    else if (b(0) == 0x28.toByte && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) "zstd"
+    else null
+  }
 
-  /** Bounded gunzip; None on corrupt/truncated/oversized streams. */
-  def gunzip(bytes: Array[Byte], maxOut: Int = 64 * 1024 * 1024): Option[Array[Byte]] =
+  def isGzip(b: Array[Byte]): Boolean = transportOf(b) == "gzip"
+
+  /** Bounded transport decompression; None on corrupt/truncated/
+    * oversized streams (decompression-bomb guard).
+    */
+  def decompressTransport(bytes: Array[Byte],
+      maxOut: Int = 64 * 1024 * 1024): Option[Array[Byte]] =
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val in: java.io.InputStream = transportOf(bytes) match {
+        case "gzip" =>
+          new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+        case "zstd" =>
+          new com.github.luben.zstd.ZstdInputStream(new java.io.ByteArrayInputStream(bytes))
+        case _ => return None
+      }
       val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, 1 << 20))
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
@@ -51,20 +68,25 @@ object ExtractKernel {
       if (total > maxOut) None else Some(out.toByteArray)
     } catch { case _: Throwable => None }
 
+  /** Back-compat alias (gzip only). */
+  def gunzip(bytes: Array[Byte], maxOut: Int = 64 * 1024 * 1024): Option[Array[Byte]] =
+    if (isGzip(bytes)) decompressTransport(bytes, maxOut) else None
+
   /** Extract all pages of one input row. HTML and passthrough rows emit
     * exactly one page (page_no 0); PDFs emit one page per content stream.
     */
   def extractPages(row0: PageRow): Iterator[ExtractedPage] = {
-    // transparent gzip transport decode (content sniffing happens on the
-    // decompressed payload); a corrupt gzip body is an error row, never
-    // a task failure
+    // transparent transport decode (content sniffing happens on the
+    // decompressed payload); a corrupt compressed body is an error row,
+    // never a task failure
+    val codec = transportOf(row0.html)
     val row =
-      if (!isGzip(row0.html)) row0
-      else gunzip(row0.html) match {
+      if (codec == null) row0
+      else decompressTransport(row0.html) match {
         case Some(b) => row0.copy(html = b)
         case None =>
           return Iterator.single(ExtractedPage(row0.url, 0, row0.warc_ts,
-            KindHtml, "", Seq.empty, "gzip_corrupt"))
+            KindHtml, "", Seq.empty, s"${codec}_corrupt"))
       }
     try {
       sniff(row.html) match {

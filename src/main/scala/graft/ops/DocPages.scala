@@ -219,6 +219,23 @@ object DocPages {
     }
   }
 
+  /** zstd-compressed transport variant of [[gzipped]] — same inner
+    * payload routing (html on even doc_ids, PDF on odd), zstd frame
+    * outside. Exercises the second transport codec real crawl archives
+    * use (zstd-jni ships with Spark).
+    */
+  def zstded(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val inner =
+        if (d.doc_id % 2 == 0)
+          PagesGen.htmlPage(Seq(d.text), None, d.doc_id).getBytes(UTF_8)
+        else PagesGen.pdfBytes(Seq(Seq(d.text)), compress = d.doc_id % 4 == 1)
+      val out = com.github.luben.zstd.Zstd.compress(inner, 3)
+      PageRow(s"doc://zst/${d.doc_id}", Ts0, out, "", d.lang)
+    }
+  }
+
   /** Empty html → crawl-text passthrough branch. */
   def passthrough(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._

@@ -149,6 +149,13 @@ object ExtractionOps {
       |  CASE CAST(doc_id % 2 AS INT) WHEN 0 THEN 'html' ELSE 'pdf' END AS doc_kind,
       |  text AS extracted_text FROM documents""".stripMargin
 
+  /** zstd transport variant — same payload routing as [[extractGzip]],
+    * zstd frame outside; oracle is the identical projection.
+    */
+  def extractZstd(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.zstded(spark, dir))
+      .select(col("doc_id"), col("doc_kind"), col("extracted_text"))
+
   /** Empty-html rows take the crawl-text passthrough branch. */
   def extractPassthrough(spark: SparkSession, dir: String): DataFrame =
     extracted(spark, DocPages.passthrough(spark, dir))
@@ -259,7 +266,8 @@ object ExtractionOps {
     "q_extract_spans" -> (extractSpans(_, _)),
     "q_extract_win1252" -> (extractWin1252(_, _)),
     "q_extract_utf16" -> (extractUtf16(_, _)),
-    "q_extract_gzip" -> (extractGzip(_, _)))
+    "q_extract_gzip" -> (extractGzip(_, _)),
+    "q_extract_zstd" -> (extractZstd(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_extract_doc_struct" -> extractDocStructSql,
@@ -280,5 +288,6 @@ object ExtractionOps {
     "q_extract_spans" -> extractSpansSql,
     "q_extract_win1252" -> extractWin1252Sql,
     "q_extract_utf16" -> extractUtf16Sql,
-    "q_extract_gzip" -> extractGzipSql)
+    "q_extract_gzip" -> extractGzipSql,
+    "q_extract_zstd" -> extractGzipSql)
 }

@@ -5,8 +5,11 @@ import graft.model.PageRow
 import java.nio.charset.StandardCharsets.UTF_8
 import org.scalatest.funsuite.AnyFunSuite
 
-/** gzip transport decode ahead of content sniffing. */
+/** gzip/zstd transport decode ahead of content sniffing. */
 class GzipTransportSpec extends AnyFunSuite {
+
+  private def zst(b: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(b, 3)
 
   private def gz(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -40,6 +43,36 @@ class GzipTransportSpec extends AnyFunSuite {
     assert(out.size === 1)
     assert(out.head.error === "gzip_corrupt")
     assert(out.head.text === "")
+  }
+
+  test("zstd'd HTML decompresses then extracts normally") {
+    val html = graft.gen.PagesGen.htmlPage(Seq("zstd main content"), None, 1L)
+    val out = ExtractKernel.extractPages(page(zst(html.getBytes(UTF_8)))).toSeq
+    assert(out.size === 1)
+    assert(out.head.error === null)
+    assert(out.head.doc_kind === "html")
+    assert(out.head.text === "zstd main content")
+  }
+
+  test("zstd'd PDF is sniffed as pdf AFTER decompression") {
+    val pdf = graft.gen.PagesGen.pdfBytes(Seq(Seq("pdf inside zstd")), compress = false)
+    val out = ExtractKernel.extractPages(page(zst(pdf))).toSeq
+    assert(out.head.doc_kind === "pdf")
+    assert(out.head.text === "pdf inside zstd")
+  }
+
+  test("corrupt zstd is an error row tagged with its codec") {
+    val corrupt = zst("hello zstd stream content".getBytes(UTF_8)).take(6)
+    val out = ExtractKernel.extractPages(page(corrupt)).toSeq
+    assert(out.size === 1)
+    assert(out.head.error === "zstd_corrupt")
+    assert(out.head.text === "")
+  }
+
+  test("zstd bomb guard bounds output size") {
+    val bomb = zst(new Array[Byte](4 * 1024 * 1024))
+    assert(ExtractKernel.decompressTransport(bomb, maxOut = 1024 * 1024).isEmpty)
+    assert(ExtractKernel.decompressTransport(bomb).isDefined)
   }
 
   test("gunzip bounds output size (decompression-bomb guard)") {
