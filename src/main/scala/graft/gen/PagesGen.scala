@@ -219,7 +219,8 @@ object PagesGen {
     * /DecodeParms — every row tag 0-4 exercised), "tiff" (FlateDecode +
     * TIFF predictor 2), "ahx" (/Filter [/ASCIIHexDecode /FlateDecode]
     * chain), "a85" (/Filter [/ASCII85Decode /FlateDecode] chain) or
-    * "rl" (RunLengthDecode with literal AND repeat runs).
+    * "rl" (RunLengthDecode with literal AND repeat runs) or "lzw"
+    * (TIFF-style LZW, default EarlyChange=1).
     * Rows are space-padded to the predictor column width — harmless
     * between content-stream tokens.
     */
@@ -259,6 +260,8 @@ object PagesGen {
             " /Filter [/ASCII85Decode /FlateDecode]")
         case "rl"   =>
           (runLengthEncode(raw), " /Filter /RunLengthDecode")
+        case "lzw"  =>
+          (lzwEncode(raw), " /Filter /LZWDecode")
         case other  => throw new IllegalArgumentException(s"mode $other")
       }
       val head = new java.io.ByteArrayOutputStream(payload.length + 96)
@@ -387,6 +390,50 @@ object PagesGen {
   /** RunLengthDecode encoder: repeat runs (>=3 identical bytes) as
     * (257-n, byte), literals chunked to <=128, EOD marker 128.
     */
+  /** TIFF-style LZW encoder (PDF 7.4.4 inverse): MSB-first 9→12-bit
+    * codes, EarlyChange=1 (width grows when the DECODER's next code + 1
+    * reaches 2^width — the decoder's table lags this encoder's by one
+    * entry), ClearTable up front and before the table would overflow,
+    * EOD terminator.
+    */
+  private[graft] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[String, Int]
+    var next = 258
+    def codeOf(s: String): Int = if (s.length == 1) s.charAt(0).toInt else dict(s)
+    emit(256) // ClearTable leader (spec-recommended)
+    var cur = ""
+    var i = 0
+    while (i < raw.length) {
+      val c = (raw(i) & 0xff).toChar
+      val ext = cur + c
+      if (cur.isEmpty || ext.length == 1 || dict.contains(ext)) cur = ext
+      else {
+        emit(codeOf(cur))
+        if (next < 4093) {
+          dict(ext) = next
+          next += 1
+          // decoder adds this entry one code later: its next is ours - 1
+          if (width < 12 && (next - 1) + 1 >= (1 << width)) width += 1
+        } else { emit(256); dict = scala.collection.mutable.HashMap.empty; next = 258; width = 9 }
+        cur = c.toString
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) emit(codeOf(cur))
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt) // zero-pad tail
+    out.toByteArray
+  }
+
   private def runLengthEncode(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length + 16)
     var i = 0

@@ -23,8 +23,10 @@ import scala.collection.mutable.ArrayBuffer
   *    semantics for fonts with no declared encoding.
   *  - streams: declared filter CHAINS of FlateDecode (with PNG
   *    predictors 10-15 and TIFF predictor 2 via /DecodeParms — common on
-  *    real /ObjStm, XRef and content streams), ASCIIHexDecode,
-  *    ASCII85Decode and RunLengthDecode; raw when no filter;
+  *    real /ObjStm, XRef and content streams), LZWDecode (9→12-bit
+  *    TIFF-style codes, /EarlyChange honored, predictors apply),
+  *    ASCIIHexDecode, ASCII85Decode and RunLengthDecode; raw when no
+  *    filter;
   *    content-stream lexer for
   *    BT/ET, Tf (font + size), Td, TD, Tm, TL, T*, Tj, TJ, quote;
   *    literal `(..)` strings with escapes and hex `<..>` strings.
@@ -32,7 +34,7 @@ import scala.collection.mutable.ArrayBuffer
   *    `group_lines` (azure_ocr.py:42-82): runs share a line when y
   *    distance < 0.8 × average text height (azure_ocr.py:55-56).
   *  - files with no parseable catalog fall back to file-order stream
-  *    scanning; anything outside scope (encryption, LZW/DCT/JBIG2
+  *    scanning; anything outside scope (encryption, DCT/JBIG2/JPX
   *    filters) is surfaced via `unsupported` — honest counting, never
   *    silent.
   *
@@ -204,7 +206,7 @@ object PdfTextExtractor {
 
   /** Stream payload of object `num`, decoded through its declared filter
     * chain. Returns None when the object has no stream or an unsupported
-    * filter (encryption, LZW, DCT, ... stay honestly `unsupported`).
+    * filter (encryption, DCT, ... stay honestly `unsupported`).
     */
   private def streamOf(doc: PdfDoc, num: Int): Option[Array[Byte]] =
     doc.objs.get(num).flatMap { case (a, b) =>
@@ -245,7 +247,7 @@ object PdfTextExtractor {
   }
 
   /** Apply the declared filter chain (ASCIIHex / ASCII85 / RunLength /
-    * Flate with PNG+TIFF predictors). Unknown filter → None. A /Filter
+    * LZW / Flate with PNG+TIFF predictors). Unknown filter → None. A /Filter
     * key the name regex cannot parse (indirect reference `/Filter 8 0 R`
     * — legal, some producers emit it) must ALSO be None: returning the
     * raw compressed bytes would feed deflate garbage to the lexer as a
@@ -259,6 +261,8 @@ object PdfTextExtractor {
         f match {
           case "FlateDecode" | "Fl" =>
             inflate(data).flatMap(applyPredictor(dict, _))
+          case "LZWDecode" | "LZW" =>
+            lzwDecode(data, earlyChangeOf(dict)).flatMap(applyPredictor(dict, _))
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
           case "ASCII85Decode" | "A85" => ascii85Decode(data)
           case "RunLengthDecode" | "RL" => runLengthDecode(data)
@@ -306,6 +310,65 @@ object PdfTextExtractor {
       PngFilters.unfilter(data, rowLen, bpp) // shared PNG row reconstruction
     } else None
   }
+
+  /** /DecodeParms EarlyChange for LZW (default 1 per the PDF spec —
+    * code width grows one code early, TIFF-compatible).
+    */
+  private def earlyChangeOf(dict: String): Int = {
+    val pi = dict.indexOf("/DecodeParms") match {
+      case -1 => dict.indexOf("/DP")
+      case x  => x
+    }
+    if (pi < 0) 1
+    else balancedDict(dict, pi).flatMap(intOf(_, "EarlyChange")).getOrElse(1)
+  }
+
+  /** TIFF-style LZW (PDF 7.4.4): MSB-first variable-width codes 9→12
+    * bits, 256 = ClearTable, 257 = EOD; with EarlyChange the width grows
+    * when `next + earlyChange` reaches 2^width. Bounded output; None on
+    * any malformed code (honest `unsupported`, never garbage).
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int,
+      maxOut: Int = 1 << 26): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 3)
+      val table = new Array[Array[Byte]](4096)
+      var b = 0
+      while (b < 256) { table(b) = Array(b.toByte); b += 1 }
+      var next = 258
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var i = 0
+      var done = false
+      while (!done) {
+        // MSB-first code read; running off the end = implicit EOD
+        while (bitCnt < width && i < data.length) {
+          bitBuf = (bitBuf << 8) | (data(i) & 0xffL); i += 1; bitCnt += 8
+        }
+        val code =
+          if (bitCnt < width) 257
+          else { val v = ((bitBuf >>> (bitCnt - width)) & ((1L << width) - 1)).toInt; bitCnt -= width; v }
+        if (code == 257) done = true
+        else if (code == 256) { next = 258; width = 9; prev = null }
+        else {
+          val entry =
+            if (code < next && table(code) != null) table(code)
+            else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+            else return None
+          out.write(entry, 0, entry.length)
+          if (out.size > maxOut) return None
+          if (prev != null && next < 4096) {
+            table(next) = prev :+ entry(0)
+            next += 1
+            if (width < 12 && next + earlyChange >= (1 << width)) width += 1
+          }
+          prev = entry
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
 
   private def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
     val out = new java.io.ByteArrayOutputStream(data.length / 2)

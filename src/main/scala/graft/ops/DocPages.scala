@@ -95,20 +95,21 @@ object DocPages {
   }
 
   /** Filter-chain PDF: content streams travel through PNG-predictor
-    * Flate (doc_id%5=0), TIFF-predictor Flate (1), an ASCIIHex→Flate
-    * chain (2), an ASCII85→Flate chain (3) or RunLengthDecode (4) —
-    * byte-identical recovery requires the declared-filter pipeline
-    * incl. /DecodeParms predictors.
+    * Flate (doc_id%6=0), TIFF-predictor Flate (1), an ASCIIHex→Flate
+    * chain (2), an ASCII85→Flate chain (3), RunLengthDecode (4) or
+    * LZWDecode (5) — byte-identical recovery requires the
+    * declared-filter pipeline incl. /DecodeParms predictors.
     */
   def pdfFiltered(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._
     docs(spark, dir).map { d =>
-      val mode = (d.doc_id % 5) match {
+      val mode = (d.doc_id % 6) match {
         case 0 => "png"
         case 1 => "tiff"
         case 2 => "ahx"
         case 3 => "a85"
-        case _ => "rl"
+        case 4 => "rl"
+        case _ => "lzw"
       }
       PageRow(s"doc://pf/${d.doc_id}", Ts0,
         PagesGen.pdfBytesFiltered(Seq(Seq(d.text)), mode), "", d.lang)

@@ -90,11 +90,48 @@ class PdfFilterSpec extends AnyFunSuite {
   test("unsupported filters stay honestly counted") {
     val pdf = new String(PagesGen.pdfBytes(Seq(Seq("hello"))
       .map(identity), compress = false), ISO_8859_1)
-      .replace(">> stream", "/Filter /LZWDecode >> stream")
+      .replace(">> stream", "/Filter /DCTDecode >> stream")
       .getBytes(ISO_8859_1)
     val r = PdfTextExtractor.extract(pdf)
     assert(r.unsupported > 0)
     assert(r.pages.isEmpty)
+  }
+
+  test("LZWDecode round-trips byte-identically") {
+    val pdf = PagesGen.pdfBytesFiltered(Seq(lines), "lzw")
+    val r = PdfTextExtractor.extract(pdf)
+    assert(r.unsupported === 0)
+    assert(r.pages.map(_.text).mkString("\n") === lines.mkString("\n"))
+  }
+
+  test("LZW encoder/decoder round-trip survives width growth, table clear and KwKwK") {
+    // deterministic LCG bytes over a small alphabet: enough distinct
+    // bigrams/trigrams to push the code width 9 -> 12 and force a
+    // mid-stream ClearTable; the aaaa... prefix exercises code==next
+    var seed = 0x2545f4914f6cdd1dL
+    val n = 200000
+    val raw = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      raw(i) =
+        if (i < 20) 'a'.toByte
+        else { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) % 17 + 'a').toByte }
+      i += 1
+    }
+    val enc = PagesGen.lzwEncode(raw)
+    assert(enc.length < n) // it actually compresses
+    val dec = PdfTextExtractor.lzwDecode(enc, earlyChange = 1)
+    assert(dec.isDefined)
+    assert(java.util.Arrays.equals(dec.get, raw))
+  }
+
+  test("corrupt LZW stream is None, never garbage") {
+    val enc = PagesGen.lzwEncode("some sample payload for corruption".getBytes(ISO_8859_1))
+    // flip bits so an out-of-range code appears
+    val bad = enc.clone()
+    var i = 2
+    while (i < bad.length) { bad(i) = 0xff.toByte; i += 1 }
+    assert(PdfTextExtractor.lzwDecode(bad, earlyChange = 1).isEmpty)
   }
 
   test("phantom obj header inside a stream payload cannot shadow a real object") {
