@@ -160,9 +160,141 @@ object StreamingOps {
       |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
 
+  // -------------------------------------- oracle-gated streaming sessions
+
+  final case class EventIn(user_id: Long, event_id: Long, ts_us: Long,
+      ets: java.sql.Timestamp)
+  final case class SessRow(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+  final case class SessState(start_us: Long, last_us: Long, n: Long)
+
+  private val SessGapUs = 1800L * 1000000L // 30 min, same rule as q_sessionize
+
+  /** ORACLE-GATED streaming sessionization: a real multi-micro-batch
+    * `flatMapGroupsWithState` run with EventTimeTimeout. The events table
+    * is staged as STRICT time slices (file k+1's events all ≥ file k's max
+    * ts) picked up oldest-first one file per trigger, so the 0-delay
+    * watermark after batch k lower-bounds everything still in flight —
+    * which makes timeout-closed sessions exactly match batch
+    * gaps-and-islands semantics. A sentinel increment (user_id −1, far
+    * future) advances the final watermark past every open session's gap,
+    * flushing them — the standard "advance the watermark to drain state"
+    * move for a finite replay of an infinite stream. Emission is
+    * per-SESSION (Append mode): a session row leaves the operator exactly
+    * once, when a later event opens the next session or when its
+    * event-time timeout fires.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("cast(user_id as long) as user_id",
+        "cast(event_id as long) as event_id",
+        "unix_micros(cast(ts as timestamp)) as ts_us",
+        "cast(ts as timestamp) as ets")
+    val (minUs, maxUs) = ev.agg(min(col("ts_us")), max(col("ts_us")))
+      .as[(Long, Long)].first()
+    val nSlices = 4
+    val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
+    val stage = java.nio.file.Files.createTempDirectory("stream_sess_src")
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = stage.resolve(s"tmp_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(tmp)
+      // file source takes oldest-mtime first: pin explicit increasing mtimes
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      staged += dest
+    }
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    try {
+      (0 until nSlices).foreach { i =>
+        val lo = minUs + i * spanUs
+        val hi = if (i == nSlices - 1) Long.MaxValue else lo + spanUs
+        stageSlice(ev.filter(col("ts_us") >= lo && col("ts_us") < hi),
+          f"slice-$i%03d", base + i * 10000L)
+      }
+      // watermark-advancing sentinel, filtered back out of the result
+      stageSlice(
+        spark.range(1).selectExpr("-1L as user_id", "-1L as event_id",
+          s"${maxUs + 30L * 86400 * 1000000} as ts_us",
+          s"timestamp_micros(${maxUs + 30L * 86400 * 1000000}) as ets"),
+        "slice-zzz", base + nSlices * 10000L)
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts_us", LongType), StructField("ets", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val sessions = src
+        .withWatermark("ets", "0 seconds")
+        .as[EventIn]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessState, SessRow](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, rows: Iterator[EventIn], st: GroupState[SessState]) =>
+            if (st.hasTimedOut) {
+              val s = st.get
+              st.remove()
+              Iterator.single(SessRow(uid, s.start_us, s.last_us, s.n))
+            } else {
+              val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+              val out = Seq.newBuilder[SessRow]
+              var cur = st.getOption.orNull
+              evs.foreach { e =>
+                if (cur == null) cur = SessState(e.ts_us, e.ts_us, 1L)
+                else if (e.ts_us - cur.last_us > SessGapUs) {
+                  out += SessRow(uid, cur.start_us, cur.last_us, cur.n)
+                  cur = SessState(e.ts_us, e.ts_us, 1L)
+                } else cur = SessState(cur.start_us, e.ts_us, cur.n + 1L)
+              }
+              st.update(cur)
+              // +1 ms covers the micro→milli flooring of the event clock
+              st.setTimeoutTimestamp(cur.last_us / 1000 + SessGapUs / 1000 + 1)
+              out.result().iterator
+            }
+        }
+      val name = s"stream_sessions_${System.nanoTime()}"
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    } finally {
+      staged.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
+  val streamSessionizeSql: String =
+    """WITH g AS (SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |m AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM g),
+      |s AS (SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+      |  FROM m)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sess""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_hourly" -> (streamHourlyEvents(_, _)))
+    "q_stream_hourly" -> (streamHourlyEvents(_, _)),
+    "q_stream_sessionize" -> (streamSessionize(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "q_stream_hourly" -> streamHourlyEventsSql)
+    "q_stream_hourly" -> streamHourlyEventsSql,
+    "q_stream_sessionize" -> streamSessionizeSql)
 }

@@ -101,4 +101,29 @@ class StreamingSpec extends SparkTestBase {
       .count().count()
     assert(spark.table("win_stream").count() == batchCounts)
   }
+
+  test("streaming sessionize (event-time timeout) matches batch gaps-and-islands") {
+    val out = StreamingOps.streamSessionize(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "start_us", "end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // batch reference: same 30-min rule, per-session bounds
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("cast(user_id as long) as user_id",
+        "cast(event_id as long) as event_id",
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._2))
+        val sess = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        sorted.foreach { case (_, _, ts) =>
+          if (sess.nonEmpty && ts - sess.last._3 <= 1800L * 1000000L) {
+            val (u, s, _, n) = sess.last
+            sess(sess.length - 1) = (u, s, ts, n + 1)
+          } else sess += ((uid, ts, ts, 1L))
+        }
+        sess
+      }.toSet
+    assert(out === batch)
+    assert(out.nonEmpty)
+  }
 }
