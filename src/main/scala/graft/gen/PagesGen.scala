@@ -506,6 +506,101 @@ object PagesGen {
     out.toByteArray
   }
 
+  /** Encrypted PDF via the standard security handler with an EMPTY user
+    * password (the permission-restricted-but-readable shape that dominates
+    * encrypted files in web crawls). `mode` is "rc4-40" (V1/R2),
+    * "rc4-128" (V2/R3), "aes128" (V4/R4 /AESV2) or "aes256" (V5/R6
+    * /AESV3). All salts/IVs derive from splitmix64 over `seed` so the
+    * bytes are deterministic. `userPw` non-empty produces a genuinely
+    * password-protected file (extractor must count it unsupported).
+    */
+  def pdfBytesEncrypted(pageLines: Seq[Seq[String]], mode: String,
+      seed: Long, userPw: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    import graft.kernels.PdfCrypto
+    def rnd(tag: Long, n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val h = mix(seed ^ (tag * 0x100000001B3L) ^ (i / 8).toLong)
+        out(i) = ((h >>> ((i % 8) * 8)) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    val id0 = rnd(1, 16)
+    val p = -44
+    val empty = Array.emptyByteArray
+    val (dec, encDict) = mode match {
+      case "rc4-40" | "rc4-128" | "aes128" =>
+        val (v, r, bits) = mode match {
+          case "rc4-40"  => (1, 2, 40)
+          case "rc4-128" => (2, 3, 128)
+          case _         => (4, 4, 128)
+        }
+        val o = PdfCrypto.computeO(empty, userPw, r, bits)
+        val key = PdfCrypto.fileKey(userPw, o, p, id0, r, bits, encryptMetadata = true)
+        val u = PdfCrypto.computeU(key, id0, r)
+        val cf =
+          if (v == 4) " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+          else ""
+        (PdfCrypto.Decryptor(aes = v == 4, key, r),
+          s"<< /Filter /Standard /V $v /R $r /Length $bits /P $p /O <${hex(o)}> /U <${hex(u)}>$cf >>")
+      case "aes256" =>
+        val fileKey = rnd(2, 32)
+        val vSalt = rnd(3, 8); val kSalt = rnd(4, 8)
+        val u = PdfCrypto.hash2B(userPw, vSalt, empty) ++ vSalt ++ kSalt
+        val ue = PdfCrypto.aesNoPad(encrypt = true,
+          PdfCrypto.hash2B(userPw, kSalt, empty), fileKey)
+        val oV = rnd(5, 8); val oK = rnd(6, 8)
+        val o = PdfCrypto.hash2B(empty, oV, u) ++ oV ++ oK
+        val oe = PdfCrypto.aesNoPad(encrypt = true,
+          PdfCrypto.hash2B(empty, oK, u), fileKey)
+        // single 16-byte block: CBC with zero IV == ECB, the /Perms op
+        val permsBlock = Array(p, p >> 8, p >> 16, p >> 24, 0xff, 0xff,
+          0xff, 0xff, 'T', 'a', 'd', 'b').map(_.toByte) ++ rnd(7, 4)
+        val perms = PdfCrypto.aesNoPad(encrypt = true, fileKey, permsBlock)
+        (PdfCrypto.Decryptor(aes = true, fileKey, 6),
+          s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $p /O <${hex(o)}> /U <${hex(u)}>" +
+            s" /OE <${hex(oe)}> /UE <${hex(ue)}> /Perms <${hex(perms)}>" +
+            " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>")
+      case other => throw new IllegalArgumentException(s"mode $other")
+    }
+    val objs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    objs += "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n".getBytes(UTF_8)
+    val kids = pageLines.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    objs += s"2 0 obj << /Type /Pages /Kids [$kids] /Count ${pageLines.length} >> endobj\n".getBytes(UTF_8)
+    pageLines.zipWithIndex.foreach { case (lines, i) =>
+      val pageObj = 3 + 2 * i
+      val contObj = pageObj + 1
+      objs += (s"$pageObj 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents $contObj 0 R /Resources << /Font << /F1 << /Type /Font " +
+        "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n").getBytes(UTF_8)
+      val cs = new java.lang.StringBuilder(256)
+      cs.append("BT /F1 12 Tf 72 720 Td 14 TL\n")
+      lines.zipWithIndex.foreach { case (line, j) =>
+        if (j > 0) cs.append("T*\n")
+        cs.append(s"(${escapePdf(line)}) Tj\n")
+      }
+      cs.append("ET\n")
+      val raw = cs.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val payload = dec.encrypt(contObj, 0, raw, rnd(100 + contObj, 16))
+      val head = new java.io.ByteArrayOutputStream(payload.length + 96)
+      head.write(s"$contObj 0 obj << /Length ${payload.length} >> stream\n".getBytes(UTF_8))
+      head.write(payload)
+      head.write("\nendstream endobj\n".getBytes(UTF_8))
+      objs += head.toByteArray
+    }
+    val encObj = 3 + 2 * pageLines.length
+    objs += s"$encObj 0 obj $encDict endobj\n".getBytes(UTF_8)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    out.write("%PDF-1.6\n".getBytes(UTF_8))
+    objs.foreach(out.write)
+    out.write((s"trailer << /Root 1 0 R /Encrypt $encObj 0 R " +
+      s"/ID [<${id0.map(x => f"${x & 0xff}%02X").mkString}> <${id0.map(x => f"${x & 0xff}%02X").mkString}>] >>\n%%EOF\n").getBytes(UTF_8))
+    out.toByteArray
+  }
+
   // -------------------------------------------------------- corpus assembly
 
   final case class GenPage(row: PageRow, expected: String, kind: String)

@@ -58,6 +58,11 @@ object PdfTextExtractor {
     */
   private def extractFileOrder(bytes: Array[Byte]): PdfResult = {
     val streams = findStreams(bytes)
+    // an encrypted file that falls back here has no resolvable object
+    // numbers to key per-object decryption: count it honestly instead
+    // of lexing ciphertext as content
+    if (indexOf(bytes, "/Encrypt", 0) >= 0)
+      return PdfResult(Array.empty, math.max(1, streams.length))
     val pages = new ArrayBuffer[PageText](4)
     var unsupported = 0
     var pageNo = 0
@@ -79,7 +84,8 @@ object PdfTextExtractor {
 
   private final case class PdfDoc(s: String, bytes: Array[Byte],
       objs: Map[Int, (Int, Int)],
-      extra: Map[Int, String] = Map.empty) {
+      extra: Map[Int, String] = Map.empty,
+      crypt: Option[PdfCrypto.Decryptor] = None) {
     /** Dict text of an object (body up to its `stream` keyword, if any).
       * Direct file objects win; `extra` holds members expanded out of
       * /ObjStm compressed object streams (PDF 1.5+), which never carry
@@ -218,12 +224,36 @@ object PdfTextExtractor {
         var p = a + k + 6
         if (p < doc.bytes.length && doc.bytes(p) == '\r') p += 1
         if (p < doc.bytes.length && doc.bytes(p) == '\n') p += 1
-        val e = doc.s.indexOf("endstream", p)
-        var q = if (e < 0) b else e
-        if (q > p && doc.bytes(q - 1) == '\n') q -= 1
-        if (q > p && doc.bytes(q - 1) == '\r') q -= 1
+        // Prefer a validated direct /Length: binary payloads (encrypted
+        // or compressed) may legitimately end in \r/\n bytes, which the
+        // scan-based fallback would clip, or contain 'endstream' as data.
+        // An indirect "/Length N 0 R" mis-parses as N here and simply
+        // fails validation → scan fallback.
+        val byLength = intOf(d, "Length").filter { len =>
+          val end = p.toLong + len
+          end <= doc.bytes.length && {
+            var r = end.toInt
+            if (r < doc.bytes.length && doc.bytes(r) == '\r') r += 1
+            if (r < doc.bytes.length && doc.bytes(r) == '\n') r += 1
+            doc.s.startsWith("endstream", r)
+          }
+        }.map(p + _)
+        val q = byLength.getOrElse {
+          val e = doc.s.indexOf("endstream", p)
+          var q0 = if (e < 0) b else e
+          if (q0 > p && doc.bytes(q0 - 1) == '\n') q0 -= 1
+          if (q0 > p && doc.bytes(q0 - 1) == '\r') q0 -= 1
+          q0
+        }
         val raw = java.util.Arrays.copyOfRange(doc.bytes, p, math.max(p, q))
-        decodeStream(d, raw)
+        // decrypt-then-decode: stream data is encrypted AFTER filtering
+        // at write time, so decryption comes first on read. Generation
+        // numbers are virtually always 0 in practice (and always 0 in
+        // the fixture corpus); the object index doesn't track them.
+        doc.crypt match {
+          case Some(c) => c.decrypt(num, 0, raw).flatMap(decodeStream(d, _))
+          case None    => decodeStream(d, raw)
+        }
       }
     }
 
@@ -460,6 +490,127 @@ object PdfTextExtractor {
     if (m.find()) Some(m.group(1).toInt) else None
   }
 
+  // ------------------------------------------------------------ encryption
+
+  /** PDF string value of `/key` — hex `<..>` or literal `(..)` with the
+    * standard escapes — as raw bytes.
+    */
+  private def strOf(dict: String, key: String): Option[Array[Byte]] = {
+    val m = cachedPattern("str:" + key,
+      "/" + key + "\\s*(?:<([0-9A-Fa-f\\s]*)>|\\(((?:[^\\\\()]|\\\\[\\s\\S])*)\\))").matcher(dict)
+    if (!m.find()) None
+    else if (m.group(1) != null) {
+      val hex = m.group(1).filterNot(_.isWhitespace)
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      val out = new Array[Byte](padded.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = Integer.parseInt(padded.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      Some(out)
+    } else {
+      val lit = m.group(2)
+      val out = new java.io.ByteArrayOutputStream(lit.length)
+      var i = 0
+      while (i < lit.length) {
+        val c = lit.charAt(i)
+        if (c != '\\') { out.write(c & 0xff); i += 1 }
+        else if (i + 1 < lit.length) {
+          lit.charAt(i + 1) match {
+            case 'n' => out.write('\n'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'b' => out.write('\b'); i += 2
+            case 'f' => out.write('\f'); i += 2
+            case d if d >= '0' && d <= '7' =>
+              var v = 0
+              var k = i + 1
+              while (k < lit.length && k < i + 4 && lit.charAt(k) >= '0' && lit.charAt(k) <= '7') {
+                v = v * 8 + (lit.charAt(k) - '0'); k += 1
+              }
+              out.write(v & 0xff); i = k
+            case other => out.write(other & 0xff); i += 2
+          }
+        } else i += 1
+      }
+      Some(out.toByteArray)
+    }
+  }
+
+  /** Signed integer value of `/key` (the /P permissions flag is negative). */
+  private def signedIntOf(dict: String, key: String): Option[Int] = {
+    val m = cachedPattern("sint:" + key, "/" + key + "\\s+(-?\\d+)").matcher(dict)
+    if (m.find()) Some(m.group(1).toLong.toInt) else None
+  }
+
+  /** First element of the LAST trailer /ID array, as raw bytes. */
+  private val IdRe =
+    java.util.regex.Pattern.compile("/ID\\s*\\[\\s*<([0-9A-Fa-f\\s]*)>")
+  private def idFirst(s: String): Array[Byte] = {
+    val m = IdRe.matcher(s)
+    var hex: String = null
+    while (m.find()) hex = m.group(1)
+    if (hex == null) Array.emptyByteArray
+    else {
+      val h = hex.filterNot(_.isWhitespace)
+      val out = new Array[Byte](h.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resolve the /Encrypt state of the document with the EMPTY user
+    * password. None = not encrypted; Some(None) = encrypted but not
+    * decryptable here (real password, or an unsupported handler/V) —
+    * the whole file counts unsupported; Some(Some(d)) = transparent
+    * decryption via `d`.
+    */
+  private def buildCrypt(doc: PdfDoc): Option[Option[PdfCrypto.Decryptor]] = {
+    val encNum = lastRefOf(doc.s, "Encrypt").getOrElse(return None)
+    val d = doc.dict(encNum)
+    if (d.isEmpty || !nameOf(d, "Filter").contains("Standard")) return Some(None)
+    val v = intOf(d, "V").getOrElse(0)
+    val r = intOf(d, "R").getOrElse(if (v == 1) 2 else 3)
+    val o = strOf(d, "O").getOrElse(return Some(None))
+    val u = strOf(d, "U").getOrElse(return Some(None))
+    val empty = Array.emptyByteArray
+    if ((v == 1 || v == 2 || v == 4) && r >= 2 && r <= 4) {
+      val cfm = nameOf(d, "CFM")
+      if (v == 4 && !cfm.exists(c => c == "AESV2" || c == "V2")) return Some(None)
+      val aes = v == 4 && cfm.contains("AESV2")
+      val p = signedIntOf(d, "P").getOrElse(-1)
+      val lengthBits = intOf(d, "Length").getOrElse(40)
+      val encMeta = !d.replaceAll("\\s+", " ").contains("/EncryptMetadata false")
+      val id0 = idFirst(doc.s)
+      val key = PdfCrypto.fileKey(empty, o, p, id0, r, lengthBits, encMeta)
+      if (!PdfCrypto.userPasswordIsEmpty(key, u, id0, r)) Some(None)
+      else Some(Some(PdfCrypto.Decryptor(aes, key, r)))
+    } else if (v == 5 && (r == 5 || r == 6)) {
+      if (u.length < 48) return Some(None)
+      val hash = u.take(32)
+      val vSalt = u.slice(32, 40)
+      val kSalt = u.slice(40, 48)
+      val ue = strOf(d, "UE").getOrElse(return Some(None))
+      if (ue.length < 32) return Some(None)
+      val computed =
+        if (r == 5) PdfCrypto.sha256(empty ++ vSalt)
+        else PdfCrypto.hash2B(empty, vSalt, empty)
+      if (!java.util.Arrays.equals(computed, hash)) Some(None)
+      else {
+        val ikey =
+          if (r == 5) PdfCrypto.sha256(empty ++ kSalt)
+          else PdfCrypto.hash2B(empty, kSalt, empty)
+        val key = PdfCrypto.aesNoPad(encrypt = false, ikey, ue.take(32))
+        Some(Some(PdfCrypto.Decryptor(aes = true, key, r)))
+      }
+    } else Some(None)
+  }
+
   /** Expand /ObjStm compressed object streams (PDF 1.5+): the decoded
     * payload is N (objNum, offset) integer pairs followed by the
     * serialized member objects (no obj/endobj wrappers, never streams).
@@ -501,7 +652,12 @@ object PdfTextExtractor {
 
   /** Page-tree extraction; None when no catalog/page tree resolves. */
   private def extractViaPageTree(bytes: Array[Byte]): Option[PdfResult] = {
-    val doc1 = indexObjects(bytes).getOrElse(return None)
+    val doc0 = indexObjects(bytes).getOrElse(return None)
+    val doc1 = buildCrypt(doc0) match {
+      case None            => doc0
+      case Some(None)      => return Some(PdfResult(Array.empty, 1)) // honest: can't decrypt
+      case Some(Some(dec)) => doc0.copy(crypt = Some(dec))
+    }
     val (doc, objStmFailed) = expandObjStm(doc1)
     val rootNum = lastRefOf(doc.s, "Root").orElse {
       (doc.objs.keys ++ doc.extra.keys).find(n => doc.dict(n).contains("/Catalog"))

@@ -116,6 +116,26 @@ object DocPages {
     }
   }
 
+  /** Standard-security encrypted PDFs with an empty user password —
+    * doc_id%4 cycles RC4-40 (V1/R2), RC4-128 (V2/R3), AES-128 (V4/R4
+    * /AESV2) and AES-256 (V5/R6 /AESV3). Recovery requires the /Encrypt
+    * handshake (empty-password validation against /U, per-object key
+    * derivation, decrypt-then-Flate) to be byte-exact.
+    */
+  def pdfEncrypted(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val mode = (d.doc_id % 4) match {
+        case 0 => "rc4-40"
+        case 1 => "rc4-128"
+        case 2 => "aes128"
+        case _ => "aes256"
+      }
+      PageRow(s"doc://pe/${d.doc_id}", Ts0,
+        PagesGen.pdfBytesEncrypted(Seq(Seq(d.text)), mode, seed = d.doc_id), "", d.lang)
+    }
+  }
+
   /** WinAnsi-encoded PDF: the text is prefixed with glyphs that live at
     * 0x80-0x9F in windows-1252 (euro, em-dash, oe) where Latin-1 has
     * control characters — byte-identical recovery REQUIRES the font

@@ -64,6 +64,15 @@ object ExtractionOps {
     extracted(spark, DocPages.pdfFiltered(spark, dir))
       .select(col("doc_id"), col("extracted_text"))
 
+  /** Encrypted PDFs (RC4-40/RC4-128/AES-128/AES-256 by doc_id%4) with an
+    * empty user password: the kernel validates /U, derives per-object
+    * keys and decrypts transparently; identity oracle — any handshake or
+    * crypto slip corrupts every row of its mode class.
+    */
+  def extractPdfEncrypted(spark: SparkSession, dir: String): DataFrame =
+    extracted(spark, DocPages.pdfEncrypted(spark, dir))
+      .select(col("doc_id"), col("extracted_text"))
+
   /** Multi-page PDF → one combined document: the kernel emits one page
     * per PDF page object, mergePages '\n'-joins them in page order and
     * reports page_count — the reference's `{page_count, pages:[...]}`
@@ -257,6 +266,7 @@ object ExtractionOps {
     "q_extract_pdf" -> (extractPdf(_, _)),
     "q_extract_pdf_flate" -> (extractPdfFlate(_, _)),
     "q_extract_pdf_filters" -> (extractPdfFilters(_, _)),
+    "q_extract_pdf_encrypted" -> (extractPdfEncrypted(_, _)),
     "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
     "q_extract_pdf_scrambled" -> (extractPdfScrambled(_, _)),
     "q_extract_pdf_winansi" -> (extractPdfWinAnsi(_, _)),
@@ -279,6 +289,7 @@ object ExtractionOps {
     "q_extract_pdf" -> extractPdfSql,
     "q_extract_pdf_flate" -> extractPdfSql,
     "q_extract_pdf_filters" -> extractPdfSql,
+    "q_extract_pdf_encrypted" -> extractPdfSql,
     "q_extract_pdf_multipage" -> extractPdfMultipageSql,
     "q_extract_pdf_scrambled" -> extractPdfMultipageSql,
     "q_extract_pdf_winansi" -> extractPdfWinAnsiSql,
