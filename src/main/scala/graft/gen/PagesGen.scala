@@ -601,6 +601,102 @@ object PagesGen {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------ WARC builder
+
+  /** Deterministic WARC/1.0 file wrapping `(url, ts, payload)` entries
+    * the way Common Crawl does: a warcinfo record, then per entry a
+    * request record followed by its response record. The HTTP response
+    * cycles realism modes by entry index: plain Content-Length, chunked
+    * transfer encoding, gzip content-encoding; every 5th entry is
+    * instead stored as a raw `resource` record. `gzipMembers` emits each
+    * record as its own gzip member (the .warc.gz layout). JDK gzip
+    * writes MTIME=0 so the bytes are reproducible.
+    */
+  def warcBytes(entries: Seq[(String, Timestamp, Array[Byte])],
+      gzipMembers: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def member(record: Array[Byte]): Unit =
+      if (gzipMembers) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(record); gz.finish()
+      } else out.write(record)
+    def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+      val sb = new java.lang.StringBuilder(256)
+      sb.append("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+      sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+      val head = sb.toString.getBytes(UTF_8)
+      val buf = new java.io.ByteArrayOutputStream(head.length + block.length + 4)
+      buf.write(head); buf.write(block); buf.write("\r\n\r\n".getBytes(UTF_8))
+      buf.toByteArray
+    }
+    def iso(ts: Timestamp): String =
+      java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        java.time.Instant.ofEpochMilli(ts.getTime))
+    member(record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+      "WARC-Date" -> "2025-01-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-testgen\r\n".getBytes(UTF_8)))
+    entries.zipWithIndex.foreach { case ((url, ts, payload), i) =>
+      val req = ("GET " + url + " HTTP/1.1\r\nHost: example\r\n\r\n").getBytes(UTF_8)
+      member(record(Seq(
+        "WARC-Type" -> "request",
+        "WARC-Record-ID" -> f"<urn:uuid:11111111-0000-0000-0000-${i}%012d>",
+        "WARC-Target-URI" -> url,
+        "WARC-Date" -> iso(ts),
+        "Content-Type" -> "application/http; msgtype=request"), req))
+      if (i % 5 == 4) {
+        member(record(Seq(
+          "WARC-Type" -> "resource",
+          "WARC-Record-ID" -> f"<urn:uuid:22222222-0000-0000-0000-${i}%012d>",
+          "WARC-Target-URI" -> s"<$url>", // angle-bracketed URI form
+          "WARC-Date" -> iso(ts),
+          "Content-Type" -> "text/html"), payload))
+      } else {
+        val http = new java.io.ByteArrayOutputStream(payload.length + 256)
+        def w(s: String): Unit = http.write(s.getBytes(UTF_8))
+        w("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n")
+        (i % 3) match {
+          case 1 => // chunked: uneven chunk sizes incl. a final partial
+            w("Transfer-Encoding: chunked\r\n\r\n")
+            var off = 0
+            var n = 0
+            while (off < payload.length) {
+              val sz = math.min(payload.length - off, if (n % 2 == 0) 700 else 123)
+              w(f"$sz%x;ext=1\r\n")
+              http.write(payload, off, sz)
+              w("\r\n")
+              off += sz; n += 1
+            }
+            w("0\r\n\r\n")
+          case 2 => // gzip content-encoding
+            val gz = deflateGzip(payload)
+            w(s"Content-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n\r\n")
+            http.write(gz)
+          case _ =>
+            w(s"Content-Length: ${payload.length}\r\n\r\n")
+            http.write(payload)
+        }
+        member(record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> f"<urn:uuid:33333333-0000-0000-0000-${i}%012d>",
+          "WARC-Target-URI" -> url,
+          "WARC-Date" -> iso(ts),
+          "Content-Type" -> "application/http; msgtype=response"), http.toByteArray))
+      }
+    }
+    out.toByteArray
+  }
+
+  private[graft] def deflateGzip(raw: Array[Byte]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(buf)
+    gz.write(raw); gz.finish()
+    buf.toByteArray
+  }
+
   // -------------------------------------------------------- corpus assembly
 
   final case class GenPage(row: PageRow, expected: String, kind: String)

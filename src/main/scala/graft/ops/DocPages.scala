@@ -116,6 +116,25 @@ object DocPages {
     }
   }
 
+  /** Assemble docs into WARC files of ≤8 records each (doc_id/8 buckets,
+    * in-file order by doc_id): each file carries warcinfo + request +
+    * response/resource records, HTTP bodies cycling plain/chunked/gzip
+    * content-encoding, and odd file ids are .warc.gz (per-record gzip
+    * members). Returns `(file_id, warc_bytes)` — the shape a 100 TB
+    * crawl ingest reads (one row per archive segment, exploded by the
+    * WARC kernel with no shuffle).
+    */
+  def warcFiles(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs(spark, dir).groupByKey(_.doc_id / 8).mapGroups { (gid, it) =>
+      val entries = it.toSeq.sortBy(_.doc_id).map { d =>
+        val html = PagesGen.htmlPage(Seq(d.text), None, d.doc_id)
+        (s"doc://w/${d.doc_id}", Ts0, html.getBytes(UTF_8))
+      }
+      (gid, PagesGen.warcBytes(entries, gzipMembers = gid % 2 == 1))
+    }
+  }
+
   /** Standard-security encrypted PDFs with an empty user password —
     * doc_id%4 cycles RC4-40 (V1/R2), RC4-128 (V2/R3), AES-128 (V4/R4
     * /AESV2) and AES-256 (V5/R6 /AESV3). Recovery requires the /Encrypt

@@ -64,6 +64,23 @@ object ExtractionOps {
     extracted(spark, DocPages.pdfFiltered(spark, dir))
       .select(col("doc_id"), col("extracted_text"))
 
+  /** WARC ingestion end-to-end: docs are packed into WARC/1.0 files
+    * (warcinfo + request + response/resource records; plain, chunked and
+    * gzip-content-encoded HTTP bodies; odd files as per-member .warc.gz),
+    * the WARC kernel explodes files back into pages with zero shuffle,
+    * and the HTML kernel extracts — identity oracle, so a dropped or
+    * mis-bodied record of ANY mode fails the hash.
+    */
+  def extractWarc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = DocPages.warcFiles(spark, dir).flatMap { case (_, bytes) =>
+      graft.kernels.WarcKernel.split(bytes)
+        .filter(p => p.error == null && p.url != null)
+        .map(p => graft.model.PageRow(p.url, p.ts, p.body, "", "en"))
+    }
+    extracted(spark, pages).select(col("doc_id"), col("extracted_text"))
+  }
+
   /** Encrypted PDFs (RC4-40/RC4-128/AES-128/AES-256 by doc_id%4) with an
     * empty user password: the kernel validates /U, derives per-object
     * keys and decrypts transparently; identity oracle — any handshake or
@@ -267,6 +284,7 @@ object ExtractionOps {
     "q_extract_pdf_flate" -> (extractPdfFlate(_, _)),
     "q_extract_pdf_filters" -> (extractPdfFilters(_, _)),
     "q_extract_pdf_encrypted" -> (extractPdfEncrypted(_, _)),
+    "q_extract_warc" -> (extractWarc(_, _)),
     "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
     "q_extract_pdf_scrambled" -> (extractPdfScrambled(_, _)),
     "q_extract_pdf_winansi" -> (extractPdfWinAnsi(_, _)),
@@ -290,6 +308,7 @@ object ExtractionOps {
     "q_extract_pdf_flate" -> extractPdfSql,
     "q_extract_pdf_filters" -> extractPdfSql,
     "q_extract_pdf_encrypted" -> extractPdfSql,
+    "q_extract_warc" -> extractHtmlSql,
     "q_extract_pdf_multipage" -> extractPdfMultipageSql,
     "q_extract_pdf_scrambled" -> extractPdfMultipageSql,
     "q_extract_pdf_winansi" -> extractPdfWinAnsiSql,

@@ -1,0 +1,76 @@
+package graft
+
+import graft.gen.PagesGen
+import graft.kernels.WarcKernel
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC/1.0 record splitting (ISO 28500): response + resource payload
+  * recovery across HTTP body modes, gzip member concatenation, and
+  * honest error rows on malformed tails.
+  */
+class WarcKernelSpec extends AnyFunSuite {
+
+  private val Ts = new Timestamp(1735689600000L)
+
+  private def entries(n: Int): Seq[(String, Timestamp, Array[Byte])] =
+    (0 until n).map(i =>
+      (s"doc://w/$i", Ts, s"payload body number $i with some filler text".getBytes(UTF_8)))
+
+  test("plain WARC round-trips all modes (plain/chunked/gzip-CE/resource)") {
+    val es = entries(10)
+    val pages = WarcKernel.split(PagesGen.warcBytes(es, gzipMembers = false)).toSeq
+    assert(pages.forall(_.error == null))
+    assert(pages.map(_.url) === es.map(_._1))
+    assert(pages.map(p => new String(p.body, UTF_8)) ===
+      es.map(e => new String(e._3, UTF_8)))
+    // mode coverage: i%5==4 resource, else response
+    assert(pages.map(_.recType) ===
+      (0 until 10).map(i => if (i % 5 == 4) "resource" else "response"))
+    assert(pages.forall(_.ts == Ts))
+  }
+
+  test(".warc.gz (per-record gzip members) round-trips identically") {
+    val es = entries(7)
+    val pages = WarcKernel.split(PagesGen.warcBytes(es, gzipMembers = true)).toSeq
+    assert(pages.forall(_.error == null))
+    assert(pages.map(p => new String(p.body, UTF_8)) ===
+      es.map(e => new String(e._3, UTF_8)))
+  }
+
+  test("truncated tail yields an honest error row, keeping prior records") {
+    val full = PagesGen.warcBytes(entries(6), gzipMembers = false)
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 40)
+    val pages = WarcKernel.split(cut).toSeq
+    assert(pages.nonEmpty)
+    assert(pages.last.error != null)
+    assert(pages.init.forall(_.error == null))
+  }
+
+  test("garbage input is a single error row, not an exception") {
+    val pages = WarcKernel.split("this is not a warc".getBytes(UTF_8)).toSeq
+    assert(pages.map(_.error) === Seq("warc_bad_magic"))
+    val pages2 = WarcKernel.split(Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2)).toSeq
+    assert(pages2.map(_.error) === Seq("warc_gzip_corrupt"))
+  }
+
+  test("bad chunk framing is an error for that record only") {
+    val body = "AAAA"
+    val http = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\n" + body
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u://x\r\n" +
+      s"WARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: ${http.length}\r\n\r\n" +
+      http + "\r\n\r\n").getBytes(UTF_8)
+    val pages = WarcKernel.split(rec).toSeq
+    assert(pages.length === 1)
+    assert(pages.head.error === "http_bad_chunking")
+    assert(pages.head.url === "u://x")
+  }
+
+  test("angle-bracketed target URIs are unwrapped") {
+    val es = entries(5) // entry 4 is a resource record with <uri> form
+    val pages = WarcKernel.split(PagesGen.warcBytes(es, gzipMembers = false)).toSeq
+    assert(pages(4).recType === "resource")
+    assert(pages(4).url === "doc://w/4")
+  }
+}
