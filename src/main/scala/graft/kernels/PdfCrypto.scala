@@ -21,14 +21,29 @@ object PdfCrypto {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
+  // getInstance is a provider lookup — at crawl scale the key schedule
+  // runs it hundreds of times PER DOCUMENT (50 MD5 rounds for RC4 keys,
+  // 64+ AES+SHA rounds per 2.B hash), so digests and ciphers are
+  // per-thread reusables. digest() resets the instance after each use.
+  private val Digests = new ThreadLocal[java.util.HashMap[String, java.security.MessageDigest]] {
+    override def initialValue() = new java.util.HashMap
+  }
+
+  private def digest(alg: String): java.security.MessageDigest = {
+    val m = Digests.get()
+    var d = m.get(alg)
+    if (d == null) { d = java.security.MessageDigest.getInstance(alg); m.put(alg, d) }
+    d
+  }
+
   def md5(parts: Array[Byte]*): Array[Byte] = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = digest("MD5")
     parts.foreach(d.update)
     d.digest()
   }
 
   private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
-    val d = java.security.MessageDigest.getInstance(alg)
+    val d = digest(alg)
     parts.foreach(d.update)
     d.digest()
   }
@@ -61,8 +76,15 @@ object PdfCrypto {
     out
   }
 
+  private val AesCbc = new ThreadLocal[javax.crypto.Cipher] {
+    override def initialValue() = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+  }
+
+  /** Thread-local AES/CBC cipher re-keyed per use (init is cheap; the
+    * provider lookup in getInstance is what must not be per-call).
+    */
   private def aesCipher(mode: Int, key: Array[Byte], iv: Array[Byte]) = {
-    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    val c = AesCbc.get()
     c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
       new javax.crypto.spec.IvParameterSpec(iv))
     c
@@ -170,23 +192,38 @@ object PdfCrypto {
   def hash2B(password: Array[Byte], salt: Array[Byte],
       udata: Array[Byte]): Array[Byte] = {
     var k = sha("SHA-256", password, salt, udata)
-    var e = Array.emptyByteArray
+    // K grows to 48/64 bytes when later rounds pick SHA-384/512; buffers
+    // are sized for the max and reused across all 64+ rounds (this hash
+    // runs per encrypted document — allocation here is hot-path cost)
+    val maxTotal = (password.length + 64 + udata.length) * 64
+    val k1 = new Array[Byte](maxTotal)
+    val e = new Array[Byte](maxTotal)
+    var eLen = 0
     var round = 0
-    while (round < 64 || (e(e.length - 1) & 0xff) > round - 32) {
-      val block = password ++ k ++ udata
-      val k1 = new Array[Byte](block.length * 64)
-      var i = 0
-      while (i < 64) { System.arraycopy(block, 0, k1, i * block.length, block.length); i += 1 }
-      e = aesCipher(javax.crypto.Cipher.ENCRYPT_MODE,
-        k.take(16), k.slice(16, 32)).doFinal(k1)
-      var sum = 0
-      i = 0
-      while (i < 16) { sum += e(i) & 0xff; i += 1 }
-      k = (sum % 3) match {
-        case 0 => sha("SHA-256", e)
-        case 1 => sha("SHA-384", e)
-        case _ => sha("SHA-512", e)
+    while (round < 64 || (e(eLen - 1) & 0xff) > round - 32) {
+      val blockLen = password.length + k.length + udata.length
+      System.arraycopy(password, 0, k1, 0, password.length)
+      System.arraycopy(k, 0, k1, password.length, k.length)
+      System.arraycopy(udata, 0, k1, password.length + k.length, udata.length)
+      val total = blockLen * 64
+      var filled = blockLen
+      while (filled < total) { // copy-doubling fill of the 64 repeats
+        val n = math.min(filled, total - filled)
+        System.arraycopy(k1, 0, k1, filled, n)
+        filled += n
       }
+      eLen = aesCipher(javax.crypto.Cipher.ENCRYPT_MODE,
+        k.take(16), k.slice(16, 32)).doFinal(k1, 0, total, e)
+      var sum = 0
+      var i = 0
+      while (i < 16) { sum += e(i) & 0xff; i += 1 }
+      val d = digest((sum % 3) match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      })
+      d.update(e, 0, eLen)
+      k = d.digest()
       round += 1
     }
     k.take(32)

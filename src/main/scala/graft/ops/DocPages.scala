@@ -21,9 +21,16 @@ object DocPages {
 
   def docs(spark: SparkSession, dir: String): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    // Small-SF parquet arrives as ONE split, which would run the wrap
+    // kernels (fixture-side PDF/WARC/crypto builders, some ms/doc)
+    // single-threaded; spread them across the cluster first. The
+    // extraction pipeline repartitions by url-hash downstream anyway,
+    // so this adds parallelism, not an extra exchange in the plan that
+    // matters.
+    val df = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("cast(doc_id as long) as doc_id", "text", "lang")
-      .as[Doc]
+    val par = spark.sparkContext.defaultParallelism
+    (if (df.rdd.getNumPartitions < par) df.repartition(par) else df).as[Doc]
   }
 
   def docIdOf(url: String): Long = url.substring(url.lastIndexOf('/') + 1).toLong
