@@ -54,12 +54,18 @@ object Bench {
     dir
   }
 
-  /** Timed full-extraction pass; count() forces every kernel invocation. */
-  private def timeExtract(spark: SparkSession, corpusDir: String, repartition: Int): (Double, Long) = {
+  /** Timed full-extraction pass; count() forces every kernel invocation.
+    * Default shape = post-kernel url-hash exchange (Conf.postShuffle):
+    * the kernel runs narrow on scan splits and only extracted text
+    * crosses the wire — see the ExtractPipeline plan-shape comparison.
+    */
+  private def timeExtract(spark: SparkSession, corpusDir: String, repartition: Int,
+      postShuffle: Boolean = true): (Double, Long) = {
     val pages = spark.read.parquet(corpusDir)
     val t0 = System.nanoTime()
     val n = ExtractPipeline
-      .extract(spark, pages, ExtractPipeline.Conf(repartition = repartition))
+      .extract(spark, pages,
+        ExtractPipeline.Conf(repartition = repartition, postShuffle = postShuffle))
       .filter(_.error == null)
       .count()
     ((System.nanoTime() - t0) / 1e9, n)
@@ -125,6 +131,10 @@ object Bench {
     }
     timeExpr() // warmup
     val tExpr = (1 to Runs).map(_ => timeExpr()).sorted.apply(Runs / 2)
+    // pre-shuffle reference shape (raw html through the exchange) at the
+    // same parallelism — records what the post-kernel placement buys
+    val tPre = (1 to Runs).map(_ => timeExtract(spark, corpusDir, cpus,
+      postShuffle = false)._1).sorted.apply(Runs / 2)
     spark.stop()
 
     // ---- two-parallelism scaling (N=2 vs 4N=8 cores, same input), plus
@@ -168,6 +178,7 @@ object Bench {
       f"""{"docs":$benchDocs,"docs_ok":$nOk,"t_local2_sec":$t2%.3f,"t_local8_sec":$t8%.3f,""" +
         f""""docs_per_sec_local2":${benchDocs / t2}%.1f,"docs_per_sec_local8":${benchDocs / t8}%.1f,""" +
         f""""docs_per_sec_main":${benchDocs / tMain}%.1f,"docs_per_sec_expr":${benchDocs / tExpr}%.1f,""" +
+        f""""docs_per_sec_preshuffle":${benchDocs / tPre}%.1f,""" +
         f""""scaling_efficiency_2_to_8":$eff%.3f,"eff_from_min_levels":${(t2 / t8) / 4.0}%.3f}"""
     val fullRecord =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract_scaling":$scaling}"""

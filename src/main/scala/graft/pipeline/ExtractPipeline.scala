@@ -8,21 +8,35 @@ import org.apache.spark.util.LongAccumulator
 
 /** Spark wiring of the extraction kernel (SURVEY.md §7.1 `pipeline`).
   *
-  * Plan shape (EP1 restated, SURVEY §3):
+  * Plan shape (EP1 restated, SURVEY §3). Two placements of the explicit
+  * url-hash exchange:
   * {{{
-  *   scan(pages)                       -- columnar parquet/iceberg scan
-  *     └─ repartition(P, xxhash64(url)) -- explicit url-hash shuffle
-  *                                        (north rule; decorrelates
-  *                                        adjacent-crawl host skew)
-  *     └─ mapPartitions(kernel)         -- narrow; one doc in flight per
-  *                                        task; page→doc rollup is LOCAL
-  *                                        because each input row carries
-  *                                        the whole document (no shuffle
-  *                                        after the kernel at all)
+  *   pre-shuffle (postShuffle=false):     post-shuffle (postShuffle=true):
+  *     scan(pages)                          scan(pages)
+  *       └─ repartition(P, xxhash64(url))     └─ mapPartitions(kernel)  -- narrow
+  *       └─ mapPartitions(kernel)             └─ repartition(P, xxhash64(url))
   * }}}
+  * Both satisfy the north rule's explicit url-hash repartitioning (the
+  * output lands co-partitioned by url either way); they differ in WHAT
+  * crosses the wire. Pre-shuffle moves the raw `html` bytes — at crawl
+  * scale that is the whole 100 TB through the exchange — and buys
+  * row-level CPU balance into the kernel. Post-shuffle keeps the kernel
+  * narrow on scan splits and exchanges only the extracted text
+  * (typically 5-10x smaller); kernel-time imbalance between splits is
+  * absorbed by task-per-core oversubscription, not by pre-balancing
+  * rows. Measured at local[8]/300k docs, interleaved min-of-5: 142k
+  * docs/s pre vs 149k post (178k with no exchange at all —
+  * `repartition = 0`, the right call when the source is already
+  * bucketed by url). The local gap is small because a single-JVM
+  * shuffle is tmpfs-speed; on a real cluster the exchange is
+  * network-bound and scales with bytes moved, which is where shipping
+  * text instead of html pays. Post-shuffle is the default production
+  * shape; pre-shuffle remains for sources with pathological per-split
+  * skew (one parquet file of giant PDFs).
+  *
   * The reference processed pages serially per request (api.py:217-228);
   * here every executor core runs the kernel on its partition's rows with
-  * zero cross-node traffic after the initial hash exchange.
+  * a single exchange end-to-end.
   */
 object ExtractPipeline {
 
@@ -40,8 +54,13 @@ object ExtractPipeline {
     *                     `hostSalt` buckets instead of hot-spotting one
     *                     reducer (SURVEY §4.3 skew salting).
     */
+  /** @param postShuffle  place the url-hash exchange AFTER the kernel
+    *                      (shuffles extracted text instead of raw html —
+    *                      see the plan-shape comparison above). Only
+    *                      meaningful with repartition > 0.
+    */
   final case class Conf(repartition: Int = 0, maxBytes: Int = 64 << 20,
-      hostSalt: Int = 0)
+      hostSalt: Int = 0, postShuffle: Boolean = true)
 
   /** Task-side counters (lineage/metrics, BASELINE.json north rule). */
   final class Metrics(spark: SparkSession) extends Serializable {
@@ -99,27 +118,32 @@ object ExtractPipeline {
     doc
   }
 
-  private def keyedBy(pages: DataFrame, conf: Conf): DataFrame =
+  /** The explicit url-hash exchange, applicable to any plan with a `url`
+    * column (raw pages pre-kernel or extracted docs post-kernel).
+    */
+  private def keyedBy[T](ds: Dataset[T], conf: Conf): Dataset[T] =
     if (conf.repartition > 0 && conf.hostSalt > 1)
       // host-grouped with skew salt: tuple-hash of (host, salt bucket)
-      pages.repartition(conf.repartition,
+      ds.repartition(conf.repartition,
         regexp_extract(col("url"), "^https?://([^/]+)", 1),
         pmod(xxhash64(col("url")), lit(conf.hostSalt)))
     else if (conf.repartition > 0)
       // explicit url-hash exchange (north rule): aligns output
       // partitioning with the natural key and spreads host runs
-      pages.repartition(conf.repartition, xxhash64(col("url")))
-    else pages
+      ds.repartition(conf.repartition, xxhash64(col("url")))
+    else ds
 
   /** pages(url, warc_ts, html, text, lang) → Dataset[ExtractedDoc]. */
   def extract(spark: SparkSession, pages: DataFrame, conf: Conf = Conf(),
       metrics: Metrics = null): Dataset[ExtractedDoc] = {
     import spark.implicits._
     val maxBytes = conf.maxBytes
-    keyedBy(pages, conf)
+    val input = if (conf.postShuffle) pages else keyedBy(pages.toDF(), conf)
+    val docs = input
       .select("url", "warc_ts", "html", "text", "lang")
       .as[PageRow]
       .mapPartitions { it => it.map(r => extractDoc(r, maxBytes, metrics)) }
+    if (conf.postShuffle) keyedBy(docs, conf) else docs
   }
 
   /** Expression-only fast path: text extraction as a codegen'd projection
@@ -137,7 +161,8 @@ object ExtractPipeline {
   def extractText(spark: SparkSession, pages: DataFrame, conf: Conf = Conf()): DataFrame = {
     graft.functions.ExtractMainText.register(spark) // idempotent
     val htmlLen = coalesce(length(col("html")), lit(0))
-    keyedBy(pages, conf)
+    val input = if (conf.postShuffle) pages else keyedBy(pages, conf)
+    val out = input
       .select(
         col("url"), col("warc_ts"), col("lang"),
         when(htmlLen === 0, when(col("text") =!= "", col("text")))
@@ -145,6 +170,7 @@ object ExtractPipeline {
             call_function("extract_main_text", col("html"))))
           .as("text"))
       .withColumn("n_chars", coalesce(length(col("text")), lit(0)))
+    if (conf.postShuffle) keyedBy(out, conf) else out
   }
 
   /** Relational page→doc rollup for the general case where pages of one
