@@ -607,7 +607,8 @@ object PagesGen {
     * the way Common Crawl does: a warcinfo record, then per entry a
     * request record followed by its response record. The HTTP response
     * cycles realism modes by entry index: plain Content-Length, chunked
-    * transfer encoding, gzip content-encoding; every 5th entry is
+    * transfer encoding, gzip content-encoding, deflate content-encoding
+    * (zlib-wrapped and raw variants); every 5th entry is
     * instead stored as a raw `resource` record. `gzipMembers` emits each
     * record as its own gzip member (the .warc.gz layout). JDK gzip
     * writes MTIME=0 so the bytes are reproducible.
@@ -658,7 +659,7 @@ object PagesGen {
         val http = new java.io.ByteArrayOutputStream(payload.length + 256)
         def w(s: String): Unit = http.write(s.getBytes(UTF_8))
         w("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n")
-        (i % 3) match {
+        (i % 4) match {
           case 1 => // chunked: uneven chunk sizes incl. a final partial
             w("Transfer-Encoding: chunked\r\n\r\n")
             var off = 0
@@ -675,6 +676,20 @@ object PagesGen {
             val gz = deflateGzip(payload)
             w(s"Content-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n\r\n")
             http.write(gz)
+          case 3 => // deflate content-encoding: zlib-wrapped on even
+            // entries, RAW deflate on odd (the real-server misbehavior
+            // browsers tolerate)
+            val zlibWrapped = (i / 4) % 2 == 0
+            val d = new java.util.zip.Deflater(
+              java.util.zip.Deflater.DEFAULT_COMPRESSION, !zlibWrapped)
+            d.setInput(payload); d.finish()
+            val buf = new java.io.ByteArrayOutputStream(payload.length / 2 + 32)
+            val chunk = new Array[Byte](8192)
+            while (!d.finished()) buf.write(chunk, 0, d.deflate(chunk))
+            d.end()
+            val z = buf.toByteArray
+            w(s"Content-Encoding: deflate\r\nContent-Length: ${z.length}\r\n\r\n")
+            http.write(z)
           case _ =>
             w(s"Content-Length: ${payload.length}\r\n\r\n")
             http.write(payload)

@@ -18,7 +18,7 @@ class WarcKernelSpec extends AnyFunSuite {
     (0 until n).map(i =>
       (s"doc://w/$i", Ts, s"payload body number $i with some filler text".getBytes(UTF_8)))
 
-  test("plain WARC round-trips all modes (plain/chunked/gzip-CE/resource)") {
+  test("plain WARC round-trips all modes (plain/chunked/gzip-CE/deflate-CE/resource)") {
     val es = entries(10)
     val pages = WarcKernel.split(PagesGen.warcBytes(es, gzipMembers = false)).toSeq
     assert(pages.forall(_.error == null))
