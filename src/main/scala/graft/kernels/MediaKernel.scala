@@ -6,8 +6,9 @@ package graft.kernels
   * BGR order), PNG (8-bit RGB/RGBA non-interlaced, zlib + the five row
   * filters) and WAV (RIFF/WAVE, PCM 16-bit LE). These replace the
   * former deterministic stub for the formats a JVM can parse from bare
-  * bytes; formats that genuinely need a codec (JPEG/MP4) still go
-  * through the stub seam and say so.
+  * bytes; baseline JPEG lives in [[JpegKernel]]; formats that genuinely
+  * need a codec library (MP4/video) still go through the stub seam and
+  * say so.
   *
   * Decode failures return None — the caller surfaces an error column,
   * never a task failure (same poison-pill stance as ExtractKernel).

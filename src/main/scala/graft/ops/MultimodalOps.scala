@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * typed transforms (the Scala analog of `mapInPandas` batches).
   *
   * Two tiers of decode:
-  *  - REAL pure-JVM decoders for the containers that need no codec
-  *    library: BMP and PCM WAV ([[graft.kernels.MediaKernel]] —
-  *    `q_media_decode_bmp` / `q_media_decode_wav`, graded against
-  *    closed-form oracles that never see the bytes);
-  *  - a clearly-marked STUB for codec formats (JPEG/PNG/MP4 — no codecs
-  *    in this container): [[decodeStub]] derives deterministic fake
+  *  - REAL pure-JVM decoders: BMP, PNG, PCM WAV
+  *    ([[graft.kernels.MediaKernel]]) and baseline JPEG
+  *    ([[graft.kernels.JpegKernel]] — full Huffman/DCT entropy decode),
+  *    each graded against closed-form oracles that never see the bytes
+  *    (`q_media_decode_{bmp,png,jpeg,wav}`);
+  *  - a clearly-marked STUB for formats that genuinely need a codec
+  *    library (MP4/video): [[decodeStub]] derives deterministic fake
   *    width/height/features from the bytes, and the Spark-side plumbing
   *    — binary schema, batch shape, partition amortization,
   *    feature-array output — is real and tested (MultimodalSpec).
@@ -282,6 +283,67 @@ object MultimodalOps {
       |    i -> abs((i * 31 + doc_id * 17) % 2048 - 1024))) AS BIGINT) AS peak
       |FROM documents""".stripMargin
 
+  /** REAL JPEG decode: deterministic baseline JFIFs (4:4:4 on even ids,
+    * 4:2:0 on odd; DC-exact block-constant planes; restart markers and
+    * byte stuffing in the entropy stream) decoded by the pure-JVM
+    * [[graft.kernels.JpegKernel]] — marker walk, general Huffman tables,
+    * dequant + zigzag + IDCT, chroma upsampling, fixed-point YCbCr→RGB.
+    * Closed-form channel-sum oracle: DuckDB recomputes the expected
+    * pixels from (doc_id, block) arithmetic without touching bytes.
+    */
+  def mediaDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as media_id")
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val img = graft.kernels.JpegKernel
+            .decode(graft.gen.MediaGen.jpegBytes(d))
+            .getOrElse(throw new IllegalStateException(s"jpeg decode failed for $d"))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var k = 0
+          while (k < img.px.length) { sr += img.px(k); sg += img.px(k + 1); sb += img.px(k + 2); k += 3 }
+          (d, img.width.toLong, img.height.toLong, sr, sg, sb)
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  val mediaDecodeJpegSql: String =
+    """WITH p AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS d,
+      |    CASE WHEN doc_id % 2 = 1 THEN 2 * (1 + (doc_id // 2) % 2)
+      |         ELSE 2 + (doc_id // 2) % 3 END AS wb,
+      |    CASE WHEN doc_id % 2 = 1 THEN 2 * (1 + (doc_id // 4) % 2)
+      |         ELSE 1 + (doc_id // 2) % 2 END AS hb
+      |  FROM documents),
+      |b AS (SELECT d, wb, hb, unnest(range(0, wb * hb)) AS k FROM p),
+      |v AS (
+      |  SELECT d, wb, hb, k % wb AS bx, k // wb AS by,
+      |    CASE WHEN d % 2 = 1 THEN (k % wb) // 2 ELSE k % wb END AS cx,
+      |    CASE WHEN d % 2 = 1 THEN (k // wb) // 2 ELSE k // wb END AS cy
+      |  FROM b),
+      |c AS (
+      |  SELECT d, wb, hb,
+      |    (bx * 37 + by * 19 + d * 5) % 256 AS y,
+      |    (cx * 11 + cy * 7 + d * 3) % 128 AS cbm,
+      |    (cx * 5 + cy * 23 + d * 7) % 128 AS crm
+      |  FROM v),
+      |px AS (
+      |  SELECT d, wb, hb,
+      |    least(255, greatest(0, y + (91881 * crm) // 65536)) AS r,
+      |    least(255, greatest(0, y - (22554 * cbm + 46802 * crm) // 65536)) AS g,
+      |    least(255, greatest(0, y + (116130 * cbm) // 65536)) AS bl
+      |  FROM c)
+      |SELECT d AS media_id,
+      |  CAST(8 * max(wb) AS BIGINT) AS width,
+      |  CAST(8 * max(hb) AS BIGINT) AS height,
+      |  CAST(64 * sum(r) AS BIGINT) AS sum_r,
+      |  CAST(64 * sum(g) AS BIGINT) AS sum_g,
+      |  CAST(64 * sum(bl) AS BIGINT) AS sum_b
+      |FROM px GROUP BY d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta(_, _)),
     "q_media_frames" -> (mediaFrames(_, _)),
@@ -289,6 +351,7 @@ object MultimodalOps {
     "q_media_resize" -> (mediaResize(_, _)),
     "q_media_decode_bmp" -> (mediaDecodeBmp(_, _)),
     "q_media_decode_png" -> (mediaDecodePng(_, _)),
+    "q_media_decode_jpeg" -> (mediaDecodeJpeg(_, _)),
     "q_media_decode_wav" -> (mediaDecodeWav(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -298,5 +361,6 @@ object MultimodalOps {
     "q_media_resize" -> mediaResizeSql,
     "q_media_decode_bmp" -> mediaDecodeBmpSql,
     "q_media_decode_png" -> mediaDecodePngSql,
+    "q_media_decode_jpeg" -> mediaDecodeJpegSql,
     "q_media_decode_wav" -> mediaDecodeWavSql)
 }
