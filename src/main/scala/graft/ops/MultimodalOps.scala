@@ -344,6 +344,45 @@ object MultimodalOps {
       |  CAST(64 * sum(bl) AS BIGINT) AS sum_b
       |FROM px GROUP BY d""".stripMargin
 
+  /** REAL GIF decode: deterministic GIF89a fixtures (4/8/16-color
+    * palettes, REAL LZW compression, interlaced on odd ids, extension
+    * blocks to skip) through the pure-JVM [[graft.kernels.GifKernel]];
+    * same closed-form channel-sum oracle scheme as BMP/PNG/JPEG.
+    */
+  def mediaDecodeGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as media_id")
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val img = graft.kernels.GifKernel
+            .decode(graft.gen.MediaGen.gifBytes(d))
+            .getOrElse(throw new IllegalStateException(s"gif decode failed for $d"))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var k = 0
+          while (k < img.px.length) { sr += img.px(k); sg += img.px(k + 1); sb += img.px(k + 2); k += 3 }
+          (d, img.width.toLong, img.height.toLong, sr, sg, sb)
+        }
+      }
+      .toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  val mediaDecodeGifSql: String =
+    """WITH p AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS d,
+      |    5 + doc_id % 11 AS w, 4 + doc_id % 9 AS h,
+      |    CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS nc
+      |  FROM documents),
+      |q AS (SELECT d, w, h, nc, unnest(range(0, w * h)) AS k FROM p),
+      |i AS (SELECT d, w, h, ((k % w) * 3 + (k // w) * 7 + d) % nc AS ci FROM q)
+      |SELECT d AS media_id,
+      |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+      |  CAST(sum((ci * 53 + d) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((ci * 29 + 2 * d) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((ci * 97 + 3 * d) % 256) AS BIGINT) AS sum_b
+      |FROM i GROUP BY d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta" -> (mediaMeta(_, _)),
     "q_media_frames" -> (mediaFrames(_, _)),
@@ -352,6 +391,7 @@ object MultimodalOps {
     "q_media_decode_bmp" -> (mediaDecodeBmp(_, _)),
     "q_media_decode_png" -> (mediaDecodePng(_, _)),
     "q_media_decode_jpeg" -> (mediaDecodeJpeg(_, _)),
+    "q_media_decode_gif" -> (mediaDecodeGif(_, _)),
     "q_media_decode_wav" -> (mediaDecodeWav(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -362,5 +402,6 @@ object MultimodalOps {
     "q_media_decode_bmp" -> mediaDecodeBmpSql,
     "q_media_decode_png" -> mediaDecodePngSql,
     "q_media_decode_jpeg" -> mediaDecodeJpegSql,
+    "q_media_decode_gif" -> mediaDecodeGifSql,
     "q_media_decode_wav" -> mediaDecodeWavSql)
 }
