@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, posexplode}
+
+/** Corpus sampling / domain mixing — the selection stage of a
+  * training-data pipeline (the reference stops at extraction; a corpus
+  * builder must then DOWN-SELECT: per-source rates, fixed-size
+  * per-domain samples, and mixing a token budget across domains).
+  *
+  * Everything here is hash-threshold sampling on md5 of the row key:
+  * deterministic (reruns and resumed jobs select the same rows — the
+  * same property the ledger gives extraction), uniform within group,
+  * and exactly reproducible in the oracle engine because both sides
+  * compare the same lowercase-hex md5 strings (hex order == byte order,
+  * the DedupOps portability trick).
+  *
+  * 100 TB shape: the rate queries are pure map-side filters — the
+  * decision needs only the row itself plus (for the budget mix) a
+  * 20-row broadcast of per-source totals; document text never shuffles.
+  * The fixed-k sample uses the bounded [[graft.functions.MinK]]
+  * aggregate, so the exchange carries at most k rows per (partition,
+  * group) instead of whole groups.
+  */
+object SampleOps {
+
+  /** Per-source stratified rate sample. Each source gets a deterministic
+    * rate in sixteenths ((src_num % 8) + 1); a row is kept when the
+    * first hex nibble of md5("{doc_id}#strat") falls below it. One
+    * codegen'd filter, zero shuffle, zero driver state.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(
+        "substring(md5(cast(concat(cast(doc_id as string), '#strat') as binary)), 1, 1)" +
+          " < cast((cast(substring(source, 4) as int) % 8) + 1 as string)")
+      .selectExpr("doc_id", "source")
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE substr(md5(doc_id || '#strat'), 1, 1)
+      |  < CAST((CAST(substr(source, 4) AS INT) % 8) + 1 AS VARCHAR)""".stripMargin
+
+  /** Fixed-size deterministic sample per source (reservoir analog):
+    * the k=10 smallest md5("{doc_id}#fk") per group, via the bounded
+    * MinK aggregate — map-side combine caps each partition's
+    * contribution at k before the exchange. `rk` is the 1-based rank,
+    * so a consumer can take any prefix for a smaller sample.
+    */
+  def sampleFixedK(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "doc_id",
+        "md5(cast(concat(cast(doc_id as string), '#fk') as binary)) as h")
+    docs.groupBy("source")
+      .agg(graft.functions.MinK.mink(k)(col("h"), col("doc_id")).as("picks"))
+      .select(col("source"), posexplode(col("picks")))
+      .selectExpr("source", "col.id as doc_id", "cast(pos + 1 as long) as rk")
+  }
+
+  val sampleFixedKSql: String =
+    """SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(doc_id || '#fk'), doc_id) AS rk
+      |  FROM documents) WHERE rk <= 10""".stripMargin
+
+  /** Domain mixture to a token budget. The corpus-mixing stage: given
+    * per-source weights w_s = (src_num % 4) + 1 and a global budget of
+    * 40% of corpus tokens split by weight (sum of weights over the 20
+    * sources = 50, so budget_s = total_tokens * w_s / 125, integer
+    * math), derive a per-source keep-rate quantized to 1/256 and apply
+    * it as an md5-prefix threshold. Plan: one tiny per-source aggregate
+    * (20 rows) joined back by explicit broadcast, then a map-side
+    * filter — the only exchange carries 20 rows.
+    *
+    * Integer-only rate math (rq = min(256, budget*256 / tokens)) keeps
+    * the quantized threshold bit-identical across engines — no float
+    * division on the comparison path.
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "source",
+        "cast(size(split(text, ' ')) as long) as toks",
+        "md5(cast(concat(cast(doc_id as string), '#mix') as binary)) as h")
+    val totals = docs.groupBy("source")
+      .agg(expr("sum(toks) as src_toks"))
+      .selectExpr("source as s2", "src_toks",
+        "cast(sum(src_toks) over () as long) as total_toks")
+      .selectExpr("s2", "src_toks",
+        "(total_toks * ((cast(substring(s2, 4) as int) % 4) + 1)) div 125 as budget")
+      .selectExpr("s2", "src_toks", "budget",
+        "least(256L, (budget * 256L) div src_toks) as rq")
+    docs.join(broadcast(totals), docs("source") === totals("s2"))
+      .where("rq >= 256 or substring(h, 1, 2) < lpad(lower(hex(rq)), 2, '0')")
+      .groupBy("source")
+      .agg(
+        expr("cast(count(*) as long) as n_kept"),
+        expr("sum(toks) as tokens_kept"),
+        expr("max(budget) as budget"),
+        expr("max(rq) as rq"))
+  }
+
+  val tokenBudgetMixSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    md5(doc_id || '#mix') AS h
+      |  FROM documents),
+      |t AS (
+      |  SELECT source AS s2, sum(toks) AS src_toks,
+      |    sum(sum(toks)) OVER () AS total_toks
+      |  FROM d GROUP BY source),
+      |r AS (
+      |  SELECT s2, src_toks,
+      |    CAST((total_toks * ((CAST(substr(s2, 4) AS INT) % 4) + 1)) // 125
+      |      AS BIGINT) AS budget
+      |  FROM t),
+      |q AS (
+      |  SELECT s2, src_toks, budget,
+      |    CAST(least(256, (budget * 256) // src_toks) AS BIGINT) AS rq
+      |  FROM r)
+      |SELECT d.source,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(d.toks) AS BIGINT) AS tokens_kept,
+      |  CAST(max(q.budget) AS BIGINT) AS budget,
+      |  CAST(max(q.rq) AS BIGINT) AS rq
+      |FROM d JOIN q ON d.source = q.s2
+      |WHERE q.rq >= 256 OR substr(d.h, 1, 2) < printf('%02x', q.rq)
+      |GROUP BY d.source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (sampleStratified(_, _)),
+    "q_sample_fixed_k" -> (sampleFixedK(_, _)),
+    "q_token_budget_mix" -> (tokenBudgetMix(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_sample_fixed_k" -> sampleFixedKSql,
+    "q_token_budget_mix" -> tokenBudgetMixSql)
+}

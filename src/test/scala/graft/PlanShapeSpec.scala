@@ -55,6 +55,24 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("stratified rate sampling is a shuffle-free map-side filter") {
+    assert(!plan("q_sample_stratified").contains("Exchange"),
+      "q_sample_stratified must decide per-row from the row alone — no shuffle")
+  }
+
+  test("fixed-k sampling runs through the bounded MinK aggregate, never a window") {
+    val p = plan("q_sample_fixed_k")
+    assert(p.contains("partial_minkagg"),
+      "q_sample_fixed_k lost the map-side bounded min-k (shuffle would carry whole groups)")
+    assert(!p.contains("Window ["),
+      "q_sample_fixed_k regressed to a row_number window per group")
+  }
+
+  test("token-budget mix joins the 20-row totals by broadcast") {
+    assert(plan("q_token_budget_mix").contains("BroadcastHashJoin"),
+      "q_token_budget_mix must broadcast per-source totals, not shuffle the corpus")
+  }
+
   test("minhash/simhash signatures are in-row projections (no per-doc agg shuffle)") {
     // the first exchange in both pipelines must be the bucket groupBy:
     // exactly 2 hash exchanges total (bucket agg + cross-band distinct)
