@@ -35,6 +35,18 @@ object HtmlTokenizer {
     def open(name: String, classId: String, selfClosing: Boolean): Unit
     def close(name: String): Unit
     def text(s: CharSequence): Unit
+
+    // Attribute events, delivered only when the caller opts in via
+    // `tokenize(html, sink, attrs = true)` — the extraction hot path
+    // keeps its zero-allocation attribute handling (class/id only).
+    // Values arrive entity-decoded (hrefs in real pages are full of
+    // `&amp;` in query strings).
+    /** `<a href=...>`; `rel` is the raw rel value or "" if absent. */
+    def link(href: String, rel: String): Unit = ()
+    /** `<meta name=... content=...>`; content "" if absent. */
+    def meta(name: String, content: String): Unit = ()
+    /** `<base href=...>` (rebases relative link resolution). */
+    def base(href: String): Unit = ()
   }
 
   private val VoidTags: Set[String] = Set(
@@ -199,11 +211,29 @@ object HtmlTokenizer {
     }
   }
 
-  /** Main entry. `html` is already UTF-8 decoded by the caller. */
-  def tokenize(html: String, sink: Sink): Unit =
-    new Lexer(html, sink).run()
+  /** Main entry. `html` is already UTF-8 decoded by the caller.
+    * `attrs = true` additionally delivers href/rel (on `<a>`/`<base>`)
+    * and name/content (on `<meta>`) through the Sink's attribute events.
+    */
+  def tokenize(html: String, sink: Sink, attrs: Boolean = false): Unit =
+    new Lexer(html, sink, attrs).run()
 
-  private final class Lexer(html: String, sink: Sink) {
+  /** Decode entities in an attribute value (only called when a '&' is
+    * present, so clean values cost nothing beyond the indexOf).
+    */
+  private def decodeAttrValue(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') i = decodeEntity(s, i, out)
+      else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private final class Lexer(html: String, sink: Sink, attrs: Boolean = false) {
     private val n = html.length
     private val text = new java.lang.StringBuilder(256)
     // scratch buffer for lowercased tag names (grown on demand; tag names
@@ -307,6 +337,11 @@ object HtmlTokenizer {
       val name = internedName()
       var classId: String = ""
       var selfClosing = false
+      // opt-in retained attributes (attrs mode): href/rel/name/content
+      var aHref: String = null
+      var aRel: String = null
+      var aName: String = null
+      var aContent: String = null
       // attribute loop
       var done = false
       while (!done && i < n) {
@@ -325,9 +360,18 @@ object HtmlTokenizer {
             while (i < n && { val a = html.charAt(i)
               a != '=' && a != '>' && a != '/' && !a.isWhitespace }) i += 1
             val aLen = i - aStart
-            val isClassId =
-              (aLen == 5 && html.regionMatches(true, aStart, "class", 0, 5)) ||
-                (aLen == 2 && html.regionMatches(true, aStart, "id", 0, 2))
+            // interest: 1 = class/id (always), 2..5 = href/rel/name/content
+            // (attrs mode only) — names matched in place, values only
+            // materialized when someone wants them
+            val interest: Int =
+              if ((aLen == 5 && html.regionMatches(true, aStart, "class", 0, 5)) ||
+                (aLen == 2 && html.regionMatches(true, aStart, "id", 0, 2))) 1
+              else if (!attrs) 0
+              else if (aLen == 4 && html.regionMatches(true, aStart, "href", 0, 4)) 2
+              else if (aLen == 3 && html.regionMatches(true, aStart, "rel", 0, 3)) 3
+              else if (aLen == 4 && html.regionMatches(true, aStart, "name", 0, 4)) 4
+              else if (aLen == 7 && html.regionMatches(true, aStart, "content", 0, 7)) 5
+              else 0
             while (i < n && html.charAt(i).isWhitespace) i += 1
             var av: String = null
             if (i < n && html.charAt(i) == '=') {
@@ -338,21 +382,26 @@ object HtmlTokenizer {
                 if (q == '"' || q == '\'') {
                   val end = html.indexOf(q, i + 1)
                   if (end < 0) {
-                    if (isClassId) av = html.substring(i + 1)
+                    if (interest != 0) av = html.substring(i + 1)
                     i = n
                   } else {
-                    if (isClassId) av = html.substring(i + 1, end)
+                    if (interest != 0) av = html.substring(i + 1, end)
                     i = end + 1
                   }
                 } else {
                   val vStart = i
                   while (i < n && { val a = html.charAt(i); a != '>' && !a.isWhitespace }) i += 1
-                  if (isClassId) av = html.substring(vStart, i)
+                  if (interest != 0) av = html.substring(vStart, i)
                 }
               }
             }
-            if (av != null) {
-              classId = if (classId.isEmpty) av else classId + " " + av
+            if (av != null) interest match {
+              case 1 => classId = if (classId.isEmpty) av else classId + " " + av
+              case 2 => aHref = decodeAttrValue(av)
+              case 3 => aRel = av
+              case 4 => aName = av
+              case 5 => aContent = decodeAttrValue(av)
+              case _ => ()
             }
           }
         }
@@ -360,6 +409,14 @@ object HtmlTokenizer {
       if (name.isEmpty) return i
       val void = VoidTags.contains(name)
       sink.open(name, classId, selfClosing || void)
+      if (attrs) {
+        if (name == "a" && aHref != null)
+          sink.link(aHref, if (aRel == null) "" else aRel)
+        else if (name == "meta" && aName != null)
+          sink.meta(aName, if (aContent == null) "" else aContent)
+        else if (name == "base" && aHref != null)
+          sink.base(aHref)
+      }
       if (!selfClosing && !void && RawText.contains(name)) {
         // raw-text mode: find case-insensitive "</name"
         val closeSeq = "</" + name
