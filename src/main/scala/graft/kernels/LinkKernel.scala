@@ -24,9 +24,12 @@ import scala.collection.mutable.ArrayBuffer
 object LinkKernel {
 
   /** One resolved outlink. `host` is the lowercase authority without
-    * port; `external` = host differs from the page's own host.
+    * port; `external` = host differs from the page's own host; `anchor`
+    * is the whitespace-collapsed text between the link's open/close tags
+    * ("" when the anchor wraps no text).
     */
-  final case class Link(url: String, host: String, external: Boolean, nofollow: Boolean)
+  final case class Link(url: String, host: String, external: Boolean,
+    nofollow: Boolean, anchor: String)
 
   /** Page-level result. `indexable`/`followable` are the meta-robots
     * gates (true unless a robots directive says otherwise).
@@ -131,16 +134,44 @@ object LinkKernel {
   }
 
   private final class LinkSink extends HtmlTokenizer.Sink {
-    val raw = new ArrayBuffer[(String, String)]()
+    val raw = new ArrayBuffer[(String, String, String)]() // href, rel, anchor
     var baseHref: String = null
     var robots: String = null
-    override def open(name: String, classId: String, selfClosing: Boolean): Unit = ()
-    override def close(name: String): Unit = ()
-    override def text(s: CharSequence): Unit = ()
-    override def link(href: String, rel: String): Unit = raw += ((href, rel))
+    // anchor-text accumulation for the currently open <a>; a nested <a>
+    // open (invalid HTML, common in the wild) finalizes the previous one
+    private var curHref: String = null
+    private var curRel: String = null
+    private val curText = new java.lang.StringBuilder(64)
+    private var collecting = false
+
+    private def finish(): Unit = {
+      if (curHref != null) {
+        // collapse whitespace runs, trim — anchor text is a label, not prose
+        val sb = new java.lang.StringBuilder(curText.length)
+        var i = 0
+        var pendingSpace = false
+        while (i < curText.length) {
+          val c = curText.charAt(i)
+          if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pendingSpace = sb.length > 0
+          else { if (pendingSpace) sb.append(' '); pendingSpace = false; sb.append(c) }
+          i += 1
+        }
+        raw += ((curHref, curRel, sb.toString))
+      }
+      curHref = null; curRel = null; curText.setLength(0); collecting = false
+    }
+
+    override def open(name: String, classId: String, selfClosing: Boolean): Unit =
+      if (name == "a") finish()
+    override def close(name: String): Unit = if (name == "a") finish()
+    override def text(s: CharSequence): Unit = if (collecting) curText.append(s)
+    override def link(href: String, rel: String): Unit = {
+      curHref = href; curRel = rel; collecting = true
+    }
     override def meta(name: String, content: String): Unit =
       if (robots == null && name.equalsIgnoreCase("robots")) robots = content
     override def base(href: String): Unit = if (baseHref == null) baseHref = href
+    def end(): Unit = finish() // EOF with an unclosed trailing anchor
   }
 
   private def relNofollow(rel: String): Boolean = {
@@ -164,6 +195,7 @@ object LinkKernel {
   def extract(html: String, pageUrl: String): PageLinks = {
     val sink = new LinkSink
     HtmlTokenizer.tokenize(html, sink, attrs = true)
+    sink.end()
     // <base href> rebases resolution when it itself resolves
     val baseUrl =
       if (sink.baseHref == null) pageUrl
@@ -172,11 +204,12 @@ object LinkKernel {
     val out = Vector.newBuilder[Link]
     var i = 0
     while (i < sink.raw.length) {
-      val (href, rel) = sink.raw(i)
+      val (href, rel, anchor) = sink.raw(i)
       resolve(baseUrl, href) match {
         case Some(u) =>
           val h = hostOf(u)
-          out += Link(u, h, external = h != pageHost, nofollow = relNofollow(rel))
+          out += Link(u, h, external = h != pageHost,
+            nofollow = relNofollow(rel), anchor = anchor)
         case None => ()
       }
       i += 1

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Link-graph extraction — outlinks, domain edges, robots gates — over
   * deterministic link-bearing pages ([[graft.gen.LinkGen]], keyed by
@@ -102,13 +103,114 @@ object LinkOps {
       |  doc_id % 5 <> 0 AS followable
       |FROM documents""".stripMargin
 
+  /** Anchor-text aggregation per target domain — the classic link-based
+    * document signal (anchor terms describe the TARGET page better than
+    * its own text; every IR/corpus-labeling stack aggregates them).
+    * Shuffle carries (dst_host, short anchor string) pairs only;
+    * collect_set stays bounded because anchor vocabulary per host is
+    * bounded (and a cap would ride the same aggregate if it weren't).
+    */
+  def anchorTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val url = graft.gen.LinkGen.pageUrl(d)
+          LinkKernel.extract(graft.gen.LinkGen.pageHtml(d), url)
+            .links.iterator.filter(_.external).map(l => (l.host, l.anchor))
+        }
+      }
+      .toDF("dst_host", "anchor")
+      .groupBy("dst_host")
+      .agg(
+        org.apache.spark.sql.functions.expr("cast(count(*) as long) as n_in"),
+        org.apache.spark.sql.functions.expr(
+          "array_join(sort_array(collect_set(anchor)), '|') as anchor_terms"))
+  }
+
+  val anchorTermsSql: String =
+    """WITH p AS (SELECT doc_id AS d, 3 + doc_id % 5 AS n FROM documents),
+      |j AS (SELECT d, unnest(range(0, n)) AS j FROM p),
+      |e AS (SELECT 'h' || ((d * 7 + j) % 20) || '.example' AS dst_host,
+      |             'link ' || j AS anchor
+      |      FROM j WHERE (d + j) % 3 = 0)
+      |SELECT dst_host, CAST(count(*) AS BIGINT) AS n_in,
+      |  string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchor_terms
+      |FROM e GROUP BY dst_host""".stripMargin
+
+  /** PageRank over the domain graph — 10 power iterations, damping
+    * 0.85, dangling mass dropped (ranks need not sum to 1; the fixed
+    * deterministic recurrence is what both engines replicate).
+    *
+    * 100 TB shape: each iteration is one join (ranks x edges on src,
+    * both hash-partitioned by host) + one partial-agg'd groupBy(dst) +
+    * a left join back onto the node list; ranks are localCheckpoint'ed
+    * per round so the plan (and its lineage) stays constant-size across
+    * iterations — the dedupClusters discipline. The oracle unrolls the
+    * same 10 iterations as chained CTEs.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = domainEdges(spark, dir)
+      .selectExpr("src_host as src", "dst_host as dst", "n_links as w")
+      .localCheckpoint()
+    val nodes = edges.selectExpr("src as host")
+      .union(edges.selectExpr("dst as host")).distinct().localCheckpoint()
+    val n = nodes.count()
+    val outw = edges.groupBy("src").agg(expr("sum(w) as outw"))
+    val withShare = edges.join(outw, "src")
+      .selectExpr("src", "dst", "cast(w as double) / outw as share")
+      .localCheckpoint()
+    var ranks = nodes.selectExpr("host", s"cast(1.0 / $n as double) as rank")
+    var it = 0
+    while (it < 10) {
+      val contrib = ranks.join(withShare, ranks("host") === withShare("src"))
+        .selectExpr("dst", "rank * share as c")
+        .groupBy("dst").agg(expr("sum(c) as contrib"))
+      ranks = nodes.join(contrib, nodes("host") === contrib("dst"), "left")
+        .selectExpr("host", s"cast(0.15 / $n + 0.85 * coalesce(contrib, 0.0) as double) as rank")
+        .localCheckpoint()
+      it += 1
+    }
+    ranks.selectExpr("host", "round(rank, 6) as rank")
+  }
+
+  val pagerankSql: String = {
+    val base =
+      """WITH p AS (SELECT doc_id AS d, 3 + doc_id % 5 AS n FROM documents),
+        |jj AS (SELECT d, unnest(range(0, n)) AS j FROM p),
+        |e0 AS (SELECT 'host' || (d % 20) || '.example' AS src,
+        |              'h' || ((d * 7 + j) % 20) || '.example' AS dst,
+        |              CAST(count(*) AS DOUBLE) AS w
+        |       FROM jj WHERE (d + j) % 3 = 0 GROUP BY src, dst),
+        |nodes AS (SELECT src AS host FROM e0 UNION SELECT dst FROM e0),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
+        |sh AS (SELECT e0.src, e0.dst, e0.w / deg.outw AS share
+        |       FROM e0 JOIN deg ON deg.src = e0.src),
+        |r0 AS (SELECT host, 1.0 / nn.n AS rank FROM nodes, nn)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.host, 0.15 / nn.n + 0.85 * coalesce(s.c, 0) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT sh.dst AS host, sum(r${k - 1}.rank * sh.share) AS c
+         |             FROM sh JOIN r${k - 1} ON r${k - 1}.host = sh.src
+         |             GROUP BY sh.dst) s ON s.host = nodes.host)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      "\nSELECT host, round(rank, 6) AS rank FROM r10"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outlinks" -> (outlinks(_, _)),
     "q_domain_edges" -> (domainEdges(_, _)),
-    "q_robots_gate" -> (robotsGate(_, _)))
+    "q_robots_gate" -> (robotsGate(_, _)),
+    "q_anchor_terms" -> (anchorTerms(_, _)),
+    "q_pagerank" -> (pagerank(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_outlinks" -> outlinksSql,
     "q_domain_edges" -> domainEdgesSql,
-    "q_robots_gate" -> robotsGateSql)
+    "q_robots_gate" -> robotsGateSql,
+    "q_anchor_terms" -> anchorTermsSql,
+    "q_pagerank" -> pagerankSql)
 }

@@ -55,6 +55,21 @@ class LinkKernelSpec extends AnyFunSuite {
       "http://h.example/deep/dir/y.html"))
     assert(r.links.map(_.nofollow) === Vector(false, true, false))
     assert(r.links.forall(!_.external))
+    assert(r.links.map(_.anchor) === Vector("q", "n", "not-nofollow"))
+  }
+
+  test("anchor text: whitespace collapse, nesting, markup inside, unclosed EOF") {
+    val html =
+      """<a href="/a">  two
+        |   words </a>
+        |<a href="/b">outer <a href="/c">inner</a>
+        |<a href="/d"><b>bold</b> tail""".stripMargin
+    val r = LinkKernel.extract(html, "http://h.example/")
+    assert(r.links.map(l => (l.url, l.anchor)) === Vector(
+      ("http://h.example/a", "two words"),
+      ("http://h.example/b", "outer"), // nested open finalizes the outer
+      ("http://h.example/c", "inner"),
+      ("http://h.example/d", "bold tail"))) // EOF flush; inner markup contributes text
   }
 
   test("extract: robots meta gates, case/sep-insensitive, 'none' = both") {
