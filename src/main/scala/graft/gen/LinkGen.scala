@@ -22,6 +22,41 @@ object LinkGen {
 
   def nLinks(d: Long): Int = (3 + d % 5).toInt
 
+  /** robots.txt body for host h (= doc host number, 0..19). Structure:
+    * a decoy group for another agent, a specific `graftbot` group
+    * (Disallow /dir{h%3}/ with an Allow carve-out /dir{h%3}/ok/, plus a
+    * wildcard `*.tmp$` disallow on every 4th host), and a `*` group
+    * (Disallow /private/) that graftbot's named group SHADOWS — group
+    * selection, longest-match precedence, and wildcard/$ matching are
+    * all load-bearing for the closed-form verdicts in
+    * [[graft.ops.LinkOps.robotsTxtGateSql]].
+    */
+  def robotsTxt(h: Long): String = {
+    val sb = new StringBuilder(256)
+    sb ++= "# synthetic robots for host "
+    sb ++= h.toString
+    sb ++= "\nUser-agent: otherbot\nDisallow: /\n\n"
+    sb ++= "User-agent: graftbot\n"
+    sb ++= s"Disallow: /dir${h % 3}/\n"
+    sb ++= s"Allow: /dir${h % 3}/ok/\n"
+    if (h % 4 == 0) sb ++= "Disallow: /*.tmp$\n"
+    sb ++= "Crawl-delay: 2\n\n"
+    sb ++= "User-agent: *\nDisallow: /private/\n"
+    sb.toString
+  }
+
+  /** Candidate fetch path for doc d against host d%20's rules; the five
+    * kinds exercise prefix block, allow carve-out, group shadowing,
+    * wildcard-$, and plain allow.
+    */
+  def fetchPath(d: Long): String = (d % 5) match {
+    case 0 => s"/dir${d % 3}/p$d.html" // blocked iff d%3 == (d%20)%3
+    case 1 => s"/dir${(d % 20) % 3}/ok/p$d.html" // allow carve-out wins
+    case 2 => s"/private/p$d.html" // '*' group shadowed by graftbot group
+    case 3 => s"/t$d.tmp" // blocked iff (d%20)%4 == 0 (wildcard + $)
+    case _ => s"/open/p$d.html" // no rule matches
+  }
+
   def pageHtml(d: Long): String = {
     val sb = new StringBuilder(512)
     sb ++= "<html><head><title>links</title>"

@@ -1,0 +1,147 @@
+package graft.kernels
+
+import scala.collection.mutable.ArrayBuffer
+
+/** robots.txt evaluation per RFC 9309 (public spec) — the fetch-side
+  * gate of a crawl pipeline (the page-side `<meta robots>` gate lives in
+  * [[LinkKernel]]).
+  *
+  * Implemented semantics:
+  *   - line syntax: `field: value`, `#` comments, CR/LF tolerant,
+  *     case-insensitive field names; unknown fields (crawl-delay,
+  *     sitemap, ...) are ignored but do NOT break a group;
+  *   - group selection: the group(s) whose user-agent token is the
+  *     longest case-insensitive substring of our product token win;
+  *     `*` groups apply only when no named group matches. Multiple
+  *     groups for the same agent merge (RFC 9309 §2.2.1);
+  *   - rule matching: byte-prefix match with `*` (any sequence) and a
+  *     trailing `$` (end anchor), evaluated by a BitSet DP — linear in
+  *     |pattern|x|path|, so hostile many-star patterns can't blow up a
+  *     task (kernel totality, same stance as the HTML tokenizer);
+  *   - precedence: longest matched pattern wins; tie goes to allow
+  *     (RFC 9309 §2.2.2 "least restrictive"); no match = allow;
+  *     `Disallow:` with an empty value contributes no rule.
+  */
+object RobotsKernel {
+
+  /** One parsed rule: allow/disallow + raw pattern (specificity =
+    * pattern length in characters, per the RFC's octet count).
+    */
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** Compiled ruleset for one agent: only the rules of the winning
+    * group(s), ready for [[isAllowed]].
+    */
+  final case class RuleSet(rules: Vector[Rule])
+
+  /** Empty ruleset = everything allowed (no robots.txt / fetch error
+    * 4xx, per RFC 9309 §2.3.1.3).
+    */
+  val AllowAll: RuleSet = RuleSet(Vector.empty)
+
+  /** Prefix glob match: does `pattern` (with `*` / trailing `$`) match
+    * a prefix of `path`? BitSet DP over reachable path positions.
+    */
+  def matches(pattern: String, path: String): Boolean = {
+    val n = path.length
+    var reach = new java.util.BitSet(n + 1)
+    reach.set(0)
+    var pi = 0
+    while (pi < pattern.length) {
+      val pc = pattern.charAt(pi)
+      if (pc == '$' && pi == pattern.length - 1) return reach.get(n)
+      val next = new java.util.BitSet(n + 1)
+      if (pc == '*') {
+        val min = reach.nextSetBit(0)
+        if (min < 0) return false
+        next.set(min, n + 1)
+      } else {
+        var s = reach.nextSetBit(0)
+        while (s >= 0) {
+          if (s < n && path.charAt(s) == pc) next.set(s + 1)
+          s = reach.nextSetBit(s + 1)
+        }
+      }
+      reach = next
+      if (reach.isEmpty) return false
+      pi += 1
+    }
+    true // pattern consumed → prefix matched
+  }
+
+  /** Longest-match verdict for `path` under `rules`; no match = allow,
+    * equal-length allow/disallow = allow.
+    */
+  def isAllowed(rules: RuleSet, path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rules.rules.length) {
+      val r = rules.rules(i)
+      if (r.pattern.length >= bestLen && matches(r.pattern, path)) {
+        val len = r.pattern.length
+        if (len > bestLen) { bestLen = len; bestAllow = r.allow }
+        else if (len == bestLen) bestAllow = bestAllow || r.allow
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  /** Parse a robots.txt body and select the rules applying to `agent`
+    * (a product token, e.g. "graftbot").
+    */
+  def parse(robotsTxt: String, agent: String): RuleSet = {
+    val agentLc = agent.toLowerCase
+    // (uaTokens, rules) per group; a group = UA lines + following rules
+    val groups = new ArrayBuffer[(ArrayBuffer[String], ArrayBuffer[Rule])]()
+    var curUas: ArrayBuffer[String] = null
+    var curRules: ArrayBuffer[Rule] = null
+    var rulesSeen = false // false while still collecting UA lines of a group
+    robotsTxt.split("\r?\n", -1).foreach { line0 =>
+      val hash = line0.indexOf('#')
+      val line = (if (hash >= 0) line0.substring(0, hash) else line0).trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val field = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        field match {
+          case "user-agent" =>
+            if (curUas == null || rulesSeen) {
+              curUas = new ArrayBuffer[String]()
+              curRules = new ArrayBuffer[Rule]()
+              groups += ((curUas, curRules))
+              rulesSeen = false
+            }
+            if (value.nonEmpty) curUas += value.toLowerCase
+          case "allow" | "disallow" =>
+            if (curRules != null) {
+              rulesSeen = true
+              if (value.nonEmpty) curRules += Rule(field == "allow", value)
+            }
+          case _ =>
+            // known-other fields (crawl-delay, sitemap) don't end the
+            // UA-collection phase, but they belong to the group body
+            if (curRules != null) rulesSeen = true
+        }
+      }
+    }
+    // best named match: longest UA token that is a substring of agent
+    var bestLen = 0
+    groups.foreach { case (uas, _) =>
+      uas.foreach { t =>
+        if (t != "*" && t.length > bestLen && agentLc.contains(t)) bestLen = t.length
+      }
+    }
+    val picked = Vector.newBuilder[Rule]
+    if (bestLen > 0) {
+      groups.foreach { case (uas, rs) =>
+        if (uas.exists(t => t != "*" && t.length == bestLen && agentLc.contains(t)))
+          picked ++= rs
+      }
+    } else {
+      groups.foreach { case (uas, rs) => if (uas.contains("*")) picked ++= rs }
+    }
+    RuleSet(picked.result())
+  }
+}

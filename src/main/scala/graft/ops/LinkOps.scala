@@ -200,17 +200,61 @@ object LinkOps {
       "\nSELECT host, round(rank, 6) AS rank FROM r10"
   }
 
+  /** robots.txt fetch gate: every candidate (host, path) evaluated
+    * against the host's parsed rules through
+    * [[graft.kernels.RobotsKernel]] (RFC 9309 group selection,
+    * longest-match, wildcards). Rulesets are memoized per partition —
+    * the production shape is a tiny per-host rules dim held broadcast
+    * (hosts number in the millions; rules are a few hundred bytes),
+    * while candidate URLs are the 10^12-row side that never shuffles.
+    */
+  def robotsTxtGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[Long, graft.kernels.RobotsKernel.RuleSet]()
+        it.map { d =>
+          val h = d % 20
+          var rules = cache.get(h)
+          if (rules == null) {
+            rules = graft.kernels.RobotsKernel.parse(graft.gen.LinkGen.robotsTxt(h), "graftbot")
+            cache.put(h, rules)
+          }
+          val path = graft.gen.LinkGen.fetchPath(d)
+          (d, s"host$h.example", path, graft.kernels.RobotsKernel.isAllowed(rules, path))
+        }
+      }
+      .toDF("doc_id", "host", "path", "allowed")
+  }
+
+  val robotsTxtGateSql: String =
+    """SELECT doc_id,
+      |  'host' || (doc_id % 20) || '.example' AS host,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN '/dir' || (doc_id % 3) || '/p' || doc_id || '.html'
+      |    WHEN 1 THEN '/dir' || ((doc_id % 20) % 3) || '/ok/p' || doc_id || '.html'
+      |    WHEN 2 THEN '/private/p' || doc_id || '.html'
+      |    WHEN 3 THEN '/t' || doc_id || '.tmp'
+      |    ELSE '/open/p' || doc_id || '.html' END AS path,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN doc_id % 3 <> (doc_id % 20) % 3
+      |    WHEN 3 THEN (doc_id % 20) % 4 <> 0
+      |    ELSE TRUE END AS allowed
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outlinks" -> (outlinks(_, _)),
     "q_domain_edges" -> (domainEdges(_, _)),
     "q_robots_gate" -> (robotsGate(_, _)),
     "q_anchor_terms" -> (anchorTerms(_, _)),
-    "q_pagerank" -> (pagerank(_, _)))
+    "q_pagerank" -> (pagerank(_, _)),
+    "q_robots_txt_gate" -> (robotsTxtGate(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_outlinks" -> outlinksSql,
     "q_domain_edges" -> domainEdgesSql,
     "q_robots_gate" -> robotsGateSql,
     "q_anchor_terms" -> anchorTermsSql,
-    "q_pagerank" -> pagerankSql)
+    "q_pagerank" -> pagerankSql,
+    "q_robots_txt_gate" -> robotsTxtGateSql)
 }
