@@ -35,7 +35,7 @@ object SparkEntry {
     ExtractionOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       ScalarOps.queries ++ FormOps.queries ++ AggOps.queries ++ SketchOps.queries ++
-      SampleOps.queries ++ LinkOps.queries ++
+      SampleOps.queries ++ LinkOps.queries ++ RankOps.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,6 +46,6 @@ object SparkEntry {
     ExtractionOps.oracles ++ RelationalOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       ScalarOps.oracles ++ FormOps.oracles ++ AggOps.oracles ++ SketchOps.oracles ++
-      SampleOps.oracles ++ LinkOps.oracles ++
+      SampleOps.oracles ++ LinkOps.oracles ++ RankOps.oracles ++
       graft.streaming.StreamingOps.oracles
 }

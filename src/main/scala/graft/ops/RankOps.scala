@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, posexplode}
+
+/** Relevance scoring over the corpus — the retrieval/model-gate stages
+  * of a training-data pipeline (public recipes: BM25 retrieval for
+  * dedup-against-eval and data selection; a hashed linear classifier is
+  * the fasttext-style quality filter of CCNet/FineWeb lineage).
+  *
+  * 100 TB shape: everything per-document is in-row (tf, length, feature
+  * hashes — text never shuffles); corpus-level statistics reduce to a
+  * ONE-ROW aggregate broadcast back; the final top-k rides the bounded
+  * [[graft.functions.TopK]] aggregate, so the combine exchange carries
+  * at most k rows per partition.
+  */
+object RankOps {
+
+  /** The fixed 5-term query (vocabulary words of the synthetic corpus). */
+  private val Terms = Seq("spark", "table", "row", "hash", "merge")
+  private val K1 = "1.2D"
+  private val B = "0.75D"
+
+  /** BM25 top-10: classic Robertson/Okapi scoring with the +1 idf
+    * (always positive). Plan: in-row tf per term → one single-row
+    * stats aggregate (df per term, N, avgdl) broadcast back → in-row
+    * score (fixed-order 5-term sum) → bounded global top-k.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+      s"cast(size(filter(split(text, ' '), x -> x = '$t')) as double) as tf$i"
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(Seq("doc_id", "cast(size(split(text, ' ')) as double) as dl") ++ tfCols: _*)
+    val dfExprs = Terms.indices.map(i =>
+      expr(s"sum(case when tf$i > 0 then 1.0 else 0.0 end) as df$i"))
+    val stats = docs.agg(
+      expr("cast(count(*) as double) as n"),
+      (expr("avg(dl) as avgdl") +: dfExprs): _*)
+    val scored = docs.crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        Terms.indices.map { i =>
+          s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * tf$i * ($K1 + 1.0)" +
+            s" / (tf$i + $K1 * (1.0 - $B + $B * dl / avgdl))"
+        }.mkString("(", " + ", ") as score"))
+      .where("score > 0")
+    scored.groupBy()
+      .agg(graft.functions.TopK.topk(10)(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")))
+      .selectExpr("col.n_id as doc_id", "round(col.sim, 6) as score",
+        "cast(pos + 1 as long) as rk")
+  }
+
+  val bm25TopKSql: String = {
+    val termRows = Terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |           FROM documents),
+       |t(term) AS (VALUES $termRows),
+       |tf AS (SELECT d.doc_id, d.dl, t.term,
+       |         CAST(len(list_filter(d.ws, x -> x = t.term)) AS DOUBLE) AS tf
+       |       FROM d CROSS JOIN t),
+       |df AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1.0 ELSE 0.0 END) AS df
+       |       FROM tf GROUP BY term),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+       |sc AS (SELECT tf.doc_id,
+       |         sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |             * tf.tf * (1.2 + 1.0)
+       |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl))) AS score
+       |       FROM tf JOIN df USING (term) CROSS JOIN st
+       |       WHERE tf.tf > 0 GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 6) AS score, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |WHERE rk <= 10""".stripMargin
+  }
+
+  /** Hashed linear quality classifier — the fasttext-filter analog:
+    * feature = word, weight(word) = md5-derived value in [-0.5, 0.5)
+    * (first two hex chars / 256 - 0.5 — the same lowercase-hex md5 both
+    * engines compute), score = mean weight over the document's words, a
+    * left-to-right in-row fold. Pure map-side projection, zero shuffle;
+    * a real model would swap the hash for a broadcast weight vector
+    * with the identical plan shape.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "aggregate(split(text, ' '), 0L, (a, w) -> a + " +
+          "cast(conv(substring(md5(cast(w as binary)), 1, 2), 16, 10) as long)) as hsum",
+        "cast(size(split(text, ' ')) as long) as n_words")
+      // score = hsum/256n - 0.5 = (hsum - 128n) / (256n); keep the exact
+      // integer numerator — a rounded float sits on .5-at-6-decimals
+      // boundaries constantly (every value is a multiple of 1/(256n)),
+      // where Spark (HALF_UP) and DuckDB disagree
+      .selectExpr("doc_id", "hsum - 128 * n_words as score_num", "n_words",
+        "hsum > 128 * n_words as pass")
+
+  val qualityClassifierSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      w -> ('0x' || substr(md5(w), 1, 2))::INT)) AS BIGINT) AS hsum,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents)
+      |SELECT doc_id, hsum - 128 * n_words AS score_num, n_words,
+      |  hsum > 128 * n_words AS pass
+      |FROM s""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk" -> (bm25TopK(_, _)),
+    "q_quality_classifier" -> (qualityClassifier(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_bm25_topk" -> bm25TopKSql,
+    "q_quality_classifier" -> qualityClassifierSql)
+}

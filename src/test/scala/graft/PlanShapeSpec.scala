@@ -73,6 +73,21 @@ class PlanShapeSpec extends SparkTestBase {
       "q_token_budget_mix must broadcast per-source totals, not shuffle the corpus")
   }
 
+  test("BM25 broadcasts the one-row stats and bounds the global top-k") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("partial_topkagg"),
+      "q_bm25_topk lost the bounded top-k combine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "q_bm25_topk must broadcast the single-row corpus stats")
+    assert(!p.contains("Window ["),
+      "q_bm25_topk regressed to a global row_number window")
+  }
+
+  test("hashed quality classifier is a shuffle-free projection") {
+    assert(!plan("q_quality_classifier").contains("Exchange"),
+      "q_quality_classifier must stay in-row — no shuffle")
+  }
+
   test("minhash/simhash signatures are in-row projections (no per-doc agg shuffle)") {
     // the first exchange in both pipelines must be the bucket groupBy:
     // exactly 2 hash exchanges total (bucket agg + cross-band distinct)
