@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (SimHash64.fnName, SimHash64.fnInfo, SimHash64.builder))
     ext.injectFunction(
       (MinHashBands.fnName, MinHashBands.fnInfo, MinHashBands.builder))
+    ext.injectFunction(
+      (NfcNormalize.fnName, NfcNormalize.fnInfo, NfcNormalize.builder))
   }
 }

@@ -1,0 +1,245 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operators over `documents`: cross-document
+  * segment dedup (the CCNet paragraph-dedup shape), exact n-gram
+  * duplication-rate gating (the Lee et al. "Deduplicating Training Data"
+  * substring-dup signal), fixed-stride training-window chunking, and
+  * corpus vocabulary top-k.
+  *
+  * 100 TB shape, shared across the family: document text NEVER rides a
+  * shuffle. Segment/shingle hashes are computed in-row (md5 inside a
+  * `transform` over word slices — the array of hashes is built without
+  * ever exploding the text), so the global duplicate count exchanges
+  * only (hash, doc_id) pairs; text re-derives in-row after the verdict
+  * joins back on doc_id (bucket-joinable at 10^12 docs). Reference
+  * behavior: the reference dedups uploads whole-file by queue identity
+  * (endpoint_upload.py); cross-doc segment dedup is the corpus-scale
+  * generalization a Common-Crawl pipeline needs.
+  */
+object CorpusOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** doc_id + words array, the shared narrow scan. */
+  private def words(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "split(text, ' ') as words")
+
+  // --------------------------------------------- cross-doc segment dedup
+
+  /** Segment width for paragraph-analog dedup. The synthetic corpus has
+    * no newline paragraphs, so "paragraph" = non-overlapping 8-word
+    * window; real HTML would use the extractor's block boundaries.
+    */
+  private val SegWords = 8
+
+  /** CCNet-style cross-document segment dedup: a segment that appears
+    * (by content hash) in more than one document is boilerplate — drop
+    * it everywhere; reassemble each document from its surviving
+    * segments in order. Output: (doc_id, kept_text, n_kept, n_dropped).
+    *
+    * Plan: in-row hash array -> posexplode (doc_id, seg_idx, h) ->
+    * groupBy(h) countDistinct(doc_id) -> unique-h semi side -> surviving
+    * seg_idx list per doc -> join back on doc_id, slice text in-row.
+    */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir)
+    val segs = w.selectExpr(
+      "doc_id",
+      s"""posexplode(transform(
+            sequence(0, (size(words)-1) div $SegWords),
+            i -> md5(array_join(slice(words, i*$SegWords+1, $SegWords), ' '))))
+          as (seg_idx, h)""")
+    val uniq = segs
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .where("ndocs = 1")
+      .select("h")
+    val keep = segs
+      .join(uniq, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_idx"))).as("idxs"))
+    w.join(keep, Seq("doc_id"), "left").selectExpr(
+      "doc_id",
+      s"""coalesce(array_join(transform(idxs,
+            i -> array_join(slice(words, i*$SegWords+1, $SegWords), ' ')), ' '), '')
+          as kept_text""",
+      "cast(coalesce(size(idxs), 0) as long) as n_kept",
+      s"cast((size(words)-1) div $SegWords + 1 - coalesce(size(idxs), 0) as long) as n_dropped")
+  }
+
+  val paraDedupSql: String =
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS words
+      |           FROM documents),
+      |segs AS (SELECT doc_id, i AS seg_idx,
+      |                md5(array_to_string(words[i*$SegWords+1 : i*$SegWords+$SegWords], ' ')) AS h
+      |         FROM w, LATERAL (SELECT unnest(range(0, (len(words)-1)//$SegWords + 1)) AS i) t),
+      |uniq AS (SELECT h FROM segs GROUP BY h HAVING count(DISTINCT doc_id) = 1),
+      |keep AS (SELECT doc_id, list_sort(list(seg_idx)) AS idxs
+      |         FROM segs JOIN uniq USING (h) GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |  coalesce(array_to_string(
+      |    [array_to_string(w.words[i*$SegWords+1 : i*$SegWords+$SegWords], ' ') for i in keep.idxs],
+      |    ' '), '') AS kept_text,
+      |  CAST(coalesce(len(keep.idxs), 0) AS BIGINT) AS n_kept,
+      |  CAST((len(w.words)-1)//$SegWords + 1 - coalesce(len(keep.idxs), 0) AS BIGINT) AS n_dropped
+      |FROM w LEFT JOIN keep USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------ n-gram dup-rate gate
+
+  private val ShingleWords = 8
+
+  /** Per-document exact-duplication signal: of the doc's overlapping
+    * 8-word shingles, how many (by hash) also occur in another document.
+    * Emitted as exact integer numerator/denominator (n_dup, n_shingles)
+    * — the gate threshold (e.g. drop when n_dup/n_shingles > 0.3) is a
+    * trivial downstream filter, and integers dodge cross-engine float
+    * rounding. Docs shorter than the shingle width emit (0, 0).
+    */
+  def ngramDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir)
+    val sh = w.selectExpr(
+      "doc_id",
+      s"""posexplode(case when size(words) >= $ShingleWords
+            then transform(sequence(0, size(words)-$ShingleWords),
+                           i -> md5(array_join(slice(words, i+1, $ShingleWords), ' ')))
+            else array() end) as (i, h)""")
+    val dup = sh
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where("nd > 1")
+      .select("h")
+    val per = sh
+      .join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"))
+    w.select(
+        col("doc_id"),
+        greatest(expr(s"size(words) - ${ShingleWords - 1}"), lit(0)).cast("long").as("n_shingles"))
+      .join(per, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_shingles", "cast(coalesce(n_dup, 0) as long) as n_dup")
+  }
+
+  val ngramDupRateSql: String =
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS words
+      |           FROM documents),
+      |sh AS (SELECT doc_id, md5(array_to_string(words[i+1 : i+$ShingleWords], ' ')) AS h
+      |       FROM w, LATERAL (SELECT unnest(range(0, greatest(len(words)-${ShingleWords - 1}, 0))) AS i) t),
+      |dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      |per AS (SELECT doc_id, count(*) AS n_dup FROM sh JOIN dup USING (h) GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |  CAST(greatest(len(w.words)-${ShingleWords - 1}, 0) AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup
+      |FROM w LEFT JOIN per USING (doc_id)""".stripMargin
+
+  // ------------------------------------------- training-window chunking
+
+  private val ChunkWords = 32
+  private val ChunkStride = 24
+
+  /** Fixed-stride training-window chunking: 32-word windows every 24
+    * words (8-word overlap), the standard LM packing precursor. Pure
+    * in-row projection + generator explode — zero shuffle at any scale.
+    */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir)
+      .selectExpr(
+        "doc_id",
+        "size(words) as n_words",
+        s"""posexplode(transform(
+              sequence(0, (size(words)-1) div $ChunkStride),
+              i -> array_join(slice(words, i*$ChunkStride+1, $ChunkWords), ' ')))
+            as (chunk_idx, chunk_text)""")
+      .selectExpr(
+        "doc_id",
+        "cast(chunk_idx as long) as chunk_idx",
+        "chunk_text",
+        s"cast(least($ChunkWords, n_words - chunk_idx*$ChunkStride) as long) as n_tokens")
+
+  val chunkWindowsSql: String =
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS words
+      |           FROM documents)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  array_to_string(words[i*$ChunkStride+1 : i*$ChunkStride+$ChunkWords], ' ') AS chunk_text,
+      |  CAST(least($ChunkWords, len(words) - i*$ChunkStride) AS BIGINT) AS n_tokens
+      |FROM w, LATERAL (SELECT unnest(range(0, (len(words)-1)//$ChunkStride + 1)) AS i) t""".stripMargin
+
+  // ---------------------------------------------------------- vocab top-k
+
+  private val VocabK = 32
+
+  /** Corpus vocabulary head: top-32 words by frequency, deterministic
+    * (count desc, word asc) tie-break. Partial-agg'd map-side; the final
+    * order-by-limit is a TakeOrdered over the tiny word-count table, not
+    * a full sort.
+    */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir)
+      .select(explode(col("words")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(desc("n"), asc("word"))
+      .limit(VocabK)
+
+  val vocabTopkSql: String =
+    s"""SELECT word, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |WHERE len(word) > 0
+      |GROUP BY word
+      |ORDER BY n DESC, word ASC
+      |LIMIT $VocabK""".stripMargin
+
+  // ------------------------------------------------------- NFC normalize
+
+  /** Unicode NFC canonicalization via the native `nfc` expression
+    * (graft.functions.NfcNormalize — Spark has no built-in normalizer).
+    * The corpus is ASCII, so both engines first build a decomposed
+    * variant deterministically (every 'e' followed by U+0301 combining
+    * acute); NFC must recompose it to precomposed U+00E9. DuckDB's
+    * `nfc_normalize` is a true cross-engine ground-truth oracle. Narrow
+    * in-row projection — zero shuffle; the kernel's isNormalized fast
+    * path means already-NFC text (most of a real crawl) never allocates.
+    */
+  def nfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(spark)
+    val acute = new String(Character.toChars(0x0301))
+    docs(spark, dir)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        regexp_replace(col("text"), "e", "e" + acute).as("decomposed"))
+      .selectExpr(
+        "doc_id",
+        "nfc(decomposed) as norm_text",
+        "cast(length(decomposed) as long) as n_chars_decomposed",
+        "cast(length(nfc(decomposed)) as long) as n_chars_norm")
+  }
+
+  val nfcNormalizeSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS norm_text,
+      |  CAST(length(replace(text, 'e', 'e' || chr(769))) AS BIGINT) AS n_chars_decomposed,
+      |  CAST(length(nfc_normalize(replace(text, 'e', 'e' || chr(769)))) AS BIGINT) AS n_chars_norm
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_para_dedup" -> (paraDedup(_, _)),
+    "q_ngram_dup_rate" -> (ngramDupRate(_, _)),
+    "q_chunk_windows" -> (chunkWindows(_, _)),
+    "q_vocab_topk" -> (vocabTopk(_, _)),
+    "q_nfc_normalize" -> (nfcNormalize(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_para_dedup" -> paraDedupSql,
+    "q_ngram_dup_rate" -> ngramDupRateSql,
+    "q_chunk_windows" -> chunkWindowsSql,
+    "q_vocab_topk" -> vocabTopkSql,
+    "q_nfc_normalize" -> nfcNormalizeSql)
+}
