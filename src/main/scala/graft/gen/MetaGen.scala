@@ -1,0 +1,77 @@
+package graft.gen
+
+/** Deterministic head-metadata pages and sitemaps for the q_html_meta /
+  * q_sitemap_urls oracles. Like [[LinkGen]], every field is a closed-form
+  * function of doc_id / host id so the DuckDB oracle reconstructs the
+  * expected values from arithmetic alone — it never parses HTML or XML:
+  *
+  * Page head (doc d, host h = d%20):
+  *   - title: "Page {d} on host{h}" — written with leading/trailing
+  *     space and an internal newline (whitespace collapse is load-bearing)
+  *   - meta description iff d%3!=0: "summary & notes for page {d}"
+  *     (written with &amp; — attr entity decode is load-bearing)
+  *   - og:title (property=, not name=) iff d%2==0: "OG Page {d}"
+  *   - canonical link iff d%4!=0: root-relative "/canon/p{d}.html",
+  *     so resolution against the page URL is load-bearing
+  *   - noise: keywords meta, og:image, stylesheet link, a second title
+  *     (first-wins), body anchors
+  *
+  * Sitemap (host h): index file iff h%5==0 with 2+h%3 child sitemaps;
+  * else urlset with 5+h%5 urls — url i carries "?a=1&amp;b=2" iff
+  * i%3==0 and lastmod "2024-01-{dd}" (dd = (h+i)%28+1) iff i%2==0.
+  */
+object MetaGen {
+
+  def pageHtml(d: Long): String = {
+    val h = d % 20
+    val sb = new StringBuilder(512)
+    sb ++= "<html><head>\n"
+    sb ++= s"<title>  Page $d\n on host$h  </title>"
+    sb ++= "<meta charset=\"utf-8\">"
+    if (d % 3 != 0)
+      sb ++= s"""<meta name="description" content="summary &amp; notes for page $d">"""
+    sb ++= s"""<meta name="keywords" content="noise, page$d">"""
+    if (d % 2 == 0)
+      sb ++= s"""<meta property="og:title" content="OG Page $d">"""
+    sb ++= s"""<meta property="og:image" content="http://img.example/i$d.png">"""
+    if (d % 4 != 0)
+      sb ++= s"""<link rel="canonical" href="/canon/p$d.html">"""
+    sb ++= """<link rel="stylesheet" href="/s.css">"""
+    sb ++= "</head><body>"
+    sb ++= s"<title>late duplicate $d</title>"
+    sb ++= s"""<p>body of page $d</p><a href="/x$d.html">x</a>"""
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  def sitemapXml(h: Long): String = {
+    val sb = new StringBuilder(512)
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    if (h % 5 == 0) {
+      sb ++= "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+      var i = 0L
+      val n = 2 + h % 3
+      while (i < n) {
+        sb ++= s"<sitemap><loc> http://host$h.example/sitemap$i.xml </loc>"
+        sb ++= s"<lastmod>2024-02-${pad2(i + 1)}</lastmod></sitemap>\n"
+        i += 1
+      }
+      sb ++= "</sitemapindex>\n"
+    } else {
+      sb ++= "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+      var i = 0L
+      val n = 5 + h % 5
+      while (i < n) {
+        val q = if (i % 3 == 0) "?a=1&amp;b=2" else ""
+        sb ++= s"<url><loc>http://host$h.example/sm/p$i.html$q</loc>"
+        if (i % 2 == 0) sb ++= s"<lastmod>2024-01-${pad2((h + i) % 28 + 1)}</lastmod>"
+        sb ++= "</url>\n"
+        i += 1
+      }
+      sb ++= "</urlset>\n"
+    }
+    sb.toString
+  }
+
+  private def pad2(v: Long): String = if (v < 10) s"0$v" else v.toString
+}

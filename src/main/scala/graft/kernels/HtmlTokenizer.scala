@@ -43,8 +43,13 @@ object HtmlTokenizer {
     // `&amp;` in query strings).
     /** `<a href=...>`; `rel` is the raw rel value or "" if absent. */
     def link(href: String, rel: String): Unit = ()
-    /** `<meta name=... content=...>`; content "" if absent. */
+    /** `<meta name=... content=...>` (or `property=` when name is
+      * absent — OpenGraph); content "" if absent.
+      */
     def meta(name: String, content: String): Unit = ()
+
+    /** `<link rel=... href=...>` head link (canonical, alternate, ...). */
+    def headLink(rel: String, href: String): Unit = ()
     /** `<base href=...>` (rebases relative link resolution). */
     def base(href: String): Unit = ()
   }
@@ -337,11 +342,13 @@ object HtmlTokenizer {
       val name = internedName()
       var classId: String = ""
       var selfClosing = false
-      // opt-in retained attributes (attrs mode): href/rel/name/content
+      // opt-in retained attributes (attrs mode): href/rel/name/content,
+      // plus `property` (OpenGraph metas carry property= instead of name=)
       var aHref: String = null
       var aRel: String = null
       var aName: String = null
       var aContent: String = null
+      var aProperty: String = null
       // attribute loop
       var done = false
       while (!done && i < n) {
@@ -371,6 +378,7 @@ object HtmlTokenizer {
               else if (aLen == 3 && html.regionMatches(true, aStart, "rel", 0, 3)) 3
               else if (aLen == 4 && html.regionMatches(true, aStart, "name", 0, 4)) 4
               else if (aLen == 7 && html.regionMatches(true, aStart, "content", 0, 7)) 5
+              else if (aLen == 8 && html.regionMatches(true, aStart, "property", 0, 8)) 6
               else 0
             while (i < n && html.charAt(i).isWhitespace) i += 1
             var av: String = null
@@ -401,6 +409,7 @@ object HtmlTokenizer {
               case 3 => aRel = av
               case 4 => aName = av
               case 5 => aContent = decodeAttrValue(av)
+              case 6 => aProperty = av
               case _ => ()
             }
           }
@@ -412,10 +421,14 @@ object HtmlTokenizer {
       if (attrs) {
         if (name == "a" && aHref != null)
           sink.link(aHref, if (aRel == null) "" else aRel)
-        else if (name == "meta" && aName != null)
-          sink.meta(aName, if (aContent == null) "" else aContent)
+        else if (name == "meta" && (aName != null || aProperty != null))
+          // property= (OpenGraph) rides the same event when name= is absent
+          sink.meta(if (aName != null) aName else aProperty,
+            if (aContent == null) "" else aContent)
         else if (name == "base" && aHref != null)
           sink.base(aHref)
+        else if (name == "link" && aHref != null)
+          sink.headLink(if (aRel == null) "" else aRel, aHref)
       }
       if (!selfClosing && !void && RawText.contains(name)) {
         // raw-text mode: find case-insensitive "</name"

@@ -242,13 +242,81 @@ object LinkOps {
       |    ELSE TRUE END AS allowed
       |FROM documents""".stripMargin
 
+  /** Head-metadata extraction per page: title (whitespace-collapsed),
+    * meta description (entity-decoded), OpenGraph title (property=
+    * attr), canonical URL (resolved like an outlink). Narrow per-row
+    * kernel map — the standard pre-body corpus keying fields.
+    */
+  def htmlMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val m = graft.kernels.MetaKernel.extract(
+          graft.gen.MetaGen.pageHtml(d), graft.gen.LinkGen.pageUrl(d))
+        (d, m.title, m.description, m.ogTitle, m.canonical)
+      })
+      .toDF("doc_id", "title", "meta_description", "og_title", "canonical")
+  }
+
+  val htmlMetaSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'Page ' || doc_id || ' on host' || (doc_id % 20) AS title,
+      |  CASE WHEN doc_id % 3 <> 0
+      |       THEN 'summary & notes for page ' || doc_id ELSE '' END AS meta_description,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'OG Page ' || doc_id ELSE '' END AS og_title,
+      |  CASE WHEN doc_id % 4 <> 0
+      |       THEN 'http://host' || (doc_id % 20) || '.example/canon/p' || doc_id || '.html'
+      |       ELSE '' END AS canonical
+      |FROM documents""".stripMargin
+
+  /** Sitemap frontier expansion: parse each host's sitemap (urlset or
+    * sitemapindex) into (host_id, url, lastmod, kind) seed rows. One
+    * distinct-host shuffle over 8-byte ids; parsing is a narrow kernel
+    * map — at crawl scale the sitemap fetch is the I/O stage, this is
+    * its parse stage.
+    */
+  def sitemapUrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .map(_ % 20)
+      .distinct()
+      .flatMap { h =>
+        graft.kernels.SitemapKernel.parse(graft.gen.MetaGen.sitemapXml(h))
+          .map(e => (h, e.loc, e.lastmod, e.kind))
+      }
+      .toDF("host_id", "url", "lastmod", "kind")
+  }
+
+  val sitemapUrlsSql: String =
+    """WITH h AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS host_id FROM documents),
+      |idx AS (SELECT host_id, unnest(range(0, 2 + host_id % 3)) AS i
+      |        FROM h WHERE host_id % 5 = 0),
+      |us AS (SELECT host_id, unnest(range(0, 5 + host_id % 5)) AS i
+      |       FROM h WHERE host_id % 5 <> 0)
+      |SELECT host_id,
+      |  'http://host' || host_id || '.example/sitemap' || i || '.xml' AS url,
+      |  '2024-02-' || lpad(CAST(i + 1 AS VARCHAR), 2, '0') AS lastmod,
+      |  'sitemap' AS kind
+      |FROM idx
+      |UNION ALL
+      |SELECT host_id,
+      |  'http://host' || host_id || '.example/sm/p' || i || '.html' ||
+      |    CASE WHEN i % 3 = 0 THEN '?a=1&b=2' ELSE '' END AS url,
+      |  CASE WHEN i % 2 = 0
+      |       THEN '2024-01-' || lpad(CAST((host_id + i) % 28 + 1 AS VARCHAR), 2, '0')
+      |       ELSE '' END AS lastmod,
+      |  'url' AS kind
+      |FROM us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outlinks" -> (outlinks(_, _)),
     "q_domain_edges" -> (domainEdges(_, _)),
     "q_robots_gate" -> (robotsGate(_, _)),
     "q_anchor_terms" -> (anchorTerms(_, _)),
     "q_pagerank" -> (pagerank(_, _)),
-    "q_robots_txt_gate" -> (robotsTxtGate(_, _)))
+    "q_robots_txt_gate" -> (robotsTxtGate(_, _)),
+    "q_html_meta" -> (htmlMeta(_, _)),
+    "q_sitemap_urls" -> (sitemapUrls(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_outlinks" -> outlinksSql,
@@ -256,5 +324,7 @@ object LinkOps {
     "q_robots_gate" -> robotsGateSql,
     "q_anchor_terms" -> anchorTermsSql,
     "q_pagerank" -> pagerankSql,
-    "q_robots_txt_gate" -> robotsTxtGateSql)
+    "q_robots_txt_gate" -> robotsTxtGateSql,
+    "q_html_meta" -> htmlMetaSql,
+    "q_sitemap_urls" -> sitemapUrlsSql)
 }
