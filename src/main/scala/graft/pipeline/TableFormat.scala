@@ -47,6 +47,23 @@ trait TableFormat {
     */
   def readSince(spark: SparkSession, table: String, ledgerDir: String,
       sinceSnapshot: Long): DataFrame
+
+  /** Small-file compaction (the Iceberg `CALL system.rewrite_data_files`
+    * analog). A resumable crawl writes a partition per commit unit;
+    * thousands of commits leave thousands of sub-target files whose
+    * open/footer cost dominates the next scan — the canonical 100 TB
+    * table-maintenance problem. Rewrites each partition holding more
+    * files than `ceil(bytes/targetBytes)` into exactly that many;
+    * contents unchanged, idempotent (a second call is a no-op).
+    */
+  def compact(spark: SparkSession, table: String, partitionCol: String,
+      targetBytes: Long): TableFormat.CompactStats
+}
+
+object TableFormat {
+  /** Rewrite report: partitions touched, data files before/after. */
+  final case class CompactStats(
+      partitionsRewritten: Long, filesBefore: Long, filesAfter: Long)
 }
 
 /** Parquet-directory implementation. */
@@ -86,6 +103,45 @@ object ParquetFormat extends TableFormat {
       col(c).cast("string").isin(vs.map(_._2): _*)
     }.reduce(_ || _)
     base.filter(pred)
+  }
+
+  /** Per-partition bin-pack: the partition list is driver-side (same
+    * metadata scale as the ledger), each rewrite is a distributed job
+    * over one partition's files, and the localCheckpoint breaks lineage
+    * so the overwrite can legally target the directory it just read —
+    * the same pattern merge() uses. Partitions already at or below their
+    * desired file count are not read at all.
+    */
+  override def compact(spark: SparkSession, table: String, partitionCol: String,
+      targetBytes: Long): TableFormat.CompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def dataFiles(d: java.io.File): Array[java.io.File] = {
+      val fs = d.listFiles()
+      if (fs == null) Array.empty
+      else fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val root = new java.io.File(table)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"$partitionCol="))
+      .sortBy(_.getName)
+    var rewritten = 0L
+    var before = 0L
+    var after = 0L
+    parts.foreach { pdir =>
+      val files = dataFiles(pdir)
+      val bytes = files.map(_.length()).sum
+      val desired = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      before += files.length
+      if (files.length > desired) {
+        val df = spark.read.parquet(pdir.getPath)
+          .repartition(desired)
+          .localCheckpoint(true)
+        df.write.mode(SaveMode.Overwrite).parquet(pdir.getPath)
+        rewritten += 1
+        after += dataFiles(pdir).length
+      } else after += files.length
+    }
+    TableFormat.CompactStats(rewritten, before, after)
   }
 
   /** Copy-on-write merge, partition-scoped: the rewritten set is the

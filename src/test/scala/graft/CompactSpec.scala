@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.ParquetFormat
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction over the parquet TableFormat: layout changes,
+  * contents never do, and a second pass is a no-op.
+  */
+class CompactSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fileCount(table: String, pv: String): Int =
+    new java.io.File(s"$table/day=$pv").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  test("compact bin-packs small files per partition, preserves rows, idempotent") {
+    val table = tmpDir("compact") + "/t"
+    // 2 partitions x 8 tiny files each (repartition before partitionBy)
+    (0 until 400)
+      .map(i => (i.toLong, s"row $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "payload", "day")
+      .repartition(8)
+      .write.partitionBy("day").parquet(table)
+    assert(fileCount(table, "a") === 8)
+
+    val expected = ParquetFormat.read(spark, table)
+      .orderBy("id").collect().map(_.toString).toSeq
+
+    val stats = ParquetFormat.compact(spark, table, "day", targetBytes = 64L * 1024 * 1024)
+    assert(stats.partitionsRewritten === 2L)
+    assert(stats.filesBefore === 16L)
+    assert(stats.filesAfter === 2L)
+    assert(fileCount(table, "a") === 1 && fileCount(table, "b") === 1)
+
+    val got = ParquetFormat.read(spark, table)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(got === expected)
+
+    // second pass: nothing above its desired count, nothing rewritten
+    val again = ParquetFormat.compact(spark, table, "day", targetBytes = 64L * 1024 * 1024)
+    assert(again.partitionsRewritten === 0L)
+    assert(again.filesAfter === 2L)
+  }
+
+  test("partitions already at target are not rewritten; tiny target splits") {
+    val table = tmpDir("compact2") + "/t"
+    (0 until 100).map(i => (i.toLong, "x" * 50, "a")).toDF("id", "payload", "day")
+      .coalesce(1).write.partitionBy("day").parquet(table)
+    assert(fileCount(table, "a") === 1)
+    // already one file: no-op even with a huge target
+    assert(ParquetFormat.compact(spark, table, "day", 1L << 30).partitionsRewritten === 0L)
+    // a 1-byte target wants more files than present -> desired >= files,
+    // compaction never SPLITS (it only merges), so still untouched
+    assert(ParquetFormat.compact(spark, table, "day", 1L).partitionsRewritten === 0L)
+  }
+}
