@@ -35,7 +35,11 @@ object LinkGen {
     val sb = new StringBuilder(256)
     sb ++= "# synthetic robots for host "
     sb ++= h.toString
-    sb ++= "\nUser-agent: otherbot\nDisallow: /\n\n"
+    // global (group-independent) sitemap pointers, before any group so
+    // they can't perturb UA-collection state in group parsing
+    sb ++= s"\nSitemap: http://host$h.example/sitemap0.xml\n"
+    if (h % 2 == 0) sb ++= s"sitemap: http://host$h.example/sitemap1.xml # alt\n"
+    sb ++= "User-agent: otherbot\nDisallow: /\n\n"
     sb ++= "User-agent: graftbot\n"
     sb ++= s"Disallow: /dir${h % 3}/\n"
     sb ++= s"Allow: /dir${h % 3}/ok/\n"

@@ -91,6 +91,25 @@ object RobotsKernel {
   /** Parse a robots.txt body and select the rules applying to `agent`
     * (a product token, e.g. "graftbot").
     */
+  /** `Sitemap:` directive values, in file order. Per sitemaps.org (and
+    * RFC 9309 §2.2.4's treatment of other records) the line is GLOBAL —
+    * independent of any user-agent group — so this is a flat scan with
+    * the same comment/whitespace rules as parse().
+    */
+  def sitemaps(robotsTxt: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    robotsTxt.split("\r?\n", -1).foreach { line0 =>
+      val hash = line0.indexOf('#')
+      val line = (if (hash >= 0) line0.substring(0, hash) else line0).trim
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result()
+  }
+
   def parse(robotsTxt: String, agent: String): RuleSet = {
     val agentLc = agent.toLowerCase
     // (uaTokens, rules) per group; a group = UA lines + following rules

@@ -308,6 +308,62 @@ object LinkOps {
       |  'url' AS kind
       |FROM us""".stripMargin
 
+  /** Sitemap discovery from robots.txt: the `Sitemap:` lines (global,
+    * group-independent per sitemaps.org) each host advertises — the
+    * step that seeds [[sitemapUrls]]'s frontier expansion. Narrow
+    * per-host kernel scan after a distinct over 8-byte host ids.
+    */
+  def robotsSitemaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .map(_ % 20)
+      .distinct()
+      .flatMap { h =>
+        graft.kernels.RobotsKernel.sitemaps(graft.gen.LinkGen.robotsTxt(h))
+          .zipWithIndex.map { case (u, i) => (h, i.toLong, u) }
+      }
+      .toDF("host_id", "pos", "sitemap_url")
+  }
+
+  val robotsSitemapsSql: String =
+    """WITH h AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS host_id FROM documents),
+      |e AS (SELECT host_id, unnest(range(0, CASE WHEN host_id % 2 = 0 THEN 2 ELSE 1 END)) AS pos
+      |      FROM h)
+      |SELECT host_id, CAST(pos AS BIGINT) AS pos,
+      |  'http://host' || host_id || '.example/sitemap' || pos || '.xml' AS sitemap_url
+      |FROM e""".stripMargin
+
+  /** Politeness-scheduled crawl frontier: each candidate URL gets a
+    * per-host slot (priority order) and a fetch wave under a
+    * fetches-per-host-per-wave cap — the scheduling step between
+    * frontier dedup and the fetcher. The window partitions by host, so
+    * state is bounded by the largest host's candidate count (and a
+    * hot-host cap upstream bounds that); only (host, priority, id)
+    * tuples shuffle. Integer-only arithmetic, deterministic tie-break.
+    */
+  def frontierSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val perWave = 2
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "cast(doc_id as long) as doc_id",
+        "cast(doc_id % 20 as long) as host_id",
+        "cast((doc_id * 7) % 100 as long) as priority")
+      .selectExpr("doc_id", "host_id", "priority",
+        "cast(row_number() over (partition by host_id order by priority desc, doc_id asc) - 1 as long) as slot")
+      .selectExpr("doc_id", "host_id", "priority", "slot",
+        s"cast(slot div $perWave as long) as wave")
+  }
+
+  val frontierScheduleSql: String =
+    """WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |                  CAST(doc_id % 20 AS BIGINT) AS host_id,
+      |                  CAST((doc_id * 7) % 100 AS BIGINT) AS priority
+      |           FROM documents)
+      |SELECT doc_id, host_id, priority,
+      |  CAST(row_number() OVER (PARTITION BY host_id ORDER BY priority DESC, doc_id ASC) - 1 AS BIGINT) AS slot,
+      |  CAST((row_number() OVER (PARTITION BY host_id ORDER BY priority DESC, doc_id ASC) - 1) // 2 AS BIGINT) AS wave
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outlinks" -> (outlinks(_, _)),
     "q_domain_edges" -> (domainEdges(_, _)),
@@ -316,7 +372,9 @@ object LinkOps {
     "q_pagerank" -> (pagerank(_, _)),
     "q_robots_txt_gate" -> (robotsTxtGate(_, _)),
     "q_html_meta" -> (htmlMeta(_, _)),
-    "q_sitemap_urls" -> (sitemapUrls(_, _)))
+    "q_sitemap_urls" -> (sitemapUrls(_, _)),
+    "q_frontier_schedule" -> (frontierSchedule(_, _)),
+    "q_robots_sitemaps" -> (robotsSitemaps(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_outlinks" -> outlinksSql,
@@ -326,5 +384,7 @@ object LinkOps {
     "q_pagerank" -> pagerankSql,
     "q_robots_txt_gate" -> robotsTxtGateSql,
     "q_html_meta" -> htmlMetaSql,
-    "q_sitemap_urls" -> sitemapUrlsSql)
+    "q_sitemap_urls" -> sitemapUrlsSql,
+    "q_frontier_schedule" -> frontierScheduleSql,
+    "q_robots_sitemaps" -> robotsSitemapsSql)
 }

@@ -493,6 +493,38 @@ object TextOps {
        |FROM k WHERE doc_id = keeper GROUP BY source, lang""".stripMargin
   }
 
+  // --------------------------------------------- host-level quality gate
+
+  /** Domain-level quality rollup (the C4/Gopher practice of gating whole
+    * hosts, not just documents): per host, document count, short-doc
+    * count, and total word volume, plus the blocked verdict (majority of
+    * the host's docs under 40 words). Integer-only so the oracle is
+    * exact; map-side partial agg into a host-sized rollup — the whole
+    * corpus reduces to one row per host before anything shuffles.
+    */
+  def hostQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr(
+        "cast(doc_id % 50 as long) as host_id",
+        "size(split(text, ' ')) as n_words")
+      .groupBy("host_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("n_words") < 40, 1L).otherwise(0L)).cast("long").as("n_short"),
+        sum(col("n_words").cast("long")).cast("long").as("total_words"))
+      .withColumn("blocked", col("n_short") * 2 > col("n_docs"))
+
+  val hostQualitySql: String =
+    """WITH d AS (SELECT CAST(doc_id % 50 AS BIGINT) AS host_id,
+      |                  len(string_split(text, ' ')) AS n_words
+      |           FROM documents)
+      |SELECT host_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_words < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |  CAST(sum(n_words) AS BIGINT) AS total_words,
+      |  sum(CASE WHEN n_words < 40 THEN 1 ELSE 0 END) * 2 > count(*) AS blocked
+      |FROM d GROUP BY host_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
@@ -505,7 +537,8 @@ object TextOps {
     "q_url_parse" -> (urlParse(_, _)),
     "q_url_canon" -> (urlCanon(_, _)),
     "q_pii_scrub" -> (piiScrub(_, _)),
-    "q_bpe_tokens" -> (bpeTokens(_, _)))
+    "q_bpe_tokens" -> (bpeTokens(_, _)),
+    "q_host_quality" -> (hostQuality(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_corpus_clean" -> corpusCleanSql,
@@ -519,5 +552,6 @@ object TextOps {
     "q_url_parse" -> urlParseSql,
     "q_url_canon" -> urlCanonSql,
     "q_pii_scrub" -> piiScrubSql,
-    "q_bpe_tokens" -> bpeTokensSql)
+    "q_bpe_tokens" -> bpeTokensSql,
+    "q_host_quality" -> hostQualitySql)
 }

@@ -81,6 +81,22 @@ class MetaSitemapSpec extends AnyFunSuite {
     assert(SitemapKernel.parse("").isEmpty)
   }
 
+  test("robots Sitemap: lines are global, case-insensitive, comment-stripped") {
+    val txt =
+      """User-agent: bot
+        |Disallow: /x
+        |SITEMAP: http://a.example/s1.xml # trailing comment
+        |User-agent: *
+        |sitemap: http://a.example/s2.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(graft.kernels.RobotsKernel.sitemaps(txt) ===
+      Vector("http://a.example/s1.xml", "http://a.example/s2.xml"))
+    // and a mid-group sitemap line doesn't perturb rule parsing
+    val rules = graft.kernels.RobotsKernel.parse(txt, "bot")
+    assert(!graft.kernels.RobotsKernel.isAllowed(rules, "/x/y"))
+  }
+
   test("numeric and bare-ampersand entities decode safely") {
     val xml = "<urlset><url><loc>http://x/&#47;a&#x2F;b&z</loc></url></urlset>"
     assert(SitemapKernel.parse(xml).head.loc === "http://x//a/b&z")
