@@ -74,4 +74,39 @@ object MetaGen {
   }
 
   private def pad2(v: Long): String = if (v < 10) s"0$v" else v.toString
+
+  /** Table-bearing page for q_html_table: one data table with a `<th>`
+    * header row and 2+d%3 data rows x 2+d%2 cols; cell (1,0) carries an
+    * entity (`x &amp; y{d}`), every cell is whitespace-padded (collapse
+    * is load-bearing), and the last cell hosts a NESTED layout table the
+    * kernel must skip. All closed-form in d for the arithmetic oracle.
+    */
+  def tableHtml(d: Long): String = {
+    val cols = 2 + (d % 2).toInt
+    val rows = 2 + (d % 3).toInt
+    val sb = new StringBuilder(512)
+    sb ++= s"<html><body><p>prose before table $d</p><table><tr>"
+    var j = 0
+    while (j < cols) { sb ++= s"<th> h$j </th>"; j += 1 }
+    sb ++= "</tr>"
+    var i = 1
+    while (i <= rows) {
+      sb ++= "<tr>"
+      j = 0
+      while (j < cols) {
+        val v =
+          if (i == 1 && j == 0) s"x &amp;\n y$d"
+          else s"v${d}_${i}_$j"
+        sb ++= s"<td>  $v  "
+        if (i == rows && j == cols - 1)
+          sb ++= "<table><tr><td>nested noise</td></tr></table>"
+        sb ++= "</td>"
+        j += 1
+      }
+      sb ++= "</tr>"
+      i += 1
+    }
+    sb ++= s"</table><p>prose after $d</p></body></html>"
+    sb.toString
+  }
 }

@@ -273,6 +273,37 @@ object ExtractionOps {
       |    ELSE 'passthrough' END AS kind
       |FROM documents""".stripMargin
 
+  /** Structured table harvest ([[graft.kernels.TableKernel]]): top-level
+    * table cells as (row, col, text, header) records from deterministic
+    * table-bearing pages — header row, entity + whitespace collapse in
+    * cells, and a nested layout table the kernel must skip are all
+    * load-bearing for the arithmetic oracle. Narrow per-row kernel
+    * flatMap; at crawl scale the page never shuffles.
+    */
+  def htmlTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as d").as[Long]
+      .flatMap { d =>
+        graft.kernels.TableKernel.extract(graft.gen.MetaGen.tableHtml(d))
+          .map(c => (d, c.row.toLong, c.col.toLong, c.text, c.header))
+      }
+      .toDF("doc_id", "row_idx", "col_idx", "cell", "is_header")
+  }
+
+  val htmlTableSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |                  2 + doc_id % 2 AS c, 2 + doc_id % 3 AS r
+      |           FROM documents),
+      |rw AS (SELECT doc_id, c, unnest(range(0, r + 1)) AS ri FROM d),
+      |cl AS (SELECT doc_id, ri, unnest(range(0, c)) AS ci FROM rw)
+      |SELECT doc_id, CAST(ri AS BIGINT) AS row_idx, CAST(ci AS BIGINT) AS col_idx,
+      |  CASE WHEN ri = 0 THEN 'h' || ci
+      |       WHEN ri = 1 AND ci = 0 THEN 'x & y' || doc_id
+      |       ELSE 'v' || doc_id || '_' || ri || '_' || ci END AS cell,
+      |  ri = 0 AS is_header
+      |FROM cl""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_extract_doc_struct" -> (extractDocStruct(_, _)),
     "q_extract_arabic" -> (extractArabic(_, _)),
@@ -295,7 +326,8 @@ object ExtractionOps {
     "q_extract_win1252" -> (extractWin1252(_, _)),
     "q_extract_utf16" -> (extractUtf16(_, _)),
     "q_extract_gzip" -> (extractGzip(_, _)),
-    "q_extract_zstd" -> (extractZstd(_, _)))
+    "q_extract_zstd" -> (extractZstd(_, _)),
+    "q_html_table" -> (htmlTable(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_extract_doc_struct" -> extractDocStructSql,
@@ -319,5 +351,6 @@ object ExtractionOps {
     "q_extract_win1252" -> extractWin1252Sql,
     "q_extract_utf16" -> extractUtf16Sql,
     "q_extract_gzip" -> extractGzipSql,
-    "q_extract_zstd" -> extractGzipSql)
+    "q_extract_zstd" -> extractGzipSql,
+    "q_html_table" -> htmlTableSql)
 }

@@ -81,6 +81,30 @@ class MetaSitemapSpec extends AnyFunSuite {
     assert(SitemapKernel.parse("").isEmpty)
   }
 
+  test("table kernel: omitted </td>/</tr> close implicitly; EOF flushes") {
+    val cells = graft.kernels.TableKernel.extract(
+      "<table><tr><td>a<td>b<tr><td>c</table> tail <table><tr><td>dangling")
+    assert(cells === Vector(
+      graft.kernels.TableKernel.Cell(0, 0, 0, "a", false),
+      graft.kernels.TableKernel.Cell(0, 0, 1, "b", false),
+      graft.kernels.TableKernel.Cell(0, 1, 0, "c", false),
+      graft.kernels.TableKernel.Cell(1, 0, 0, "dangling", false)))
+  }
+
+  test("table kernel: nested table cells are layout, not data") {
+    val cells = graft.kernels.TableKernel.extract(
+      "<table><tr><td>outer<table><tr><td>inner</td></tr></table></td></tr></table>")
+    assert(cells.map(_.text) === Vector("outer"))
+  }
+
+  test("table kernel: th marks header; cells before any tr get row 0") {
+    val cells = graft.kernels.TableKernel.extract(
+      "<table><td>loose</td><tr><th> H </th></tr></table>")
+    assert(cells === Vector(
+      graft.kernels.TableKernel.Cell(0, 0, 0, "loose", false),
+      graft.kernels.TableKernel.Cell(0, 1, 0, "H", true)))
+  }
+
   test("robots Sitemap: lines are global, case-insensitive, comment-stripped") {
     val txt =
       """User-agent: bot
