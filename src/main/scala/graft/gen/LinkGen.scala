@@ -44,7 +44,7 @@ object LinkGen {
     sb ++= s"Disallow: /dir${h % 3}/\n"
     sb ++= s"Allow: /dir${h % 3}/ok/\n"
     if (h % 4 == 0) sb ++= "Disallow: /*.tmp$\n"
-    sb ++= "Crawl-delay: 2\n\n"
+    sb ++= s"Crawl-delay: ${1 + h % 4}\n\n"
     sb ++= "User-agent: *\nDisallow: /private/\n"
     sb.toString
   }

@@ -110,6 +110,65 @@ object RobotsKernel {
     out.result()
   }
 
+  /** Crawl-delay (seconds) from the group that governs `agent` — the
+    * same group-selection rules as parse() (best named match, else `*`),
+    * since the de-facto directive is group-scoped unlike `Sitemap:`.
+    * None when the governing group declares no delay.
+    */
+  def crawlDelay(robotsTxt: String, agent: String): Option[Int] = {
+    val agentLc = agent.toLowerCase
+    // group collection mirrors parse(): UA lines accumulate until a body
+    // line is seen; the next UA line then starts a new group
+    val groups = new ArrayBuffer[(ArrayBuffer[String], Array[Option[Int]])]()
+    var curUas: ArrayBuffer[String] = null
+    var curDelay: Array[Option[Int]] = null
+    var rulesSeen = false
+    robotsTxt.split("\r?\n", -1).foreach { line0 =>
+      val hash = line0.indexOf('#')
+      val line = (if (hash >= 0) line0.substring(0, hash) else line0).trim
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val field = line.substring(0, ci).trim.toLowerCase
+        val value = line.substring(ci + 1).trim
+        field match {
+          case "user-agent" =>
+            if (curUas == null || rulesSeen) {
+              curUas = new ArrayBuffer[String]()
+              curDelay = Array(None)
+              groups += ((curUas, curDelay))
+              rulesSeen = false
+            }
+            if (value.nonEmpty) curUas += value.toLowerCase
+          case "crawl-delay" =>
+            if (curDelay != null) {
+              rulesSeen = true
+              if (curDelay(0).isEmpty)
+                try curDelay(0) = Some(value.toInt)
+                catch { case _: NumberFormatException => () }
+            }
+          case _ =>
+            if (curUas != null) rulesSeen = true
+        }
+      }
+    }
+    // same governing-group selection as parse(); first declared delay
+    // among the selected groups wins (a governing group without a delay
+    // means NO delay — it shadows `*` like its rules do)
+    var bestLen = 0
+    groups.foreach { case (uas, _) =>
+      uas.foreach { t =>
+        if (t != "*" && t.length > bestLen && agentLc.contains(t)) bestLen = t.length
+      }
+    }
+    val selected =
+      if (bestLen > 0)
+        groups.filter { case (uas, _) =>
+          uas.exists(t => t != "*" && t.length == bestLen && agentLc.contains(t))
+        }
+      else groups.filter { case (uas, _) => uas.contains("*") }
+    selected.iterator.flatMap(_._2(0)).nextOption()
+  }
+
   def parse(robotsTxt: String, agent: String): RuleSet = {
     val agentLc = agent.toLowerCase
     // (uaTokens, rules) per group; a group = UA lines + following rules

@@ -333,6 +333,32 @@ object LinkOps {
       |  'http://host' || host_id || '.example/sitemap' || pos || '.xml' AS sitemap_url
       |FROM e""".stripMargin
 
+  /** Per-host crawl-delay resolution (the de-facto group-scoped
+    * directive): graftbot's governing group declares 1+h%4 seconds;
+    * otherbot's governing group declares none (emitted as -1) — group
+    * selection must shadow `*` exactly like rule matching does. Feeds
+    * wave spacing in [[frontierSchedule]].
+    */
+  def crawlDelay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .map(_ % 20)
+      .distinct()
+      .map { h =>
+        val txt = graft.gen.LinkGen.robotsTxt(h)
+        def d(agent: String): Long =
+          graft.kernels.RobotsKernel.crawlDelay(txt, agent).map(_.toLong).getOrElse(-1L)
+        (h, d("graftbot"), d("otherbot"))
+      }
+      .toDF("host_id", "delay_graftbot", "delay_other")
+  }
+
+  val crawlDelaySql: String =
+    """SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS host_id,
+      |  CAST(1 + (doc_id % 20) % 4 AS BIGINT) AS delay_graftbot,
+      |  CAST(-1 AS BIGINT) AS delay_other
+      |FROM documents""".stripMargin
+
   /** Politeness-scheduled crawl frontier: each candidate URL gets a
     * per-host slot (priority order) and a fetch wave under a
     * fetches-per-host-per-wave cap — the scheduling step between
@@ -374,7 +400,8 @@ object LinkOps {
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
     "q_frontier_schedule" -> (frontierSchedule(_, _)),
-    "q_robots_sitemaps" -> (robotsSitemaps(_, _)))
+    "q_robots_sitemaps" -> (robotsSitemaps(_, _)),
+    "q_crawl_delay" -> (crawlDelay(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_outlinks" -> outlinksSql,
@@ -386,5 +413,6 @@ object LinkOps {
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
     "q_frontier_schedule" -> frontierScheduleSql,
-    "q_robots_sitemaps" -> robotsSitemapsSql)
+    "q_robots_sitemaps" -> robotsSitemapsSql,
+    "q_crawl_delay" -> crawlDelaySql)
 }

@@ -121,6 +121,30 @@ class MetaSitemapSpec extends AnyFunSuite {
     assert(!graft.kernels.RobotsKernel.isAllowed(rules, "/x/y"))
   }
 
+  test("crawl-delay follows group selection: named shadows *, first wins") {
+    val txt =
+      """User-agent: *
+        |Crawl-delay: 9
+        |Disallow: /a
+        |
+        |User-agent: graftbot
+        |Disallow: /b
+        |
+        |User-agent: megagraftbot
+        |Crawl-delay: 3
+        |Disallow: /c
+        |""".stripMargin
+    import graft.kernels.RobotsKernel.crawlDelay
+    // governing graftbot group declares no delay -> None, * is shadowed
+    assert(crawlDelay(txt, "graftbot") === None)
+    // longer named token wins and carries its delay
+    assert(crawlDelay(txt, "megagraftbot/1.0") === Some(3))
+    // unmatched agent falls back to the * group
+    assert(crawlDelay(txt, "randombot") === Some(9))
+    // malformed value ignored
+    assert(crawlDelay("User-agent: *\nCrawl-delay: soon\nDisallow: /x", "z") === None)
+  }
+
   test("numeric and bare-ampersand entities decode safely") {
     val xml = "<urlset><url><loc>http://x/&#47;a&#x2F;b&z</loc></url></urlset>"
     assert(SitemapKernel.parse(xml).head.loc === "http://x//a/b&z")
