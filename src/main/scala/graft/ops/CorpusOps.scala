@@ -49,12 +49,17 @@ object CorpusOps {
     */
   def paraDedup(spark: SparkSession, dir: String): DataFrame = {
     val w = words(spark, dir)
+    // materialize the narrow signature table ONCE (the r2 LSH lesson:
+    // feeding one lineage to both sides of a join re-executes the
+    // expensive hash scan twice); the checkpoint holds (long, int, hex)
+    // rows only — text is re-read from parquet solely for reassembly
     val segs = w.selectExpr(
       "doc_id",
       s"""posexplode(transform(
             sequence(0, (size(words)-1) div $SegWords),
             i -> md5(array_join(slice(words, i*$SegWords+1, $SegWords), ' '))))
           as (seg_idx, h)""")
+      .localCheckpoint(true)
     val uniq = segs
       .groupBy("h")
       .agg(countDistinct("doc_id").as("ndocs"))
@@ -103,12 +108,15 @@ object CorpusOps {
     */
   def ngramDupRate(spark: SparkSession, dir: String): DataFrame = {
     val w = words(spark, dir)
+    // same one-materialization shape as paraDedup: the shingle-hash scan
+    // feeds both the dup-hash aggregation and the per-doc count
     val sh = w.selectExpr(
       "doc_id",
       s"""posexplode(case when size(words) >= $ShingleWords
             then transform(sequence(0, size(words)-$ShingleWords),
                            i -> md5(array_join(slice(words, i+1, $ShingleWords), ' ')))
             else array() end) as (i, h)""")
+      .localCheckpoint(true)
     val dup = sh
       .groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))

@@ -55,6 +55,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("corpus segment/shingle hashing is materialized once, text scanned once") {
+    // same lesson as the LSH guard: the narrow hash table feeds both the
+    // uniqueness aggregation and the join-back, so it must come from one
+    // checkpointed materialization; full text is read from parquet only
+    // for reassembly (paraDedup) / the shingle-count projection.
+    Seq("q_para_dedup", "q_ngram_dup_rate").foreach { q =>
+      val p = plan(q)
+      assert("FileScan".r.findAllIn(p).size === 1,
+        s"$q re-reads its input for the hash side (double-compute regression)")
+      assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+        s"$q lost the checkpointed signature table")
+    }
+  }
+
   test("stratified rate sampling is a shuffle-free map-side filter") {
     assert(!plan("q_sample_stratified").contains("Exchange"),
       "q_sample_stratified must decide per-row from the row alone — no shuffle")
