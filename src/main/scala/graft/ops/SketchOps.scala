@@ -61,9 +61,60 @@ object SketchOps {
        |FROM s""".stripMargin
   }
 
+  // ------------------------------------------------- count-min heavy hitters
+
+  private val CmsD = 3 // hash rows (salts)
+  private val CmsW = 64 // buckets per row
+
+  /** Count-min sketch frequency estimation (Cormode-Muthukrishnan): the
+    * counter table is d×w = 192 cells NO MATTER the stream size — the
+    * 100 TB answer to "how often does each term occur" when per-term
+    * state is too much. est = min over rows of the term's bucket
+    * counter, always ≥ truth (collisions only inflate). Hash rows are
+    * fixed md5 salts, so DuckDB computes the bit-identical sketch — the
+    * oracle is exact, not statistical. True counts ride alongside at
+    * test scale to show the envelope property.
+    *
+    * Scale shape: counters = one partial-agg'd shuffle collapsing to 192
+    * rows; the estimate side joins the term list against the BROADCAST
+    * counter table.
+    */
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val occ = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) as w")
+      .where("length(w) > 0")
+    def bucketed(df: DataFrame, carry: Seq[String]): DataFrame =
+      df.selectExpr(carry :+
+        (s"posexplode(transform(sequence(0, ${CmsD - 1}), " +
+          s"s -> cast(conv(substr(md5(cast(concat(w, '@', s) as binary)), 1, 8), 16, 10) as bigint) % $CmsW)) as (sz, b)"): _*)
+    val counters = bucketed(occ, Seq("w")).groupBy("sz", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = occ.groupBy("w").agg(count(lit(1)).cast("long").as("true_n"))
+    bucketed(vocab, Seq("w", "true_n"))
+      .join(broadcast(counters), Seq("sz", "b"))
+      .groupBy("w", "true_n")
+      .agg(min("cnt").cast("long").as("est_n"))
+  }
+
+  val heavyHittersCmsSql: String =
+    s"""WITH o AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |           WHERE len(w) > 0),
+      |k AS (SELECT w, s, ('0x' || substr(md5(w || '@' || s), 1, 8))::BIGINT % $CmsW AS b
+      |      FROM o, LATERAL (SELECT unnest(range(0, $CmsD)) AS s) t),
+      |c AS (SELECT s, b, count(*) AS cnt FROM k GROUP BY s, b),
+      |v AS (SELECT w, CAST(count(*) AS BIGINT) AS true_n FROM o GROUP BY w),
+      |vk AS (SELECT v.w, v.true_n, s,
+      |              ('0x' || substr(md5(v.w || '@' || s), 1, 8))::BIGINT % $CmsW AS b
+      |       FROM v, LATERAL (SELECT unnest(range(0, $CmsD)) AS s) t)
+      |SELECT vk.w AS w, vk.true_n, CAST(min(c.cnt) AS BIGINT) AS est_n
+      |FROM vk JOIN c USING (s, b)
+      |GROUP BY vk.w, vk.true_n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_distinct_sketch" -> (distinctSketch(_, _)))
+    "q_distinct_sketch" -> (distinctSketch(_, _)),
+    "q_heavy_hitters_cms" -> (heavyHittersCms(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "q_distinct_sketch" -> distinctSketchSql)
+    "q_distinct_sketch" -> distinctSketchSql,
+    "q_heavy_hitters_cms" -> heavyHittersCmsSql)
 }
