@@ -554,6 +554,39 @@ object DedupOps {
       |      FROM events)
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------- incremental dedup
+
+  /** Incremental near-dup gate: flag NEW documents (doc_id%5==0 plays
+    * the fresh-crawl slice) whose MinHash bands collide with any BASE
+    * document — the production shape where each crawl increment dedups
+    * against the standing corpus instead of re-pairing everything. The
+    * band table is materialized once (base signatures would be a
+    * precomputed table at scale; the checkpoint states that intent), the
+    * base side collapses to distinct bucket keys, and the new side
+    * semi-joins against it — no pair expansion at all, just membership.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val lf = lshLongForm(spark, dir).localCheckpoint(true)
+    val baseBuckets = lf.where("doc_id % 5 != 0")
+      .select("band_no", "bkey").distinct()
+    val cand = lf.where("doc_id % 5 = 0")
+      .join(baseBuckets, Seq("band_no", "bkey"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(true))
+    lf.select("doc_id").where("doc_id % 5 = 0").distinct()
+      .join(cand, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(hit, false) as near_dup_candidate")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $lshLongFormSql,
+       |cand AS (SELECT DISTINCT n.doc_id
+       |         FROM lf n JOIN lf b ON b.band_no = n.band_no AND b.bkey = n.bkey
+       |         WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(doc_id AS BIGINT) IN (SELECT doc_id FROM cand) AS near_dup_candidate
+       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact(_, _)),
     "q_dedup_keep_newest" -> (keepNewest(_, _)),
@@ -565,7 +598,8 @@ object DedupOps {
     "q_simhash_bucket_stats" -> (simhashBucketStats(_, _)),
     "q_dedup_embed_cosine" -> (embedCosine(_, _)),
     "q_dedup_lsh_verify" -> (lshVerify(_, _)),
-    "q_dedup_clusters" -> (dedupClusters(_, _)))
+    "q_dedup_clusters" -> (dedupClusters(_, _)),
+    "q_dedup_incremental" -> (dedupIncremental(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> exactSql,
@@ -578,5 +612,6 @@ object DedupOps {
     "q_simhash_bucket_stats" -> simhashBucketStatsSql,
     "q_dedup_embed_cosine" -> embedCosineSql,
     "q_dedup_lsh_verify" -> lshVerifySql,
-    "q_dedup_clusters" -> dedupClustersSql)
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_incremental" -> dedupIncrementalSql)
 }

@@ -110,11 +110,82 @@ object SketchOps {
       |FROM vk JOIN c USING (s, b)
       |GROUP BY vk.w, vk.true_n""".stripMargin
 
+  // ---------------------------------------------------- bloom seen-URL gate
+
+  private val BloomK = 3 // hash functions
+  private val BloomM = 1 << 20 // bits
+
+  /** Bloom-filter frontier gate — the crawler's "have we fetched this
+    * URL" structure. The base corpus's URLs populate a k=3, m=2^20
+    * filter; candidate URLs are gated on all-k-bits-set. Here the filter
+    * is its relational analog (the distinct (salt, bit) set — at crawl
+    * scale that set IS the 128 KiB bitmap, broadcast to every executor),
+    * membership is a broadcast semi-join, and fixed md5 salts make
+    * DuckDB build the bit-identical filter: the oracle checks exact
+    * Bloom semantics including its false positives (maybe_seen true,
+    * truly_seen false), never a mirrored approximation.
+    *
+    * Candidates: docs with doc_id%5==0; every second one re-presents a
+    * base URL (must hit), the rest are novel (hit only on FP).
+    */
+  def bloomSeen(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id")
+    def urlOf(idExpr: String): String =
+      s"concat('http://host', cast(($idExpr) % 50 as string), '.example/p', cast($idExpr as string))"
+    def positions(df: DataFrame, carry: Seq[String]): DataFrame =
+      df.selectExpr(carry :+
+        (s"posexplode(transform(sequence(0, ${BloomK - 1}), " +
+          s"s -> cast(conv(substr(md5(cast(concat(url, '!', s) as binary)), 1, 8), 16, 10) as bigint) % $BloomM)) as (s, pos)"): _*)
+    val base = d.where("doc_id % 5 != 0").selectExpr(s"${urlOf("doc_id")} as url")
+    val filterBits = positions(base, Seq.empty).distinct()
+    val cand = d.where("doc_id % 5 = 0").selectExpr(
+      "doc_id",
+      s"case when doc_id % 10 = 0 then ${urlOf("doc_id + 1")} " +
+        s"else concat('http://new.example/p', cast(doc_id as string)) end as url")
+    val hits = positions(cand, Seq("doc_id", "url"))
+      .join(broadcast(filterBits), Seq("s", "pos"), "left_semi")
+      .groupBy("doc_id", "url")
+      .agg(count(lit(1)).as("k_hits"))
+    cand
+      .join(hits, Seq("doc_id", "url"), "left")
+      .join(base.distinct().withColumn("truly", lit(true)), Seq("url"), "left")
+      .selectExpr(
+        "doc_id", "url",
+        s"coalesce(k_hits, 0) = $BloomK as maybe_seen",
+        "coalesce(truly, false) as truly_seen")
+  }
+
+  val bloomSeenSql: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+      |base AS (SELECT 'http://host' || (doc_id % 50) || '.example/p' || doc_id AS url
+      |         FROM d WHERE doc_id % 5 <> 0),
+      |bits AS (SELECT DISTINCT s,
+      |                ('0x' || substr(md5(url || '!' || s), 1, 8))::BIGINT % $BloomM AS pos
+      |         FROM base, LATERAL (SELECT unnest(range(0, $BloomK)) AS s) t),
+      |cand AS (SELECT doc_id,
+      |                CASE WHEN doc_id % 10 = 0
+      |                     THEN 'http://host' || ((doc_id + 1) % 50) || '.example/p' || (doc_id + 1)
+      |                     ELSE 'http://new.example/p' || doc_id END AS url
+      |         FROM d WHERE doc_id % 5 = 0),
+      |hits AS (SELECT doc_id, url, count(*) AS k_hits
+      |         FROM (SELECT c.doc_id, c.url, s,
+      |                      ('0x' || substr(md5(c.url || '!' || s), 1, 8))::BIGINT % $BloomM AS pos
+      |               FROM cand c, LATERAL (SELECT unnest(range(0, $BloomK)) AS s) t) p
+      |         WHERE EXISTS (SELECT 1 FROM bits b WHERE b.s = p.s AND b.pos = p.pos)
+      |         GROUP BY doc_id, url)
+      |SELECT c.doc_id, c.url,
+      |  coalesce(h.k_hits, 0) = $BloomK AS maybe_seen,
+      |  EXISTS (SELECT 1 FROM base b WHERE b.url = c.url) AS truly_seen
+      |FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id AND c.url = h.url""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_distinct_sketch" -> (distinctSketch(_, _)),
-    "q_heavy_hitters_cms" -> (heavyHittersCms(_, _)))
+    "q_heavy_hitters_cms" -> (heavyHittersCms(_, _)),
+    "q_bloom_seen" -> (bloomSeen(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_distinct_sketch" -> distinctSketchSql,
-    "q_heavy_hitters_cms" -> heavyHittersCmsSql)
+    "q_heavy_hitters_cms" -> heavyHittersCmsSql,
+    "q_bloom_seen" -> bloomSeenSql)
 }
