@@ -6,8 +6,9 @@ package graft.gen
   * expected values from arithmetic alone — it never parses HTML or XML:
   *
   * Page head (doc d, host h = d%20):
-  *   - title: "Page {d} on host{h}" — written with leading/trailing
-  *     space and an internal newline (whitespace collapse is load-bearing)
+  *   - title: "Page {d} & host{h}" — written with leading/trailing
+  *     space, an internal newline, and &amp; (whitespace collapse AND
+  *     RCDATA entity decoding are load-bearing)
   *   - meta description iff d%3!=0: "summary & notes for page {d}"
   *     (written with &amp; — attr entity decode is load-bearing)
   *   - og:title (property=, not name=) iff d%2==0: "OG Page {d}"
@@ -26,7 +27,7 @@ object MetaGen {
     val h = d % 20
     val sb = new StringBuilder(512)
     sb ++= "<html><head>\n"
-    sb ++= s"<title>  Page $d\n on host$h  </title>"
+    sb ++= s"<title>  Page $d &amp;\n host$h  </title>"
     sb ++= "<meta charset=\"utf-8\">"
     if (d % 3 != 0)
       sb ++= s"""<meta name="description" content="summary &amp; notes for page $d">"""

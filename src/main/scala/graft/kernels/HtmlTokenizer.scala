@@ -223,6 +223,35 @@ object HtmlTokenizer {
   def tokenize(html: String, sink: Sink, attrs: Boolean = false): Unit =
     new Lexer(html, sink, attrs).run()
 
+  /** Trim + collapse internal whitespace runs to one space — the shared
+    * label normalizer for head/table metadata (titles and cells wrap
+    * across source lines; the rendered string is the identity). Shared
+    * by MetaKernel and TableKernel; LinkKernel's anchor path keeps its
+    * own ASCII-only variant (its byte contract is pinned by oracles).
+    */
+  def collapseWs(cs: CharSequence): String = {
+    val out = new java.lang.StringBuilder(cs.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < cs.length) {
+      val c = cs.charAt(i)
+      if (Character.isWhitespace(c)) pendingSpace = out.length > 0
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Decode entities in a string outside the main text path — RCDATA
+    * element content (title) and attribute values. Raw-text delivery
+    * deliberately skips decoding (script/style must stay verbatim), so
+    * RCDATA consumers decode explicitly with this.
+    */
+  def decodeEntities(s: String): String = decodeAttrValue(s)
+
   /** Decode entities in an attribute value (only called when a '&' is
     * present, so clean values cost nothing beyond the indexOf).
     */

@@ -25,7 +25,9 @@ object MetaKernel {
     var canon: String = null
 
     override def open(name: String, classId: String, selfClosing: Boolean): Unit =
-      if (name == "title" && !titleDone) inTitle = true
+      // a self-closing <title/> never gets a close event — treating it
+      // as a title would swallow the rest of the document's text
+      if (name == "title" && !titleDone && !selfClosing) inTitle = true
     override def close(name: String): Unit =
       if (name == "title" && inTitle) { inTitle = false; titleDone = true }
     override def text(s: CharSequence): Unit =
@@ -40,26 +42,11 @@ object MetaKernel {
       if (canon == null && rel.equalsIgnoreCase("canonical"))
         canon = LinkKernel.resolve(pageUrl, href).getOrElse(null)
 
-    def title: String = collapseWs(titleBuf)
-  }
-
-  /** Trim + collapse internal whitespace runs to one space (titles wrap
-    * across source lines; the rendered string is what identifies a page).
-    */
-  private def collapseWs(sb: java.lang.StringBuilder): String = {
-    val out = new java.lang.StringBuilder(sb.length)
-    var i = 0
-    var pendingSpace = false
-    while (i < sb.length) {
-      val c = sb.charAt(i)
-      if (Character.isWhitespace(c)) pendingSpace = out.length > 0
-      else {
-        if (pendingSpace) { out.append(' '); pendingSpace = false }
-        out.append(c)
-      }
-      i += 1
-    }
-    out.toString
+    /** title is RCDATA: raw-text delivery skips entity decoding (script/
+      * style must stay verbatim), so the title decodes here.
+      */
+    def title: String =
+      HtmlTokenizer.decodeEntities(HtmlTokenizer.collapseWs(titleBuf))
   }
 
   private def orEmpty(s: String): String = if (s == null) "" else s

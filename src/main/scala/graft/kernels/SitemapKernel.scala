@@ -23,38 +23,51 @@ object SitemapKernel {
     val isIndex = iIdx >= 0 && (iSet < 0 || iIdx < iSet)
     val item = if (isIndex) "sitemap" else "url"
     val out = new VectorBuilder[Entry]
-    var i = 0
+    var i = openTag(xml, item, 0)
     while (i >= 0) {
-      i = openTag(xml, item, i)
-      if (i >= 0) {
-        val end = xml.indexOf(s"</$item>", i)
-        val stop = if (end < 0) xml.length else end
-        val loc = tagText(xml, "loc", i, stop)
-        if (loc.nonEmpty)
-          out += Entry(loc, tagText(xml, "lastmod", i, stop), item)
-        i = if (end < 0) -1 else end + item.length + 3
-      }
+      // an entry's span ends at its close tag OR the next entry's open,
+      // whichever comes first — a missing </item> (tag soup) must not
+      // widen the span into (and swallow) the following entry
+      val close = xml.indexOf(s"</$item>", i)
+      val nextOpen = openStart(xml, item, i)
+      val stop = math.min(
+        if (close >= 0) close else xml.length,
+        if (nextOpen >= 0) nextOpen else xml.length)
+      val loc = tagText(xml, "loc", i, stop)
+      if (loc.nonEmpty)
+        out += Entry(loc, tagText(xml, "lastmod", i, stop), item)
+      i =
+        if (close >= 0 && (nextOpen < 0 || close < nextOpen))
+          openTag(xml, item, close + item.length + 3)
+        else if (nextOpen >= 0) openTag(xml, item, nextOpen)
+        else -1
     }
     out.result()
   }
 
-  /** Index just past `<name>` (or `<name ...>`) at/after `from`, -1 if
-    * absent. Matches whole element names only — `<url>` must not match
-    * inside `<urlset>`.
+  /** Index of the `<` of the next `<name>`/`<name ...>` at/after `from`,
+    * -1 if absent. Matches whole element names only — `<url>` must not
+    * match inside `<urlset>`.
     */
-  private def openTag(xml: String, name: String, from: Int): Int = {
+  private def openStart(xml: String, name: String, from: Int): Int = {
     var i = from
     while (true) {
       i = xml.indexOf("<" + name, i)
       if (i < 0) return -1
       val after = i + name.length + 1
-      if (after < xml.length && (xml.charAt(after) == '>' || Character.isWhitespace(xml.charAt(after)))) {
-        val gt = xml.indexOf('>', after)
-        return if (gt < 0) -1 else gt + 1
-      }
+      if (after < xml.length && (xml.charAt(after) == '>' || Character.isWhitespace(xml.charAt(after))))
+        return i
       i = after
     }
     -1
+  }
+
+  /** Index just past the `>` of the open tag found by [[openStart]]. */
+  private def openTag(xml: String, name: String, from: Int): Int = {
+    val s = openStart(xml, name, from)
+    if (s < 0) return -1
+    val gt = xml.indexOf('>', s + name.length + 1)
+    if (gt < 0) -1 else gt + 1
   }
 
   /** Decoded, trimmed text of the first `<name>...</name>` inside

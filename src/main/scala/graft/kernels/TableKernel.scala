@@ -29,7 +29,7 @@ object TableKernel {
     private val buf = new java.lang.StringBuilder(32)
 
     private def flushCell(): Unit = if (collecting) {
-      out += Cell(tableIdx, rowIdx, colIdx, collapseWs(buf), isHeader)
+      out += Cell(tableIdx, rowIdx, colIdx, HtmlTokenizer.collapseWs(buf), isHeader)
       buf.setLength(0)
       collecting = false
     }
@@ -37,9 +37,13 @@ object TableKernel {
     override def open(name: String, classId: String, selfClosing: Boolean): Unit =
       name match {
         case "table" =>
-          if (depth == 0) { flushCell(); tableIdx += 1; rowIdx = -1; colIdx = -1 }
-          else flushCell() // nested table: close the outer cell's text run
-          depth += 1
+          // a self-closing <table/> gets no close event; counting it
+          // would leak depth and drop every later table as "nested"
+          if (!selfClosing) {
+            if (depth == 0) { flushCell(); tableIdx += 1; rowIdx = -1; colIdx = -1 }
+            else flushCell() // nested table: close the outer cell's text run
+            depth += 1
+          }
         case "tr" if depth == 1 =>
           flushCell(); rowIdx += 1; colIdx = -1
         case "td" | "th" if depth == 1 =>
@@ -48,6 +52,7 @@ object TableKernel {
           colIdx += 1
           collecting = true
           isHeader = name == "th"
+          if (selfClosing) flushCell() // <td/>: an empty cell, closed now
         case _ => ()
       }
 
@@ -63,22 +68,6 @@ object TableKernel {
       if (collecting && depth == 1) buf.append(s)
 
     def end(): Unit = flushCell()
-  }
-
-  private def collapseWs(sb: java.lang.StringBuilder): String = {
-    val out = new java.lang.StringBuilder(sb.length)
-    var pendingSpace = false
-    var i = 0
-    while (i < sb.length) {
-      val c = sb.charAt(i)
-      if (Character.isWhitespace(c)) pendingSpace = out.length > 0
-      else {
-        if (pendingSpace) { out.append(' '); pendingSpace = false }
-        out.append(c)
-      }
-      i += 1
-    }
-    out.toString
   }
 
   def extract(html: String): Vector[Cell] = {

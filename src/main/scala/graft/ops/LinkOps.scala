@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{broadcast, col, expr, max}
 
 /** Link-graph extraction — outlinks, domain edges, robots gates — over
   * deterministic link-bearing pages ([[graft.gen.LinkGen]], keyed by
@@ -260,7 +260,7 @@ object LinkOps {
 
   val htmlMetaSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |  'Page ' || doc_id || ' on host' || (doc_id % 20) AS title,
+      |  'Page ' || doc_id || ' & host' || (doc_id % 20) AS title,
       |  CASE WHEN doc_id % 3 <> 0
       |       THEN 'summary & notes for page ' || doc_id ELSE '' END AS meta_description,
       |  CASE WHEN doc_id % 2 = 0 THEN 'OG Page ' || doc_id ELSE '' END AS og_title,
@@ -343,10 +343,17 @@ object LinkOps {
     * graded against independent arithmetic, not a mirrored join.
     */
   def redirectResolve(spark: SparkSession, dir: String): DataFrame = {
-    var cur = spark.read.parquet(s"$dir/documents.parquet")
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id")
+    // the chain also terminates at the corpus edge — without this, a
+    // corpus whose max id is not ≡3 (mod 4) dangles its tail chain at a
+    // nonexistent target (one-row broadcast, not an assumption)
+    val maxDf = base.agg(max(col("doc_id")).as("max_id"))
+    var cur = base
+      .crossJoin(broadcast(maxDf))
       .selectExpr(
-        "cast(doc_id as long) as doc_id",
-        "case when doc_id % 4 = 3 then cast(doc_id as long) else cast(doc_id + 1 as long) end as nxt")
+        "doc_id",
+        "case when doc_id % 4 = 3 or doc_id = max_id then doc_id else doc_id + 1 end as nxt")
     for (_ <- 1 to 2) {
       val hop = cur.selectExpr("doc_id as j_id", "nxt as j_nxt")
       cur = cur
@@ -358,8 +365,8 @@ object LinkOps {
 
   val redirectResolveSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-      |  CAST(doc_id - doc_id % 4 + 3 AS BIGINT) AS final_id,
-      |  CAST(3 - doc_id % 4 AS BIGINT) AS n_hops
+      |  CAST(least(doc_id - doc_id % 4 + 3, (SELECT max(doc_id) FROM documents)) AS BIGINT) AS final_id,
+      |  CAST(least(doc_id - doc_id % 4 + 3, (SELECT max(doc_id) FROM documents)) - doc_id AS BIGINT) AS n_hops
       |FROM documents""".stripMargin
 
   /** Per-host crawl-delay resolution (the de-facto group-scoped

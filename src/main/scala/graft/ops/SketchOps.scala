@@ -87,9 +87,13 @@ object SketchOps {
       df.selectExpr(carry :+
         (s"posexplode(transform(sequence(0, ${CmsD - 1}), " +
           s"s -> cast(conv(substr(md5(cast(concat(w, '@', s) as binary)), 1, 8), 16, 10) as bigint) % $CmsW)) as (sz, b)"): _*)
-    val counters = bucketed(occ, Seq("w")).groupBy("sz", "b")
-      .agg(count(lit(1)).as("cnt"))
+    // ONE scan: word counts first (checkpointed — vocab-sized), then the
+    // counter table derives from the vocab (bucket count = sum of its
+    // words' counts) instead of re-exploding the corpus a second time
     val vocab = occ.groupBy("w").agg(count(lit(1)).cast("long").as("true_n"))
+      .localCheckpoint(true)
+    val counters = bucketed(vocab, Seq("true_n")).groupBy("sz", "b")
+      .agg(sum(col("true_n")).as("cnt"))
     bucketed(vocab, Seq("w", "true_n"))
       .join(broadcast(counters), Seq("sz", "b"))
       .groupBy("w", "true_n")

@@ -130,11 +130,14 @@ object ParquetFormat extends TableFormat {
     parts.foreach { pdir =>
       val files = dataFiles(pdir)
       val bytes = files.map(_.length()).sum
-      val desired = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      // stays a Long until after the merge-only guard: a huge partition
+      // with a tiny target must not overflow toInt into a negative
+      // repartition count (when rewriting, desired < files.length ≤ 2^31)
+      val desired = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
       before += files.length
       if (files.length > desired) {
         val df = spark.read.parquet(pdir.getPath)
-          .repartition(desired)
+          .repartition(desired.toInt)
           .localCheckpoint(true)
         df.write.mode(SaveMode.Overwrite).parquet(pdir.getPath)
         rewritten += 1

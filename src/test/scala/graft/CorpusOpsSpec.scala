@@ -96,6 +96,17 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(UnicodeKernel.nfc(composed) eq composed)
   }
 
+  test("redirect chains terminate at the corpus edge, not only at id%4==3") {
+    // max id 5 is not ≡3 (mod 4): doc 4's chain must stop at 5
+    val dir = corpus((0L to 5L).map(d => d -> s"doc $d"))
+    val out = ops.LinkOps.redirectResolve(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (0L, 3L, 3L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (3L, 3L, 0L), (4L, 5L, 1L), (5L, 5L, 0L)))
+  }
+
   test("nfc SQL expression: null-safe, type-checked, codegen-evaluated") {
     graft.functions.NfcNormalize.register(spark)
     val acute = new String(Character.toChars(0x0301))

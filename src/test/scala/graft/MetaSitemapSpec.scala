@@ -18,6 +18,28 @@ class MetaSitemapSpec extends AnyFunSuite {
     assert(m.title === "A B")
   }
 
+  test("self-closing <title/> is not a title; RCDATA entities decode") {
+    val m = MetaKernel.extract(
+      "<head><title/><title>A &amp; B</title></head><body>body text</body>", url)
+    assert(m.title === "A & B")
+    // and a lone <title/> must not swallow the document
+    assert(MetaKernel.extract("<head><title/></head><body>hello</body>", url).title === "")
+  }
+
+  test("self-closing <table/> leaks no depth; <td/> is an empty cell") {
+    val cells = graft.kernels.TableKernel.extract(
+      "<table/><table><tr><td/><td>real</td></tr></table>")
+    assert(cells === Vector(
+      graft.kernels.TableKernel.Cell(0, 0, 0, "", false),
+      graft.kernels.TableKernel.Cell(0, 0, 1, "real", false)))
+  }
+
+  test("a sitemap entry missing its close tag cannot swallow the next entry") {
+    val es = SitemapKernel.parse(
+      "<urlset><url><loc>http://a/1</loc><url><loc>http://a/2</loc></url></urlset>")
+    assert(es.map(_.loc) === Vector("http://a/1", "http://a/2"))
+  }
+
   test("missing fields are empty strings, never nulls") {
     val m = MetaKernel.extract("<html><body>no head</body></html>", url)
     assert(m === MetaKernel.PageMeta("", "", "", ""))
