@@ -69,6 +69,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("CMS counters derive from the checkpointed vocab — one corpus scan") {
+    // the single corpus scan runs eagerly at vocab-checkpoint time, so
+    // the final plan reads ONLY the checkpointed RDD — any FileScan here
+    // means the counter side re-exploded the corpus
+    val p = plan("q_heavy_hitters_cms")
+    assert("FileScan".r.findAllIn(p).isEmpty,
+      "q_heavy_hitters_cms re-explodes the corpus for the counter table")
+    assert(p.contains("ExistingRDD"),
+      "q_heavy_hitters_cms lost the checkpointed vocab table")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the 192-cell counter table must broadcast to the estimate side")
+  }
+
   test("stratified rate sampling is a shuffle-free map-side filter") {
     assert(!plan("q_sample_stratified").contains("Exchange"),
       "q_sample_stratified must decide per-row from the row alone — no shuffle")
