@@ -47,6 +47,13 @@ object KernelBench {
     bench("dom", pages, totalChars, "Mchar")(h => { Dom.parse(h); () })
     bench("extract", pages, totalChars, "Mchar")(h => { MainTextExtractor.extract(h); () })
     bench("pdf", pdfs, pdfBytes, "MB")(b => { PdfTextExtractor.extract(b); () })
+    // metadata-tier kernels share the tokenizer pass; their cost must
+    // stay in the same order as extract or the head-field tier doubles
+    // the corpus scan budget
+    bench("meta", pages, totalChars, "Mchar")(h =>
+      { graft.kernels.MetaKernel.extract(h, "http://h.example/p"); () })
+    bench("table", pages, totalChars, "Mchar")(h =>
+      { graft.kernels.TableKernel.extract(h); () })
 
     // multi-threaded extract: aggregate docs/s with T raw JVM threads
     // (no Spark) — isolates allocation/GC-bandwidth scaling of the kernel
