@@ -48,6 +48,17 @@ trait TableFormat {
   def readSince(spark: SparkSession, table: String, ledgerDir: String,
       sinceSnapshot: Long): DataFrame
 
+  /** Time-travel read — the table as of `snapshot` (the Iceberg
+    * `VERSION AS OF` analog): rows of partitions committed AT OR BEFORE
+    * it. Writes are partition-granular, so a partition REWRITTEN by a
+    * later commit is no longer reconstructable and is honestly excluded
+    * (Iceberg keeps old files until expire_snapshots; the parquet impl's
+    * retention is "until rewritten"). Completes the read/readSince/
+    * readAt triple.
+    */
+  def readAt(spark: SparkSession, table: String, ledgerDir: String,
+      snapshot: Long): DataFrame
+
   /** Small-file compaction (the Iceberg `CALL system.rewrite_data_files`
     * analog). A resumable crawl writes a partition per commit unit;
     * thousands of commits leave thousands of sub-target files whose
@@ -99,6 +110,30 @@ object ParquetFormat extends TableFormat {
     // OR across partition columns (a ledger can carry entries keyed by
     // different columns when merge() was called with different
     // partitionCol values); AND would return the intersection
+    val pred = byCol.map { case (c, vs) =>
+      col(c).cast("string").isin(vs.map(_._2): _*)
+    }.reduce(_ || _)
+    base.filter(pred)
+  }
+
+  /** Partition-granular time travel: keep partitions whose ledger entry
+    * was committed at or before `snapshot`. The ledger holds ONE entry
+    * per partition (latest commit wins), so a partition rewritten after
+    * `snapshot` has entry.snapshot > snapshot and is excluded — "until
+    * rewritten" retention, stated in the trait doc. Same partition-
+    * pruned isin scan as readSince.
+    */
+  override def readAt(spark: SparkSession, table: String, ledgerDir: String,
+      snapshot: Long): DataFrame = {
+    val asOf = Ledger.committed(ledgerDir).values
+      .filter(_.snapshot <= snapshot).map(_.partition).toSeq
+    val base = read(spark, table)
+    if (asOf.isEmpty) return base.filter(lit(false))
+    val byCol = asOf.map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"ledger partition '$p' is not col=value")
+      (p.substring(0, i), p.substring(i + 1))
+    }.groupBy(_._1)
     val pred = byCol.map { case (c, vs) =>
       col(c).cast("string").isin(vs.map(_._2): _*)
     }.reduce(_ || _)

@@ -44,6 +44,28 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(Ledger.currentSnapshot(ledger) > s1)
   }
 
+  test("readAt returns the table as of a snapshot; later partitions excluded") {
+    val out = tmpDir("snapat_out")
+    val ledger = tmpDir("snapat_ledger")
+    val first = Seq(page("u://a1", Day1), page("u://a2", Day1), page("u://b1", Day2))
+    ExtractJob.run(spark, first.toDS().toDF(), out, ledger)
+    val s1 = Ledger.currentSnapshot(ledger)
+
+    ExtractJob.run(spark, (first :+ page("u://c1", Day3)).toDS().toDF(), out, ledger)
+
+    // as of s1: only the first two days; as of now: everything; as of 0: nothing
+    val atS1 = ParquetFormat.readAt(spark, out, ledger, s1)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(atS1 === Set("u://a1", "u://a2", "u://b1"))
+    assert(ParquetFormat.readAt(spark, out, ledger,
+      Ledger.currentSnapshot(ledger)).count() === 4L)
+    assert(ParquetFormat.readAt(spark, out, ledger, 0L).count() === 0L)
+    // readAt(s) ∪ readSince(s) == read: the triple partitions the table
+    assert(ParquetFormat.readSince(spark, out, ledger, s1).count() +
+      ParquetFormat.readAt(spark, out, ledger, s1).count() ===
+      ParquetFormat.read(spark, out).count())
+  }
+
   test("pre-snapshot ledger entries parse as snapshot 1 (readSince(0) still sees them)") {
     val ledger = tmpDir("snapdiff_legacy")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ledger))
