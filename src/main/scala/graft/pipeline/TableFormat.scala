@@ -88,8 +88,13 @@ object ParquetFormat extends TableFormat {
       .mode(SaveMode.Overwrite)
       .parquet(table)
 
+  /** mergeSchema stands in for Iceberg's tracked table schema: after an
+    * add-column merge, partitions written before the evolution lack the
+    * column and must still read (as nulls) — default inference samples
+    * ONE footer and would resolve the schema by file order luck.
+    */
   override def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(table)
+    spark.read.option("mergeSchema", true).parquet(table)
 
   /** Partition-granular diff from the ledger's snapshot ids: scan stays
     * partition-pruned (the isin filter sits on the partition column), so
@@ -207,11 +212,22 @@ object ParquetFormat extends TableFormat {
       .join(updates.select(col(key)).distinct(), Seq(key), "left_semi")
       .select(col(partitionCol)).distinct().collect().map(_.getString(0)).toSeq
     val affected = (updParts ++ matchedParts).distinct
-    val current = read(spark, table)
+    val current0 = read(spark, table)
       .withColumn(partitionCol, col(partitionCol).cast("string"))
       .filter(col(partitionCol).isin(affected: _*))
-    val cols = updates.columns
-    val u = cols.foldLeft(updates)((d, c) =>
+    // schema evolution (Iceberg MERGE semantics): output = UNION of both
+    // schemas. A column only in updates (add-column evolution) back-fills
+    // null on existing rows; a column MISSING from updates is preserved
+    // from the table (and nulls on inserted rows) instead of being
+    // silently dropped from every rewritten partition.
+    val curCols = current0.columns.toSeq
+    val updCols = updates.columns.toSeq
+    val cols = curCols ++ updCols.filterNot(curCols.contains)
+    val current = updCols.filterNot(curCols.contains).foldLeft(current0)((d, c) =>
+      d.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+    val updAligned = curCols.filterNot(updCols.contains).foldLeft(updates)((d, c) =>
+      d.withColumn(c, lit(null).cast(current0.schema(c).dataType)))
+    val u = cols.foldLeft(updAligned)((d, c) =>
       if (c == key) d else d.withColumnRenamed(c, s"__u_$c"))
     val merged = current.join(u, Seq(key), "full_outer")
       .select(col(key) +: cols.filterNot(_ == key).map(c =>

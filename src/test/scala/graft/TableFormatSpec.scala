@@ -32,6 +32,27 @@ class TableFormatSpec extends SparkTestBase {
       ("u4", "2025-01-03", "delta"), ("u9", "2025-01-01", "nine")))
   }
 
+  test("merge schema evolution: new column back-fills null, missing column preserved") {
+    val t = tmpDir("tf_evolve") + "/t"
+    ParquetFormat.overwritePartitions(base, t, "p_day")
+    // updates ADD a column (score) and OMIT one (text): add-column
+    // evolution must back-fill null on untouched rows; the omitted
+    // column must keep its table values instead of being dropped
+    val updates = Seq(
+      ("u1", "2025-01-01", 7L) // matched: score set, text preserved
+    ).toDF("url", "p_day", "score")
+    ParquetFormat.merge(spark, t, updates, "url", "p_day")
+    val got = ParquetFormat.read(spark, t)
+      .select($"url", $"text", $"score")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("u1", "alpha", 7L), // text survived the narrower update
+      ("u2", "beta", -1L), // same partition rewritten: score null
+      ("u3", "gamma", -1L), // untouched partition: null via parquet union
+      ("u4", "delta", -1L)))
+  }
+
   test("merge updates matched keys, inserts new ones, leaves other partitions alone") {
     val t = tmpDir("tf_merge") + "/t"
     ParquetFormat.overwritePartitions(base, t, "p_day")
