@@ -31,6 +31,34 @@ object WarcKernel {
   final case class WarcPage(url: String, ts: java.sql.Timestamp,
       body: Array[Byte], recType: String, error: String)
 
+  /** Serialize extracted text as WARC/1.0 `conversion` records — the
+    * WET layout (Common Crawl's extracted-text companion format): one
+    * record per page, `Content-Type: text/plain`, UTF-8 payload. The
+    * inverse seam to [[split]]: a crawl refinery emits its cleaned
+    * corpus in the same container it ingested, so the next pipeline
+    * stage reuses the same reader. Round-trip contract (spec-pinned):
+    * split(writeConversion(pages)) yields the pages byte-identically.
+    */
+  def writeConversion(pages: Iterator[(String, java.sql.Timestamp, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(4096)
+    val crlf2 = "\r\n\r\n".getBytes(Ascii)
+    pages.foreach { case (url, ts, text) =>
+      val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val date = java.time.Instant.ofEpochMilli(ts.getTime).toString
+      val head = new StringBuilder(192)
+      head ++= "WARC/1.0\r\n"
+      head ++= "WARC-Type: conversion\r\n"
+      head ++= s"WARC-Target-URI: $url\r\n"
+      head ++= s"WARC-Date: $date\r\n"
+      head ++= "Content-Type: text/plain\r\n"
+      head ++= s"Content-Length: ${body.length}\r\n\r\n"
+      bos.write(head.toString.getBytes(Ascii))
+      bos.write(body)
+      bos.write(crlf2)
+    }
+    bos.toByteArray
+  }
+
   private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
 
   private def err(msg: String): WarcPage = WarcPage(null, null, null, null, msg)
@@ -88,7 +116,9 @@ object WarcKernel {
                 case Right(body) => WarcPage(uri, ts, body, recType, null)
                 case Left(e)     => WarcPage(uri, ts, Array.emptyByteArray, recType, e)
               }
-            case "resource" =>
+            case "resource" | "conversion" =>
+              // conversion = extracted-text records (the WET layout this
+              // kernel's writeConversion emits); payload is the raw block
               pending = WarcPage(uri, ts, block, recType, null)
             case _ => // request/warcinfo/metadata/revisit: not pages
           }

@@ -304,6 +304,44 @@ object ExtractionOps {
       |  ri = 0 AS is_header
       |FROM cl""".stripMargin
 
+  /** WET writer round-trip: each partition's documents serialize into
+    * ONE multi-record WARC `conversion` buffer (WarcKernel
+    * .writeConversion — the Common Crawl extracted-text layout) and
+    * parse back through the SAME reader the ingest path uses; the
+    * oracle is the identity projection, so any header/length/payload
+    * byte drift fails the hash. In-row kernel work, zero shuffle: the
+    * refinery's output stage is as distributable as its input stage.
+    */
+  def wetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(512).flatMap { batch =>
+          val bytes = graft.kernels.WarcKernel.writeConversion(
+            batch.iterator.map { case (d, t) =>
+              (s"http://host${d % 50}.example/p$d",
+                new java.sql.Timestamp(1736208000000L + d * 1000L), t)
+            })
+          val pages = graft.kernels.WarcKernel.split(bytes).toVector
+          require(pages.size == batch.size && pages.forall(_.error == null),
+            s"wet round-trip lost records: ${batch.size} in, ${pages.size} out")
+          batch.zip(pages).map { case ((d, _), p) =>
+            (d, p.url, new String(p.body, java.nio.charset.StandardCharsets.UTF_8),
+              p.recType)
+          }
+        }
+      }
+      .toDF("doc_id", "url", "text", "rec_type")
+  }
+
+  val wetRoundtripSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'http://host' || (doc_id % 50) || '.example/p' || doc_id AS url,
+      |  text, 'conversion' AS rec_type
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_extract_doc_struct" -> (extractDocStruct(_, _)),
     "q_extract_arabic" -> (extractArabic(_, _)),
@@ -327,7 +365,8 @@ object ExtractionOps {
     "q_extract_utf16" -> (extractUtf16(_, _)),
     "q_extract_gzip" -> (extractGzip(_, _)),
     "q_extract_zstd" -> (extractZstd(_, _)),
-    "q_html_table" -> (htmlTable(_, _)))
+    "q_html_table" -> (htmlTable(_, _)),
+    "q_wet_roundtrip" -> (wetRoundtrip(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_extract_doc_struct" -> extractDocStructSql,
@@ -352,5 +391,6 @@ object ExtractionOps {
     "q_extract_utf16" -> extractUtf16Sql,
     "q_extract_gzip" -> extractGzipSql,
     "q_extract_zstd" -> extractGzipSql,
-    "q_html_table" -> htmlTableSql)
+    "q_html_table" -> htmlTableSql,
+    "q_wet_roundtrip" -> wetRoundtripSql)
 }

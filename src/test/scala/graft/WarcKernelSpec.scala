@@ -39,6 +39,30 @@ class WarcKernelSpec extends AnyFunSuite {
       es.map(e => new String(e._3, UTF_8)))
   }
 
+  test("writeConversion round-trips through split: multibyte, empty, gzip") {
+    val acute = new String(Character.toChars(0xE9))
+    val texts = Seq(
+      s"caf$acute au lait — 8 bits per char it is not", // bytes != chars
+      "", // empty payload: Content-Length 0
+      "plain ascii line")
+    val in = texts.zipWithIndex.map { case (t, i) =>
+      (s"http://w$i.example/p$i", new java.sql.Timestamp(1736208000000L + i), t)
+    }
+    val bytes = WarcKernel.writeConversion(in.iterator)
+    val pages = WarcKernel.split(bytes).toVector
+    assert(pages.size === 3 && pages.forall(_.error == null))
+    assert(pages.map(_.recType).distinct === Vector("conversion"))
+    assert(pages.map(p => new String(p.body, java.nio.charset.StandardCharsets.UTF_8)) === texts)
+    assert(pages.map(_.url) === in.map(_._1))
+    assert(pages.map(_.ts) === in.map(_._2))
+    // same buffer as a gzip member (.wet.gz layout) reads identically
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    val gzPages = WarcKernel.split(bos.toByteArray).toVector
+    assert(gzPages.map(p => new String(p.body, java.nio.charset.StandardCharsets.UTF_8)) === texts)
+  }
+
   test("truncated tail yields an honest error row, keeping prior records") {
     val full = PagesGen.warcBytes(entries(6), gzipMembers = false)
     val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 40)
