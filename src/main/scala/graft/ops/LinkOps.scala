@@ -426,6 +426,84 @@ object LinkOps {
       |  CAST((row_number() OVER (PARTITION BY host_id ORDER BY priority DESC, doc_id ASC) - 1) // 2 AS BIGINT) AS wave
       |FROM c""".stripMargin
 
+  /** Capstone crawl plan — the whole pre-fetch decision in ONE
+    * declarative composition: robots verdict (real RFC 9309 kernel, per-
+    * host memoized) × Bloom seen-filter (shared with q_bloom_seen) ×
+    * per-host politeness waves × kernel-resolved crawl-delay timing.
+    * Ineligible rows (disallowed or already seen) carry wave/fetch_at
+    * -1. The oracle recomputes every leg independently (closed-form
+    * robots verdicts, its own Bloom arithmetic, a SQL window), so a bug
+    * in any ONE leg — or in how they compose — breaks the hash.
+    */
+  def fetchPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cand0 = pages(spark, dir)
+      .mapPartitions { it =>
+        val rules = new java.util.HashMap[Long, graft.kernels.RobotsKernel.RuleSet]()
+        val delays = new java.util.HashMap[Long, Long]()
+        it.map { d =>
+          val h = d % 20
+          var r = rules.get(h)
+          if (r == null) {
+            val txt = graft.gen.LinkGen.robotsTxt(h)
+            r = graft.kernels.RobotsKernel.parse(txt, "graftbot")
+            rules.put(h, r)
+            delays.put(h, graft.kernels.RobotsKernel.crawlDelay(txt, "graftbot")
+              .map(_.toLong).getOrElse(0L))
+          }
+          val path = graft.gen.LinkGen.fetchPath(d)
+          (d, h, graft.kernels.RobotsKernel.isAllowed(r, path), delays.get(h))
+        }
+      }
+      .toDF("doc_id", "host_id", "allowed", "delay_sec")
+      .selectExpr("*", s"${SketchOps.bloomUrlOf("doc_id")} as url")
+    val g = SketchOps.bloomMembership(spark, dir, cand0)
+    val sched = g
+      .where("allowed and not maybe_seen")
+      .selectExpr("doc_id", "host_id", "delay_sec",
+        "cast((doc_id * 7) % 100 as long) as priority")
+      .selectExpr("doc_id", "delay_sec",
+        "cast((row_number() over (partition by host_id order by priority desc, doc_id asc) - 1) div 2 as long) as wave")
+      .selectExpr("doc_id", "wave", "wave * delay_sec as fetch_at_sec")
+    g.select("doc_id", "host_id", "allowed", "maybe_seen")
+      .join(sched, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "host_id", "allowed", "maybe_seen",
+        "cast(coalesce(wave, -1) as long) as wave",
+        "cast(coalesce(fetch_at_sec, -1) as long) as fetch_at_sec")
+  }
+
+  val fetchPlanSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+      |cand AS (SELECT doc_id, doc_id % 20 AS host_id,
+      |                'http://host' || (doc_id % 50) || '.example/p' || doc_id AS url
+      |         FROM d),
+      |base AS (SELECT 'http://host' || (doc_id % 50) || '.example/p' || doc_id AS url
+      |         FROM d WHERE doc_id % 5 <> 0),
+      |bits AS (SELECT DISTINCT s,
+      |                ('0x' || substr(md5(url || '!' || s), 1, 8))::BIGINT % 1048576 AS pos
+      |         FROM base, LATERAL (SELECT unnest(range(0, 3)) AS s) t),
+      |hits AS (SELECT doc_id, count(*) AS k FROM (
+      |           SELECT c.doc_id, s,
+      |                  ('0x' || substr(md5(c.url || '!' || s), 1, 8))::BIGINT % 1048576 AS pos
+      |           FROM cand c, LATERAL (SELECT unnest(range(0, 3)) AS s) t) p
+      |         WHERE EXISTS (SELECT 1 FROM bits b WHERE b.s = p.s AND b.pos = p.pos)
+      |         GROUP BY doc_id),
+      |g AS (SELECT c.doc_id, CAST(c.host_id AS BIGINT) AS host_id,
+      |        CASE c.doc_id % 5
+      |          WHEN 0 THEN c.doc_id % 3 <> (c.doc_id % 20) % 3
+      |          WHEN 3 THEN (c.doc_id % 20) % 4 <> 0
+      |          ELSE TRUE END AS allowed,
+      |        coalesce(h.k, 0) = 3 AS maybe_seen
+      |      FROM cand c LEFT JOIN hits h USING (doc_id)),
+      |sched AS (SELECT doc_id,
+      |            (row_number() OVER (PARTITION BY host_id
+      |               ORDER BY (doc_id * 7) % 100 DESC, doc_id ASC) - 1) // 2 AS wave
+      |          FROM g WHERE allowed AND NOT maybe_seen)
+      |SELECT g.doc_id, g.host_id, g.allowed, g.maybe_seen,
+      |  CAST(coalesce(s.wave, -1) AS BIGINT) AS wave,
+      |  CAST(coalesce(s.wave * (1 + g.host_id % 4), -1) AS BIGINT) AS fetch_at_sec
+      |FROM g LEFT JOIN sched s USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_outlinks" -> (outlinks(_, _)),
     "q_domain_edges" -> (domainEdges(_, _)),
@@ -438,7 +516,8 @@ object LinkOps {
     "q_frontier_schedule" -> (frontierSchedule(_, _)),
     "q_robots_sitemaps" -> (robotsSitemaps(_, _)),
     "q_crawl_delay" -> (crawlDelay(_, _)),
-    "q_redirect_resolve" -> (redirectResolve(_, _)))
+    "q_redirect_resolve" -> (redirectResolve(_, _)),
+    "q_fetch_plan" -> (fetchPlan(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_outlinks" -> outlinksSql,
@@ -452,5 +531,6 @@ object LinkOps {
     "q_frontier_schedule" -> frontierScheduleSql,
     "q_robots_sitemaps" -> robotsSitemapsSql,
     "q_crawl_delay" -> crawlDelaySql,
-    "q_redirect_resolve" -> redirectResolveSql)
+    "q_redirect_resolve" -> redirectResolveSql,
+    "q_fetch_plan" -> fetchPlanSql)
 }

@@ -132,31 +132,47 @@ object SketchOps {
     * Candidates: docs with doc_id%5==0; every second one re-presents a
     * base URL (must hit), the rest are novel (hit only on FP).
     */
-  def bloomSeen(spark: SparkSession, dir: String): DataFrame = {
-    val d = spark.read.parquet(s"$dir/documents.parquet")
+  /** SQL fragment: the deterministic seen-set URL of doc `idExpr`. */
+  def bloomUrlOf(idExpr: String): String =
+    s"concat('http://host', cast(($idExpr) % 50 as string), '.example/p', cast($idExpr as string))"
+
+  private def bloomPositions(df: DataFrame, carry: Seq[String]): DataFrame =
+    df.selectExpr(carry :+
+      (s"posexplode(transform(sequence(0, ${BloomK - 1}), " +
+        s"s -> cast(conv(substr(md5(cast(concat(url, '!', s) as binary)), 1, 8), 16, 10) as bigint) % $BloomM)) as (s, pos)"): _*)
+
+  /** Bloom membership of `cand` (columns incl. doc_id, url) against the
+    * base-corpus filter (docs with doc_id%5 != 0) — shared by
+    * [[bloomSeen]] and LinkOps.fetchPlan. Adds `maybe_seen`.
+    */
+  def bloomMembership(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("cast(doc_id as long) as doc_id")
-    def urlOf(idExpr: String): String =
-      s"concat('http://host', cast(($idExpr) % 50 as string), '.example/p', cast($idExpr as string))"
-    def positions(df: DataFrame, carry: Seq[String]): DataFrame =
-      df.selectExpr(carry :+
-        (s"posexplode(transform(sequence(0, ${BloomK - 1}), " +
-          s"s -> cast(conv(substr(md5(cast(concat(url, '!', s) as binary)), 1, 8), 16, 10) as bigint) % $BloomM)) as (s, pos)"): _*)
-    val base = d.where("doc_id % 5 != 0").selectExpr(s"${urlOf("doc_id")} as url")
-    val filterBits = positions(base, Seq.empty).distinct()
-    val cand = d.where("doc_id % 5 = 0").selectExpr(
-      "doc_id",
-      s"case when doc_id % 10 = 0 then ${urlOf("doc_id + 1")} " +
-        s"else concat('http://new.example/p', cast(doc_id as string)) end as url")
-    val hits = positions(cand, Seq("doc_id", "url"))
+      .where("doc_id % 5 != 0")
+      .selectExpr(s"${bloomUrlOf("doc_id")} as url")
+    val filterBits = bloomPositions(base, Seq.empty).distinct()
+    val hits = bloomPositions(cand, Seq("doc_id", "url"))
       .join(broadcast(filterBits), Seq("s", "pos"), "left_semi")
       .groupBy("doc_id", "url")
       .agg(count(lit(1)).as("k_hits"))
     cand
       .join(hits, Seq("doc_id", "url"), "left")
+      .selectExpr((cand.columns.toSeq :+
+        s"coalesce(k_hits, 0) = $BloomK as maybe_seen"): _*)
+  }
+
+  def bloomSeen(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id")
+    val base = d.where("doc_id % 5 != 0").selectExpr(s"${bloomUrlOf("doc_id")} as url")
+    val cand = d.where("doc_id % 5 = 0").selectExpr(
+      "doc_id",
+      s"case when doc_id % 10 = 0 then ${bloomUrlOf("doc_id + 1")} " +
+        s"else concat('http://new.example/p', cast(doc_id as string)) end as url")
+    bloomMembership(spark, dir, cand)
       .join(base.distinct().withColumn("truly", lit(true)), Seq("url"), "left")
       .selectExpr(
-        "doc_id", "url",
-        s"coalesce(k_hits, 0) = $BloomK as maybe_seen",
+        "doc_id", "url", "maybe_seen",
         "coalesce(truly, false) as truly_seen")
   }
 
