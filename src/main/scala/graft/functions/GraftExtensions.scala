@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (MinHashBands.fnName, MinHashBands.fnInfo, MinHashBands.builder))
     ext.injectFunction(
       (NfcNormalize.fnName, NfcNormalize.fnInfo, NfcNormalize.builder))
+    ext.injectFunction(
+      (PorterStem.fnName, PorterStem.fnInfo, PorterStem.builder))
   }
 }
