@@ -43,10 +43,13 @@ object MetaKernel {
         canon = LinkKernel.resolve(pageUrl, href).getOrElse(null)
 
     /** title is RCDATA: raw-text delivery skips entity decoding (script/
-      * style must stay verbatim), so the title decodes here.
+      * style must stay verbatim), so the title decodes here — BEFORE
+      * whitespace collapse, matching the lexer's body-text order, so
+      * entity-produced whitespace (&#10;, &nbsp;) collapses like any
+      * other whitespace.
       */
     def title: String =
-      HtmlTokenizer.decodeEntities(HtmlTokenizer.collapseWs(titleBuf))
+      HtmlTokenizer.collapseWs(HtmlTokenizer.decodeEntities(titleBuf.toString))
   }
 
   private def orEmpty(s: String): String = if (s == null) "" else s

@@ -12,8 +12,11 @@ package graft.kernels
   */
 object PorterStemmer {
 
-  def stem(word: String): String = {
-    if (word.length <= 2) return word
+  def stem(word0: String): String = {
+    if (word0.length <= 2) return word0
+    // the algorithm is defined over lowercase letters; uppercase vowels
+    // would otherwise classify as consonants and stem inconsistently
+    val word = if (word0.exists(c => c >= 'A' && c <= 'Z')) word0.toLowerCase else word0
     var w = word
     w = step1a(w)
     w = step1b(w)
@@ -100,22 +103,28 @@ object PorterStemmer {
   private def step1c(w: String): String =
     if (w.endsWith("y") && hasVowel(w.dropRight(1))) w.dropRight(1) + "i" else w
 
-  private val Step2: Seq[(String, String)] = Seq(
+  // rule lists pre-sorted by descending suffix length: two distinct
+  // suffixes of equal length can never both match, so `find` over the
+  // sorted list IS longest-match — no per-word filter/sort allocation
+  private val Step2: Seq[(String, String)] = sortRules(Seq(
     "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
     "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
     "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
     "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
-    "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+    "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble"))
 
-  private val Step3: Seq[(String, String)] = Seq(
+  private val Step3: Seq[(String, String)] = sortRules(Seq(
     "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
-    "ical" -> "ic", "ful" -> "", "ness" -> "")
+    "ical" -> "ic", "ful" -> "", "ness" -> ""))
+
+  private def sortRules(rules: Seq[(String, String)]): Seq[(String, String)] =
+    rules.sortBy(-_._1.length)
 
   /** Longest matching suffix wins; its (m > bound) condition is then
     * tested with no fall-through.
     */
   private def replaceLongest(w: String, rules: Seq[(String, String)], mBound: Int): String = {
-    val hit = rules.filter(r => w.endsWith(r._1)).sortBy(-_._1.length).headOption
+    val hit = rules.find(r => w.endsWith(r._1))
     hit match {
       case Some((suf, rep)) =>
         val stem = w.dropRight(suf.length)
@@ -130,9 +139,10 @@ object PorterStemmer {
   private val Step4: Seq[String] = Seq(
     "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
     "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+    .sortBy(-_.length)
 
   private def step4(w: String): String = {
-    val hit = Step4.filter(w.endsWith).sortBy(-_.length).headOption
+    val hit = Step4.find(w.endsWith)
     hit match {
       case Some(suf) =>
         val stem = w.dropRight(suf.length)

@@ -40,23 +40,39 @@ object WarcKernel {
     * split(writeConversion(pages)) yields the pages byte-identically.
     */
   def writeConversion(pages: Iterator[(String, java.sql.Timestamp, String)]): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val bos = new java.io.ByteArrayOutputStream(4096)
     val crlf2 = "\r\n\r\n".getBytes(Ascii)
     pages.foreach { case (url, ts, text) =>
-      val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val body = text.getBytes(utf8)
       val date = java.time.Instant.ofEpochMilli(ts.getTime).toString
-      val head = new StringBuilder(192)
+      val head = new StringBuilder(256)
       head ++= "WARC/1.0\r\n"
       head ++= "WARC-Type: conversion\r\n"
+      // WARC-Record-ID is MANDATORY per ISO 28500; derived
+      // deterministically (md5 of url+date in urn:uuid shape) so the
+      // writer stays rerun-stable
+      head ++= s"WARC-Record-ID: <urn:uuid:${uuidOf(url + "\n" + date)}>\r\n"
       head ++= s"WARC-Target-URI: $url\r\n"
       head ++= s"WARC-Date: $date\r\n"
       head ++= "Content-Type: text/plain\r\n"
       head ++= s"Content-Length: ${body.length}\r\n\r\n"
-      bos.write(head.toString.getBytes(Ascii))
+      // header bytes are UTF-8 per the WARC spec — Latin-1 would silently
+      // mangle non-ASCII target URIs into '?' and break the round trip
+      bos.write(head.toString.getBytes(utf8))
       bos.write(body)
       bos.write(crlf2)
     }
     bos.toByteArray
+  }
+
+  /** md5 hex formatted as an 8-4-4-4-12 uuid string. */
+  private def uuidOf(s: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20, 32)}"
   }
 
   private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -95,7 +111,10 @@ object WarcKernel {
           }
           val headEnd = indexOfBlank(bytes, pos)
           if (headEnd < 0) { pending = err("warc_truncated_header"); done = true; return }
-          val head = new String(bytes, pos, headEnd - pos, Ascii)
+          // WARC headers are UTF-8 per ISO 28500 (Latin-1 would garble
+          // non-ASCII target URIs); invalid sequences decode leniently
+          val head = new String(bytes, pos, headEnd - pos,
+            java.nio.charset.StandardCharsets.UTF_8)
           val len = headerOf(head, "Content-Length").flatMap(s =>
             try Some(s.trim.toLong) catch { case _: NumberFormatException => None })
             .getOrElse(-1L)

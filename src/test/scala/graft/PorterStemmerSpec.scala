@@ -68,6 +68,10 @@ class PorterStemmerSpec extends AnyFunSuite {
     check("generalizations" -> "gener", "oscillators" -> "oscil")
   }
 
+  test("uppercase input stems like its lowercase form") {
+    check("Apples" -> "appl", "RELATIONAL" -> "relat", "Feed" -> "feed")
+  }
+
   test("short words and y-as-consonant edge cases are left intact") {
     check("as" -> "as", "is" -> "is", "by" -> "by", "toy" -> "toi")
     // syzygy: every y after a consonant is a vowel

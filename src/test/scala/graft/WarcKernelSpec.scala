@@ -61,6 +61,21 @@ class WarcKernelSpec extends AnyFunSuite {
     gz.write(bytes); gz.close()
     val gzPages = WarcKernel.split(bos.toByteArray).toVector
     assert(gzPages.map(p => new String(p.body, java.nio.charset.StandardCharsets.UTF_8)) === texts)
+    // every record carries the MANDATORY WARC-Record-ID, deterministically
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    assert("WARC-Record-ID: <urn:uuid:[0-9a-f-]{36}>".r.findAllIn(raw).size === 3)
+    assert(java.util.Arrays.equals(bytes, WarcKernel.writeConversion(in.iterator)))
+  }
+
+  test("writeConversion round-trips non-ASCII target URIs (UTF-8 headers)") {
+    val acute = new String(Character.toChars(0xE9))
+    val cjk = new String(Character.toChars(0x4E2D))
+    val url = s"http://caf$acute.example/$cjk/p1"
+    val bytes = WarcKernel.writeConversion(
+      Iterator((url, new java.sql.Timestamp(1736208000000L), "body text")))
+    val pages = WarcKernel.split(bytes).toVector
+    assert(pages.size === 1 && pages.head.error == null)
+    assert(pages.head.url === url)
   }
 
   test("truncated tail yields an honest error row, keeping prior records") {
