@@ -82,6 +82,18 @@ class PlanShapeSpec extends SparkTestBase {
       "the 192-cell counter table must broadcast to the estimate side")
   }
 
+  test("bloom membership joins broadcast the filter bits, never shuffle them") {
+    Seq("q_bloom_seen", "q_fetch_plan").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q must broadcast the (salt,bit) filter table (it IS the bitmap)")
+    }
+    // the politeness window partitions by host — a global window would
+    // funnel the frontier through one task
+    assert(!plan("q_fetch_plan").matches("(?s).*Window \\[[^\\]]*\\]\\s*,?\\s*\\[\\].*"),
+      "q_fetch_plan's scheduling window lost its host partitioning")
+  }
+
   test("stratified rate sampling is a shuffle-free map-side filter") {
     assert(!plan("q_sample_stratified").contains("Exchange"),
       "q_sample_stratified must decide per-row from the row alone — no shuffle")
