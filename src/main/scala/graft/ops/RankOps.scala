@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, posexplode}
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, posexplode}
 
 /** Relevance scoring over the corpus — the retrieval/model-gate stages
   * of a training-data pipeline (public recipes: BM25 retrieval for
@@ -107,11 +107,46 @@ object RankOps {
       |  hsum > 128 * n_words AS pass
       |FROM s""".stripMargin
 
+  private val PostingsHead = 8
+
+  /** Inverted-index construction — the IR-native structure under BM25:
+    * per term, exact document frequency plus the head of its postings
+    * list (the [[graft.functions.MinK]] bounded aggregator ships ≤k
+    * doc ids per partition per term, so a stop-word's postings never
+    * materialize in one buffer — at 10^12 docs full postings are
+    * written out partitioned by term range, and this head+df row is the
+    * dictionary entry). One partial-agg'd shuffle of (term, id) pairs.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "cast(doc_id as long) as doc_id",
+        "explode(array_distinct(split(text, ' '))) as term")
+      .where("length(term) > 0")
+      .selectExpr("term", "lpad(cast(doc_id as string), 12, '0') as h", "doc_id")
+      .groupBy("term")
+      .agg(
+        count(lit(1)).cast("long").as("df"),
+        graft.functions.MinK.mink(PostingsHead)(col("h"), col("doc_id")).as("picks"))
+      .selectExpr("term", "df",
+        "transform(picks, p -> p.id) as postings_head")
+
+  val invertedIndexSql: String =
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |                  unnest(list_distinct(string_split(text, ' '))) AS term
+      |           FROM documents),
+      |f AS (SELECT doc_id, term FROM t WHERE len(term) > 0)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  (list_sort(list(doc_id)))[1:$PostingsHead] AS postings_head
+      |FROM f GROUP BY term""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (bm25TopK(_, _)),
-    "q_quality_classifier" -> (qualityClassifier(_, _)))
+    "q_quality_classifier" -> (qualityClassifier(_, _)),
+    "q_inverted_index" -> (invertedIndex(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_bm25_topk" -> bm25TopKSql,
-    "q_quality_classifier" -> qualityClassifierSql)
+    "q_quality_classifier" -> qualityClassifierSql,
+    "q_inverted_index" -> invertedIndexSql)
 }

@@ -199,13 +199,59 @@ object SketchOps {
       |  EXISTS (SELECT 1 FROM base b WHERE b.url = c.url) AS truly_seen
       |FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id AND c.url = h.url""".stripMargin
 
+  // -------------------------------------------- histogram-based quantiles
+
+  private val QBucket = 16 // words per histogram bucket
+
+  /** Approximate quantiles with a bounded-error histogram — the fixed-
+    * memory shape of a production quantile sketch (t-digest/KLL):
+    * per-source doc-length distribution collapses to bucket counts
+    * (width-16 words), quantile = smallest bucket whose cumulative count
+    * crosses the rank, error ≤ one bucket by construction. Integer-only,
+    * so the oracle is exact; the shuffle carries (source, bucket)
+    * counts, never documents.
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", s"size(split(text, ' ')) div $QBucket as bucket")
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source").orderBy("bucket")
+    h.withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(
+        max(col("total")).cast("long").as("n_docs"),
+        min(when(col("cum") * 2 >= col("total"), col("bucket"))).as("b50"),
+        min(when(col("cum") * 10 >= col("total") * 9, col("bucket"))).as("b90"))
+      .selectExpr("source", "n_docs",
+        s"cast((b50 + 1) * $QBucket as long) as p50_words_hi",
+        s"cast((b90 + 1) * $QBucket as long) as p90_words_hi")
+  }
+
+  val lengthQuantilesSql: String =
+    s"""WITH b AS (SELECT source, len(string_split(text, ' ')) // $QBucket AS bucket
+      |           FROM documents),
+      |h AS (SELECT source, bucket, count(*) AS n FROM b GROUP BY source, bucket),
+      |c AS (SELECT source, bucket, n,
+      |        sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+      |        sum(n) OVER (PARTITION BY source) AS total
+      |      FROM h)
+      |SELECT source, CAST(max(total) AS BIGINT) AS n_docs,
+      |  CAST((min(CASE WHEN cum * 2 >= total THEN bucket END) + 1) * $QBucket AS BIGINT) AS p50_words_hi,
+      |  CAST((min(CASE WHEN cum * 10 >= total * 9 THEN bucket END) + 1) * $QBucket AS BIGINT) AS p90_words_hi
+      |FROM c GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_distinct_sketch" -> (distinctSketch(_, _)),
     "q_heavy_hitters_cms" -> (heavyHittersCms(_, _)),
-    "q_bloom_seen" -> (bloomSeen(_, _)))
+    "q_bloom_seen" -> (bloomSeen(_, _)),
+    "q_length_quantiles" -> (lengthQuantiles(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_distinct_sketch" -> distinctSketchSql,
     "q_heavy_hitters_cms" -> heavyHittersCmsSql,
-    "q_bloom_seen" -> bloomSeenSql)
+    "q_bloom_seen" -> bloomSeenSql,
+    "q_length_quantiles" -> lengthQuantilesSql)
 }
