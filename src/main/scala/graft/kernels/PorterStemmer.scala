@@ -16,7 +16,12 @@ object PorterStemmer {
     if (word0.length <= 2) return word0
     // the algorithm is defined over lowercase letters; uppercase vowels
     // would otherwise classify as consonants and stem inconsistently
-    val word = if (word0.exists(c => c >= 'A' && c <= 'Z')) word0.toLowerCase else word0
+    // Locale.ROOT: default-locale lowercasing would stem the same token
+    // differently across executors (e.g. Turkish dotless-i)
+    val word =
+      if (word0.exists(c => c >= 'A' && c <= 'Z'))
+        word0.toLowerCase(java.util.Locale.ROOT)
+      else word0
     var w = word
     w = step1a(w)
     w = step1b(w)

@@ -43,16 +43,20 @@ object WarcKernel {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val bos = new java.io.ByteArrayOutputStream(4096)
     val crlf2 = "\r\n\r\n".getBytes(Ascii)
+    var seq = 0L
     pages.foreach { case (url, ts, text) =>
       val body = text.getBytes(utf8)
       val date = java.time.Instant.ofEpochMilli(ts.getTime).toString
       val head = new StringBuilder(256)
       head ++= "WARC/1.0\r\n"
       head ++= "WARC-Type: conversion\r\n"
-      // WARC-Record-ID is MANDATORY per ISO 28500; derived
-      // deterministically (md5 of url+date in urn:uuid shape) so the
-      // writer stays rerun-stable
-      head ++= s"WARC-Record-ID: <urn:uuid:${uuidOf(url + "\n" + date)}>\r\n"
+      // WARC-Record-ID is MANDATORY per ISO 28500; name-based UUIDv3
+      // (correct version/variant bits, validates under RFC 4122
+      // consumers), rerun-stable, and unique per record — the running
+      // index disambiguates two pages sharing (url, date)
+      val recName = url + "\n" + date + "\n" + seq
+      head ++= s"WARC-Record-ID: <urn:uuid:${java.util.UUID.nameUUIDFromBytes(recName.getBytes(utf8))}>\r\n"
+      seq += 1
       head ++= s"WARC-Target-URI: $url\r\n"
       head ++= s"WARC-Date: $date\r\n"
       head ++= "Content-Type: text/plain\r\n"
@@ -66,14 +70,6 @@ object WarcKernel {
     bos.toByteArray
   }
 
-  /** md5 hex formatted as an 8-4-4-4-12 uuid string. */
-  private def uuidOf(s: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
-      s"${h.substring(16, 20)}-${h.substring(20, 32)}"
-  }
 
   private val Ascii = java.nio.charset.StandardCharsets.ISO_8859_1
 

@@ -123,7 +123,9 @@ object RankOps {
         "cast(doc_id as long) as doc_id",
         "explode(array_distinct(split(text, ' '))) as term")
       .where("length(term) > 0")
-      .selectExpr("term", "lpad(cast(doc_id as string), 12, '0') as h", "doc_id")
+      // pad to max-long width: lpad TRUNCATES beyond its length, which
+      // would misorder (and even collide) ids past 10^12
+      .selectExpr("term", "lpad(cast(doc_id as string), 19, '0') as h", "doc_id")
       .groupBy("term")
       .agg(
         count(lit(1)).cast("long").as("df"),
