@@ -203,6 +203,48 @@ object CorpusOps {
       |ORDER BY n DESC, word ASC
       |LIMIT $VocabK""".stripMargin
 
+  // ------------------------------------------- content-defined chunking
+
+  /** Content-defined chunk boundaries (the LBFS/rsync idea): a boundary
+    * lands after word i whenever the rolling hash of the last 4 word
+    * values hits a fixed residue — so an insertion early in a document
+    * shifts only the chunks it touches, unlike fixed-stride windows
+    * where every later chunk changes. This is the sub-document dedup
+    * primitive: chunk hashes of near-identical documents collide except
+    * around the edit. Pure in-row projection, zero shuffle; integer
+    * arithmetic only, so the oracle is exact.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr(
+        "cast(doc_id as long) as doc_id",
+        "transform(split(text, ' '), w -> cast(37 * length(w) + ascii(w) as long)) as vals")
+      .selectExpr(
+        "doc_id",
+        """case when size(vals) >= 4 then
+          |  filter(transform(sequence(4, size(vals)), i ->
+          |    case when pmod(element_at(vals, i-3) * 2248091L
+          |                 + element_at(vals, i-2) * 17161L
+          |                 + element_at(vals, i-1) * 131L
+          |                 + element_at(vals, i), 1000000007L) % 16 = 0
+          |         then cast(i as long) else -1L end), x -> x != -1L)
+          |else array() end as boundaries""".stripMargin)
+      .selectExpr("doc_id",
+        "cast(size(boundaries) + 1 as long) as n_chunks", "boundaries")
+
+  val cdcChunksSql: String =
+    """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    list_transform(string_split(text, ' '),
+      |      w -> CAST(37 * length(w) + ascii(w) AS BIGINT)) AS vals
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(b) + 1 AS BIGINT) AS n_chunks, b AS boundaries
+      |FROM (SELECT doc_id,
+      |  CASE WHEN len(vals) >= 4 THEN
+      |    [CAST(i AS BIGINT) FOR i IN range(4, len(vals) + 1)
+      |       IF (vals[i-3] * 2248091 + vals[i-2] * 17161
+      |           + vals[i-1] * 131 + vals[i]) % 1000000007 % 16 = 0]
+      |  ELSE [] END AS b FROM v) t""".stripMargin
+
   // ------------------------------------------------------- NFC normalize
 
   /** Unicode NFC canonicalization via the native `nfc` expression
@@ -242,12 +284,14 @@ object CorpusOps {
     "q_ngram_dup_rate" -> (ngramDupRate(_, _)),
     "q_chunk_windows" -> (chunkWindows(_, _)),
     "q_vocab_topk" -> (vocabTopk(_, _)),
-    "q_nfc_normalize" -> (nfcNormalize(_, _)))
+    "q_nfc_normalize" -> (nfcNormalize(_, _)),
+    "q_cdc_chunks" -> (cdcChunks(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_para_dedup" -> paraDedupSql,
     "q_ngram_dup_rate" -> ngramDupRateSql,
     "q_chunk_windows" -> chunkWindowsSql,
     "q_vocab_topk" -> vocabTopkSql,
-    "q_nfc_normalize" -> nfcNormalizeSql)
+    "q_nfc_normalize" -> nfcNormalizeSql,
+    "q_cdc_chunks" -> cdcChunksSql)
 }

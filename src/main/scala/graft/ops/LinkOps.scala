@@ -426,6 +426,62 @@ object LinkOps {
       |  CAST((row_number() OVER (PARTITION BY host_id ORDER BY priority DESC, doc_id ASC) - 1) // 2 AS BIGINT) AS wave
       |FROM c""".stripMargin
 
+  /** Freshness-driven recrawl scheduling: per entity (events.user_id
+    * standing in for a URL's observed-change stream), the next fetch is
+    * last-seen-change plus the LOWER-MEDIAN observed change interval —
+    * the standard change-rate recrawl policy, with the lower median
+    * chosen because it is an exact integer both engines compute
+    * identically (an interpolated median would sit on the float-rounding
+    * boundary). Entities with one observation emit -1 (no estimate).
+    * Two window passes partitioned by entity; only (id, ts) pairs
+    * shuffle.
+    */
+  def recrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count => fCount, lag, lit, max => fMax, row_number, sum => fSum}
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr(
+        "cast(user_id as long) as user_id",
+        "unix_micros(cast(ts as timestamp)) as us",
+        "cast(event_id as long) as eid")
+    val gaps = e
+      .withColumn("prev", lag(col("us"), 1)
+        .over(Window.partitionBy("user_id").orderBy(col("us"), col("eid"))))
+      .where("prev is not null")
+      .selectExpr("user_id", "us - prev as gap")
+    val med = gaps
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id").orderBy(col("gap"))))
+      .withColumn("k", fCount(lit(1)).over(Window.partitionBy("user_id")))
+      .where("rn = (k + 1) div 2")
+      .selectExpr("user_id", "gap as median_gap_us")
+    e.groupBy("user_id")
+      .agg(fCount(lit(1)).cast("long").as("n_events"), fMax(col("us")).as("last_us"))
+      .join(med, Seq("user_id"), "left")
+      .selectExpr("user_id", "n_events", "last_us",
+        "cast(coalesce(median_gap_us, -1) as long) as median_gap_us",
+        "cast(coalesce(last_us + median_gap_us, -1) as long) as next_fetch_us")
+  }
+
+  val recrawlScheduleSql: String =
+    """WITH e AS (SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us,
+      |                  CAST(event_id AS BIGINT) AS eid
+      |           FROM events),
+      |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us, eid) AS gap
+      |      FROM e),
+      |g2 AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+      |m AS (SELECT user_id, gap AS median_gap_us FROM (
+      |        SELECT user_id, gap,
+      |               row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+      |               count(*) OVER (PARTITION BY user_id) AS k
+      |        FROM g2) t WHERE rn = (k + 1) // 2),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |             CAST(max(us) AS BIGINT) AS last_us
+      |      FROM e GROUP BY user_id)
+      |SELECT a.user_id, a.n_events, a.last_us,
+      |  CAST(coalesce(m.median_gap_us, -1) AS BIGINT) AS median_gap_us,
+      |  CAST(coalesce(a.last_us + m.median_gap_us, -1) AS BIGINT) AS next_fetch_us
+      |FROM a LEFT JOIN m USING (user_id)""".stripMargin
+
   /** Capstone crawl plan — the whole pre-fetch decision in ONE
     * declarative composition: robots verdict (real RFC 9309 kernel, per-
     * host memoized) × Bloom seen-filter (shared with q_bloom_seen) ×
@@ -517,7 +573,8 @@ object LinkOps {
     "q_robots_sitemaps" -> (robotsSitemaps(_, _)),
     "q_crawl_delay" -> (crawlDelay(_, _)),
     "q_redirect_resolve" -> (redirectResolve(_, _)),
-    "q_fetch_plan" -> (fetchPlan(_, _)))
+    "q_fetch_plan" -> (fetchPlan(_, _)),
+    "q_recrawl_schedule" -> (recrawlSchedule(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_outlinks" -> outlinksSql,
@@ -532,5 +589,6 @@ object LinkOps {
     "q_robots_sitemaps" -> robotsSitemapsSql,
     "q_crawl_delay" -> crawlDelaySql,
     "q_redirect_resolve" -> redirectResolveSql,
-    "q_fetch_plan" -> fetchPlanSql)
+    "q_fetch_plan" -> fetchPlanSql,
+    "q_recrawl_schedule" -> recrawlScheduleSql)
 }
