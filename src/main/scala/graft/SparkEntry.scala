@@ -36,7 +36,8 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       ScalarOps.queries ++ FormOps.queries ++ AggOps.queries ++ SketchOps.queries ++
       SampleOps.queries ++ LinkOps.queries ++ RankOps.queries ++
-      CorpusOps.queries ++ graft.streaming.StreamingOps.queries
+      CorpusOps.queries ++ QualityOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Column names + types match the Spark side
@@ -47,5 +48,6 @@ object SparkEntry {
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       ScalarOps.oracles ++ FormOps.oracles ++ AggOps.oracles ++ SketchOps.oracles ++
       SampleOps.oracles ++ LinkOps.oracles ++ RankOps.oracles ++
-      CorpusOps.oracles ++ graft.streaming.StreamingOps.oracles
+      CorpusOps.oracles ++ QualityOps.oracles ++
+      graft.streaming.StreamingOps.oracles
 }

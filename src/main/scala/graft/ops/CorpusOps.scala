@@ -245,6 +245,65 @@ object CorpusOps {
       |           + vals[i-1] * 131 + vals[i]) % 1000000007 % 16 = 0]
       |  ELSE [] END AS b FROM v) t""".stripMargin
 
+  // ------------------------------------------- exact duplicated-span cut
+
+  /** Exact substring-dedup rewrite (the apply step of Lee et al. 2022's
+    * ExactSubstr dedup, at shingle granularity): every word position
+    * covered by an 8-word shingle that also occurs in another document
+    * is cut, and the document is reassembled from the surviving words.
+    * [[ngramDupRate]] is the measurement half of this pair; this is the
+    * rewrite half a training pipeline actually ships.
+    *
+    * Plan: one materialized (doc_id, pos, hash) scan feeds both the
+    * cross-doc duplicate-hash aggregation and the per-doc start-position
+    * rollup (the r2 double-compute lesson); the covered-position
+    * expansion (start -> start..start+7), the positional word filter and
+    * the rejoin are all in-row, so text never rides a shuffle — only
+    * (hash, doc_id, pos) triples and the per-doc start list move.
+    */
+  def exactSubstrCut(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir)
+    val sh = w.selectExpr(
+      "doc_id",
+      s"""posexplode(case when size(words) >= $ShingleWords
+            then transform(sequence(0, size(words)-$ShingleWords),
+                           i -> md5(array_join(slice(words, i+1, $ShingleWords), ' ')))
+            else array() end) as (i, h)""")
+      .localCheckpoint(true)
+    val dup = sh
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where("nd > 1")
+      .select("h")
+    val st = sh
+      .join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    w.join(st, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("words"),
+        expr(s"coalesce(flatten(transform(starts, s -> sequence(s, s+${ShingleWords - 1}))), array())")
+          .as("cv"))
+      .selectExpr(
+        "doc_id",
+        "array_join(filter(words, (x, p) -> not array_contains(cv, p)), ' ') as cut_text",
+        "cast(size(array_distinct(cv)) as long) as n_removed")
+  }
+
+  val exactSubstrCutSql: String =
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, i, md5(array_to_string(ws[i+1:i+$ShingleWords],' ')) AS h
+      |       FROM w, LATERAL (SELECT unnest(range(0, greatest(len(ws)-${ShingleWords - 1},0))) AS i) t),
+      |dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      |st AS (SELECT doc_id, list_sort(list(i)) AS starts FROM sh JOIN dup USING (h) GROUP BY doc_id),
+      |cov AS (SELECT w.doc_id, w.ws, coalesce(flatten([range(s, s+$ShingleWords) for s in st.starts]), []) AS cv
+      |        FROM w LEFT JOIN st USING (doc_id))
+      |SELECT doc_id,
+      |  coalesce(array_to_string([ws[p+1] for p in range(0, len(ws)) if NOT list_contains(cv, p)], ' '), '') AS cut_text,
+      |  CAST(len(list_distinct(cv)) AS BIGINT) AS n_removed
+      |FROM cov""".stripMargin
+
   // ------------------------------------------------------- NFC normalize
 
   /** Unicode NFC canonicalization via the native `nfc` expression
@@ -285,7 +344,8 @@ object CorpusOps {
     "q_chunk_windows" -> (chunkWindows(_, _)),
     "q_vocab_topk" -> (vocabTopk(_, _)),
     "q_nfc_normalize" -> (nfcNormalize(_, _)),
-    "q_cdc_chunks" -> (cdcChunks(_, _)))
+    "q_cdc_chunks" -> (cdcChunks(_, _)),
+    "q_exact_substr_cut" -> (exactSubstrCut(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_para_dedup" -> paraDedupSql,
@@ -293,5 +353,6 @@ object CorpusOps {
     "q_chunk_windows" -> chunkWindowsSql,
     "q_vocab_topk" -> vocabTopkSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
-    "q_cdc_chunks" -> cdcChunksSql)
+    "q_cdc_chunks" -> cdcChunksSql,
+    "q_exact_substr_cut" -> exactSubstrCutSql)
 }

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality gates a web-scale training-data pipeline runs after
+  * extraction and before training: benchmark decontamination (GPT-3
+  * appendix C / The Pile style n-gram overlap against an eval set) and
+  * CCNet-style language-model perplexity bucketing (Wenzek et al. 2020:
+  * score each document with a small LM trained on a trusted sample,
+  * split the corpus into head/middle/tail quality buckets).
+  *
+  * 100 TB shape, shared across the family: document text NEVER rides a
+  * shuffle — per-doc n-gram/bigram streams are hashed/tokenized in-row
+  * and only (doc_id, hash/word) pairs move. The eval n-gram set and the
+  * LM count tables are small model artifacts (an eval suite is a few
+  * thousand items; a pruned bigram table is vocabulary-sized) and ride
+  * broadcast joins, so the contamination check and the scoring pass are
+  * map-side; the only exchange is the (doc_id, partial-sum) rollup.
+  * Reference behavior: the reference dedups uploads by queue identity
+  * only (endpoint_upload.py) — these are the corpus-scale generalizations
+  * a Common-Crawl training pipeline adds on top.
+  */
+object QualityOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def words(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "split(text, ' ') as ws")
+
+  // ------------------------------------------------- decontamination
+
+  /** Overlap n-gram width (13 in GPT-3/PaLM practice; 8 here to match
+    * the corpus' short synthetic docs and the sibling shingle ops).
+    */
+  private val EvalGram = 8
+
+  /** Eval-item length: the first `EvalSliceWords` words of each donor
+    * doc stand in for an eval-set prompt/answer string.
+    */
+  private val EvalSliceWords = 24
+
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one `EvalGram`-word shingle with the eval set. The eval set
+    * is derived deterministically (every 41st doc donates its first 24
+    * words), standing in for an external benchmark table. Output is the
+    * full per-doc audit row (exact hit counts, not just the verdict) so
+    * downstream can either drop docs or cut spans.
+    *
+    * Plan: eval shingle hashes (small) -> distinct -> broadcast;
+    * per-doc shingle hashes explode in-row; left_semi broadcast join is
+    * map-side; one (doc_id, count) partial-agg exchange.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir)
+    val ev = w.where("doc_id % 41 = 0")
+      .selectExpr(s"slice(ws, 1, $EvalSliceWords) as ews")
+      .selectExpr(
+        s"""explode(case when size(ews) >= $EvalGram
+              then transform(sequence(0, size(ews)-$EvalGram),
+                             i -> md5(array_join(slice(ews, i+1, $EvalGram), ' ')))
+              else array() end) as h""")
+      .distinct()
+    val sh = w.selectExpr(
+      "doc_id",
+      s"""explode(case when size(ws) >= $EvalGram
+            then transform(sequence(0, size(ws)-$EvalGram),
+                           i -> md5(array_join(slice(ws, i+1, $EvalGram), ' ')))
+            else array() end) as h""")
+    val hits = sh.join(broadcast(ev), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    w.join(hits, Seq("doc_id"), "left").selectExpr(
+      "doc_id",
+      s"cast(greatest(size(ws)-${EvalGram - 1}, 0) as long) as n_shingles",
+      "cast(coalesce(n_hits, 0) as long) as n_hits",
+      "case when coalesce(n_hits, 0) > 0 then 'contaminated' else 'clean' end as verdict")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text,' ') AS ws FROM documents),
+      |ev AS (SELECT DISTINCT md5(array_to_string(ews[i+1:i+$EvalGram],' ')) AS h
+      |       FROM (SELECT ws[1:$EvalSliceWords] AS ews FROM w WHERE doc_id % 41 = 0) e,
+      |            LATERAL (SELECT unnest(range(0, greatest(len(ews)-${EvalGram - 1},0))) AS i) t),
+      |sh AS (SELECT doc_id, md5(array_to_string(ws[i+1:i+$EvalGram],' ')) AS h
+      |       FROM w, LATERAL (SELECT unnest(range(0, greatest(len(ws)-${EvalGram - 1},0))) AS i) t),
+      |hits AS (SELECT doc_id, count(*) AS n_hits FROM sh JOIN ev USING (h) GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |  CAST(greatest(len(w.ws)-${EvalGram - 1},0) AS BIGINT) AS n_shingles,
+      |  CAST(coalesce(hits.n_hits,0) AS BIGINT) AS n_hits,
+      |  CASE WHEN coalesce(hits.n_hits,0) > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
+      |FROM w LEFT JOIN hits USING (doc_id)""".stripMargin
+
+  // ---------------------------------------- LM perplexity bucketing
+
+  /** Bigrams seen fewer times than this in the training sample are
+    * pruned from the model (the KenLM-prune analog that keeps the
+    * broadcast table small at scale).
+    */
+  private val MinBigramCount = 2
+
+  /** CCNet-style perplexity quality split. A bigram LM with add-one
+    * smoothing is trained on a deterministic 20% sample (every 5th doc
+    * — the "trusted domain" stand-in for CCNet's Wikipedia KenLM);
+    * every document is scored with mean negative log-likelihood; the
+    * head/middle/tail cutoffs are the score terciles of a held-out
+    * sample (every 7th doc not in training), mirroring CCNet's
+    * precomputed per-language percentile cutoffs. Lower score = more
+    * predictable = 'head'.
+    *
+    * Plan: model tables (pruned bigram counts + unigram counts + a
+    * one-row vocab size) aggregate once from the sample and broadcast;
+    * the scoring pass is a map-side broadcast join over in-row-exploded
+    * bigrams with one (doc_id, partial-sum) exchange; cutoffs are a
+    * one-row artifact (sorted held-out scores), computed exactly here —
+    * at 10^12 docs the held-out slice would be a fixed-size sample, the
+    * apply side is unchanged. Docs with <2 words have no bigrams and
+    * drop out (none in this corpus).
+    */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir).localCheckpoint(true)
+    val samp = w.where("doc_id % 5 = 0")
+    val uni = samp.select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(expr("cast(count(*) as double) as c1"))
+    val vv = uni.agg(expr("cast(count(*) as double) as v"))
+    val bigramsOf = (src: DataFrame, cols: String) => src.selectExpr(
+      cols,
+      """explode(case when size(ws) >= 2
+           then transform(sequence(0, size(ws)-2), i -> struct(ws[i] as w1, ws[i+1] as w2))
+           else array() end) as bg""")
+    val big = bigramsOf(samp, "doc_id").select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(expr("cast(count(*) as double) as c2"))
+      .where(s"c2 >= $MinBigramCount")
+    val db = bigramsOf(w, "doc_id").select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val scored = db
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("nb"),
+        sum(expr("-ln((coalesce(c2, 0D) + 1.0D) / (coalesce(c1, 0D) + v))")).as("nll"))
+      .selectExpr("doc_id", "nb", "round(nll / cast(nb as double), 6) as score")
+      .localCheckpoint(true)
+    val cuts = scored.where("doc_id % 7 = 3 and doc_id % 5 != 0")
+      .agg(sort_array(collect_list(col("score"))).as("a"))
+      .selectExpr(
+        "element_at(a, cast(ceil(size(a)/3.0) as int)) as cl",
+        "element_at(a, cast(ceil(2*size(a)/3.0) as int)) as cm")
+    scored.crossJoin(broadcast(cuts)).selectExpr(
+      "doc_id",
+      "cast(nb as long) as n_bigrams",
+      "score",
+      "case when score <= cl then 'head' when score <= cm then 'middle' else 'tail' end as bucket")
+  }
+
+  val lmPerplexitySql: String =
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text,' ') AS ws FROM documents),
+      |samp AS (SELECT * FROM w WHERE doc_id % 5 = 0),
+      |uni AS (SELECT u AS w1, CAST(count(*) AS DOUBLE) AS c1 FROM samp, LATERAL unnest(ws) AS t(u) GROUP BY u),
+      |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+      |big AS (SELECT ws[i+1] AS w1, ws[i+2] AS w2, CAST(count(*) AS DOUBLE) AS c2
+      |        FROM samp, LATERAL (SELECT unnest(range(0, greatest(len(ws)-1,0))) AS i) t
+      |        GROUP BY 1,2 HAVING count(*) >= $MinBigramCount),
+      |db AS (SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+      |       FROM w, LATERAL (SELECT unnest(range(0, greatest(len(ws)-1,0))) AS i) t),
+      |sc AS (SELECT doc_id, count(*) AS nb,
+      |         sum(-ln((coalesce(big.c2,0)+1.0)/(coalesce(uni.c1,0)+vv.v))) AS nll
+      |       FROM db LEFT JOIN big USING (w1,w2) LEFT JOIN uni USING (w1) CROSS JOIN vv
+      |       GROUP BY doc_id),
+      |scored AS (SELECT doc_id, nb, round(nll/CAST(nb AS DOUBLE), 6) AS score FROM sc),
+      |cuts AS (SELECT list_sort(list(score)) AS a FROM scored WHERE doc_id % 7 = 3 AND doc_id % 5 <> 0),
+      |c AS (SELECT a[CAST(ceil(len(a)/3.0) AS BIGINT)] AS cl, a[CAST(ceil(2*len(a)/3.0) AS BIGINT)] AS cm FROM cuts)
+      |SELECT s.doc_id, CAST(s.nb AS BIGINT) AS n_bigrams, s.score,
+      |  CASE WHEN s.score <= c.cl THEN 'head' WHEN s.score <= c.cm THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM scored s CROSS JOIN c""".stripMargin
+
+  // -------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (decontaminate(_, _)),
+    "q_lm_perplexity" -> (lmPerplexity(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateSql,
+    "q_lm_perplexity" -> lmPerplexitySql)
+}

@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, posexplode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, posexplode, sum}
 
 /** Corpus sampling / domain mixing — the selection stage of a
   * training-data pipeline (the reference stops at extraction; a corpus

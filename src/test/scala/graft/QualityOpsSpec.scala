@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quality-gate semantics on hand-built micro-corpora (the oracle gate
+  * covers the generated tables; these pin the contracts: donor docs are
+  * always flagged, disjoint docs stay clean, the perplexity ordering
+  * separates in-model from out-of-model text, and the span cut removes
+  * exactly the covered positions).
+  */
+class QualityOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def corpus(docs: Seq[(Long, String)]): String = {
+    val dir = tmpDir("quality")
+    docs
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def ws(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  test("decontaminate flags the eval donor and any doc sharing an 8-gram") {
+    // doc 0 (0 % 41 == 0) donates its first 24 words to the eval set;
+    // doc 7 copies 8 of those words verbatim; doc 9 is disjoint.
+    val donor = ws(24, "e")
+    val dir = corpus(Seq(
+      0L -> (donor + " " + ws(10, "x")),
+      7L -> ("lead in " + (9 to 16).map(i => s"e$i").mkString(" ") + " out"),
+      9L -> ws(30, "z")))
+    val out = ops.QualityOps.decontaminate(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out(0)._3 === "contaminated") // donor always hits itself
+    assert(out(0)._2 >= 17L)             // every eval shingle present
+    assert(out(1) === ((7L, 1L, "contaminated")))
+    assert(out(2) === ((9L, 0L, "clean")))
+  }
+
+  test("lmPerplexity scores in-model text lower than out-of-model text") {
+    // Training sample = doc_id % 5 == 0. Docs 0,5,10 repeat one bigram
+    // pattern; doc 3 (scored, not sampled) repeats the same pattern and
+    // must land at a LOWER mean NLL than doc 4's never-seen vocabulary.
+    val seen = Array.fill(20)("alpha beta").mkString(" ")
+    val dir = corpus(Seq(
+      0L -> seen, 5L -> seen, 10L -> seen,
+      3L -> seen,
+      4L -> ws(40, "nov"),
+      // held-out cutoff donors (doc_id % 7 == 3, % 5 != 0)
+      17L -> seen, 24L -> ws(40, "mid"), 31L -> ws(40, "nov")))
+    val out = ops.QualityOps.lmPerplexity(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(out(3L)._1 < out(4L)._1)
+    assert(out(3L)._2 === "head")
+    val buckets = out.values.map(_._2).toSet
+    assert(buckets.subsetOf(Set("head", "middle", "tail")))
+  }
+
+  test("exactSubstrCut removes exactly the covered positions") {
+    // docs 0 and 1 share one 8-word run in the middle; doc 2 is unique.
+    val shared = ws(8, "s")
+    val dir = corpus(Seq(
+      0L -> (ws(3, "a") + " " + shared + " " + ws(3, "b")),
+      1L -> (ws(4, "c") + " " + shared + " " + ws(2, "d")),
+      2L -> ws(20, "u")))
+    val out = ops.CorpusOps.exactSubstrCut(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((0L, ws(3, "a") + " " + ws(3, "b"), 8L)))
+    assert(out(1) === ((1L, ws(4, "c") + " " + ws(2, "d"), 8L)))
+    assert(out(2) === ((2L, ws(20, "u"), 0L)))
+  }
+
+  test("exactSubstrCut word-count invariant holds on overlapping spans") {
+    // overlapping duplicated shingles: docs share a 12-word run, so the
+    // 5 overlapping 8-gram starts cover 12 positions, not 5*8.
+    val run = ws(12, "r")
+    val dir = corpus(Seq(
+      0L -> (run + " " + ws(6, "p")),
+      1L -> (ws(2, "q") + " " + run)))
+    val out = ops.CorpusOps.exactSubstrCut(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out(0) === ((ws(6, "p"), 12L)))
+    assert(out(1) === ((ws(2, "q"), 12L)))
+  }
+}
