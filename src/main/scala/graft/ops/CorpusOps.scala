@@ -245,6 +245,68 @@ object CorpusOps {
       |           + vals[i-1] * 131 + vals[i]) % 1000000007 % 16 = 0]
       |  ELSE [] END AS b FROM v) t""".stripMargin
 
+  // -------------------------------------- host-scoped boilerplate dedup
+
+  /** Host-scoped boilerplate segment dedup — the site-chrome variant of
+    * [[paraDedup]]: a segment repeated across DIFFERENT documents of the
+    * SAME host (source) is navigation/footer chrome and is dropped; the
+    * same segment appearing on two different hosts is left alone (that
+    * is cross-site duplication, [[exactSubstrCut]]'s job). This is the
+    * per-site half of CCNet-style line dedup — the one that actually
+    * removes chrome without touching legitimately-quoted text.
+    *
+    * Plan: identical to paraDedup except the duplicate key is the
+    * compound (source, hash) — a hot host does NOT hot-spot the
+    * exchange, because the hash half of the key spreads its segments
+    * across the full partition space.
+    */
+  def hostLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "source",
+      "split(text, ' ') as words")
+    val segs = w.selectExpr(
+      "doc_id",
+      "source",
+      s"""posexplode(transform(
+            sequence(0, (size(words)-1) div $SegWords),
+            i -> md5(array_join(slice(words, i*$SegWords+1, $SegWords), ' '))))
+          as (seg_idx, h)""")
+      .localCheckpoint(true)
+    val uniq = segs
+      .groupBy("source", "h")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .where("ndocs = 1")
+      .select("source", "h")
+    val keep = segs
+      .join(uniq, Seq("source", "h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_idx"))).as("idxs"))
+    w.join(keep, Seq("doc_id"), "left").selectExpr(
+      "doc_id",
+      "source",
+      s"""coalesce(array_join(transform(idxs,
+            i -> array_join(slice(words, i*$SegWords+1, $SegWords), ' ')), ' '), '')
+          as kept_text""",
+      s"cast((size(words)-1) div $SegWords + 1 - coalesce(size(idxs), 0) as long) as n_dropped")
+  }
+
+  val hostLineDedupSql: String =
+    s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, string_split(text, ' ') AS words
+      |           FROM documents),
+      |segs AS (SELECT doc_id, source, i AS seg_idx,
+      |                md5(array_to_string(words[i*$SegWords+1 : i*$SegWords+$SegWords], ' ')) AS h
+      |         FROM w, LATERAL (SELECT unnest(range(0, (len(words)-1)//$SegWords + 1)) AS i) t),
+      |uniq AS (SELECT source, h FROM segs GROUP BY source, h HAVING count(DISTINCT doc_id) = 1),
+      |keep AS (SELECT doc_id, list_sort(list(seg_idx)) AS idxs
+      |         FROM segs JOIN uniq USING (source, h) GROUP BY doc_id)
+      |SELECT w.doc_id, w.source,
+      |  coalesce(array_to_string(
+      |    [array_to_string(w.words[i*$SegWords+1 : i*$SegWords+$SegWords], ' ') for i in keep.idxs],
+      |    ' '), '') AS kept_text,
+      |  CAST((len(w.words)-1)//$SegWords + 1 - coalesce(len(keep.idxs), 0) AS BIGINT) AS n_dropped
+      |FROM w LEFT JOIN keep USING (doc_id)""".stripMargin
+
   // ------------------------------------------- exact duplicated-span cut
 
   /** Exact substring-dedup rewrite (the apply step of Lee et al. 2022's
@@ -345,7 +407,8 @@ object CorpusOps {
     "q_vocab_topk" -> (vocabTopk(_, _)),
     "q_nfc_normalize" -> (nfcNormalize(_, _)),
     "q_cdc_chunks" -> (cdcChunks(_, _)),
-    "q_exact_substr_cut" -> (exactSubstrCut(_, _)))
+    "q_exact_substr_cut" -> (exactSubstrCut(_, _)),
+    "q_host_line_dedup" -> (hostLineDedup(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_para_dedup" -> paraDedupSql,
@@ -354,5 +417,6 @@ object CorpusOps {
     "q_vocab_topk" -> vocabTopkSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_cdc_chunks" -> cdcChunksSql,
-    "q_exact_substr_cut" -> exactSubstrCutSql)
+    "q_exact_substr_cut" -> exactSubstrCutSql,
+    "q_host_line_dedup" -> hostLineDedupSql)
 }

@@ -130,12 +130,76 @@ object SampleOps {
       |WHERE q.rq >= 256 OR substr(d.h, 1, 2) < printf('%02x', q.rq)
       |GROUP BY d.source""".stripMargin
 
+  /** Target tokens per training shard. */
+  private val ShardTokens = 1000L
+
+  /** doc_ids per prefix bucket — the distributed-scan granule. At n docs
+    * the bucket table has n/width rows; pick width so that table stays
+    * small enough for the single-ordered-window prefix pass (at 10^12
+    * docs, width 10^6 leaves a 10^6-row bucket table — trivially
+    * sortable — while every heavy stage stays per-bucket parallel).
+    */
+  private val PackBucketWidth = 100L
+
+  /** Token-budget shard packing: assign docs (in doc_id order) to
+    * consecutive training shards of ~1000 tokens — shard_id =
+    * floor(exclusive-prefix-sum(n_tokens) / 1000). The naive plan is a
+    * single global ordered window (one reducer sees every row); this is
+    * the classic two-phase distributed scan instead:
+    *
+    *   1. per-bucket token sums (map-side partial agg, one small
+    *      exchange of n/width rows),
+    *   2. exclusive prefix over the tiny bucket table (the only ordered
+    *      window, over n/width rows),
+    *   3. broadcast bucket offsets back; the per-doc prefix is a window
+    *      PARTITIONED by bucket — every bucket scans in parallel.
+    *
+    * Integer-only math, so the oracle (a plain global window — DuckDB
+    * can afford it at test scale) is hash-exact.
+    */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "cast(doc_id as long) as doc_id",
+        "cast(size(split(text, ' ')) as long) as n_tokens",
+        s"cast(doc_id div $PackBucketWidth as long) as bkt")
+    val bucketSums = d.groupBy("bkt").agg(sum("n_tokens").as("bt"))
+    val bucketOffsets = bucketSums.select(
+      col("bkt"),
+      coalesce(
+        sum("bt").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("off"))
+    d.join(broadcast(bucketOffsets), Seq("bkt"))
+      .withColumn(
+        "pre",
+        coalesce(
+          sum("n_tokens").over(
+            Window.partitionBy("bkt").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .selectExpr(
+        "doc_id",
+        "n_tokens",
+        s"cast((off + pre) div $ShardTokens as long) as shard_id")
+  }
+
+  val tokenShardsSql: String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(sum(len(string_split(text, ' ')))
+      |          OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |        0) // $ShardTokens AS BIGINT) AS shard_id
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_shards" -> (tokenShards(_, _)),
     "q_sample_stratified" -> (sampleStratified(_, _)),
     "q_sample_fixed_k" -> (sampleFixedK(_, _)),
     "q_token_budget_mix" -> (tokenBudgetMix(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_token_shards" -> tokenShardsSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_fixed_k" -> sampleFixedKSql,
     "q_token_budget_mix" -> tokenBudgetMixSql)
