@@ -483,6 +483,56 @@ object DedupOps {
        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
        |FROM reach GROUP BY id""".stripMargin
 
+  // --------------------------------------------- canonical pick per cluster
+
+  /** The keep-rule that finishes the near-dup story: one canonical
+    * document per cluster — longest text wins (token count as the
+    * quality proxy), ties to the smallest doc_id. Everything else in
+    * the cluster is marked 'drop' with a pointer to its canonical, so
+    * the downstream filter is a single predicate and the lineage of
+    * every dropped doc is recorded (the audit trail a corpus rebuild
+    * needs).
+    *
+    * Plan: the cluster table is orders of magnitude smaller than the
+    * corpus (only docs with an accepted near-dup pair appear), so the
+    * token-count join broadcasts the CLUSTER side into the doc scan;
+    * the canonical argmax is a row_number window PARTITIONED by
+    * cluster — parallel across clusters, deterministic tiebreak.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir).localCheckpoint(true)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "cast(size(split(text, ' ')) as long) as n_tokens")
+    val j = toks.join(broadcast(cl), Seq("doc_id")).localCheckpoint(true)
+    val canon = j
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster").orderBy(desc("n_tokens"), asc("doc_id"))))
+      .where("rn = 1")
+      .selectExpr("cluster", "doc_id as canonical_id")
+    j.join(broadcast(canon), Seq("cluster")).selectExpr(
+      "doc_id",
+      "cast(cluster as long) as cluster",
+      "cast(canonical_id as long) as canonical_id",
+      "case when doc_id = canonical_id then 'keep' else 'drop' end as action")
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH cl AS ($dedupClustersSql),
+       |j AS (SELECT cl.doc_id, cl.cluster,
+       |             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+       |canon AS (SELECT cluster, doc_id AS canonical_id FROM (
+       |  SELECT cluster, doc_id,
+       |         row_number() OVER (PARTITION BY cluster
+       |                            ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM j) t WHERE rn = 1)
+       |SELECT j.doc_id, CAST(j.cluster AS BIGINT) AS cluster,
+       |  CAST(canon.canonical_id AS BIGINT) AS canonical_id,
+       |  CASE WHEN j.doc_id = canon.canonical_id THEN 'keep' ELSE 'drop' END AS action
+       |FROM j JOIN canon USING (cluster)""".stripMargin
+
   // ------------------------------------------------ embedding-cosine near-dup
 
   /** Embedding-cosine near-dup: candidate pairs share an 8-bit sign-LSH
@@ -599,6 +649,7 @@ object DedupOps {
     "q_dedup_embed_cosine" -> (embedCosine(_, _)),
     "q_dedup_lsh_verify" -> (lshVerify(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)),
+    "q_dedup_canonical" -> (dedupCanonical(_, _)),
     "q_dedup_incremental" -> (dedupIncremental(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -613,5 +664,6 @@ object DedupOps {
     "q_dedup_embed_cosine" -> embedCosineSql,
     "q_dedup_lsh_verify" -> lshVerifySql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_canonical" -> dedupCanonicalSql,
     "q_dedup_incremental" -> dedupIncrementalSql)
 }
