@@ -121,6 +121,26 @@ object QualityOps {
     * drop out (none in this corpus).
     */
   def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    // the scored table feeds both the cutoff aggregate and the final
+    // bucket projection — materialize it once (the r2 dual-use lesson)
+    val scored = lmScored(spark, dir).localCheckpoint(true)
+    val cuts = scored.where("doc_id % 7 = 3 and doc_id % 5 != 0")
+      .agg(sort_array(collect_list(col("score"))).as("a"))
+      .selectExpr(
+        "element_at(a, cast(ceil(size(a)/3.0) as int)) as cl",
+        "element_at(a, cast(ceil(2*size(a)/3.0) as int)) as cm")
+    scored.crossJoin(broadcast(cuts)).selectExpr(
+      "doc_id",
+      "cast(nb as long) as n_bigrams",
+      "score",
+      "case when score <= cl then 'head' when score <= cm then 'middle' else 'tail' end as bucket")
+  }
+
+  /** The scoring stage of [[lmPerplexity]] (train + broadcast-join +
+    * per-doc rollup), exposed pre-checkpoint so PlanShapeSpec can
+    * assert the broadcast shape of the model joins.
+    */
+  private[graft] def lmScored(spark: SparkSession, dir: String): DataFrame = {
     val w = words(spark, dir).localCheckpoint(true)
     val samp = w.where("doc_id % 5 = 0")
     val uni = samp.select(explode(col("ws")).as("w1"))
@@ -135,8 +155,7 @@ object QualityOps {
       .groupBy("w1", "w2").agg(expr("cast(count(*) as double) as c2"))
       .where(s"c2 >= $MinBigramCount")
     val db = bigramsOf(w, "doc_id").select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-    val scored = db
-      .join(broadcast(big), Seq("w1", "w2"), "left")
+    db.join(broadcast(big), Seq("w1", "w2"), "left")
       .join(broadcast(uni), Seq("w1"), "left")
       .crossJoin(broadcast(vv))
       .groupBy("doc_id")
@@ -144,17 +163,6 @@ object QualityOps {
         count(lit(1)).as("nb"),
         sum(expr("-ln((coalesce(c2, 0D) + 1.0D) / (coalesce(c1, 0D) + v))")).as("nll"))
       .selectExpr("doc_id", "nb", "round(nll / cast(nb as double), 6) as score")
-      .localCheckpoint(true)
-    val cuts = scored.where("doc_id % 7 = 3 and doc_id % 5 != 0")
-      .agg(sort_array(collect_list(col("score"))).as("a"))
-      .selectExpr(
-        "element_at(a, cast(ceil(size(a)/3.0) as int)) as cl",
-        "element_at(a, cast(ceil(2*size(a)/3.0) as int)) as cm")
-    scored.crossJoin(broadcast(cuts)).selectExpr(
-      "doc_id",
-      "cast(nb as long) as n_bigrams",
-      "score",
-      "case when score <= cl then 'head' when score <= cm then 'middle' else 'tail' end as bucket")
   }
 
   val lmPerplexitySql: String =

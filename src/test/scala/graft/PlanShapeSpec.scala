@@ -60,7 +60,8 @@ class PlanShapeSpec extends SparkTestBase {
     // uniqueness aggregation and the join-back, so it must come from one
     // checkpointed materialization; full text is read from parquet only
     // for reassembly (paraDedup) / the shingle-count projection.
-    Seq("q_para_dedup", "q_ngram_dup_rate").foreach { q =>
+    Seq("q_para_dedup", "q_ngram_dup_rate", "q_exact_substr_cut",
+        "q_host_line_dedup").foreach { q =>
       val p = plan(q)
       assert("FileScan".r.findAllIn(p).size === 1,
         s"$q re-reads its input for the hash side (double-compute regression)")
@@ -125,6 +126,49 @@ class PlanShapeSpec extends SparkTestBase {
   test("hashed quality classifier is a shuffle-free projection") {
     assert(!plan("q_quality_classifier").contains("Exchange"),
       "q_quality_classifier must stay in-row — no shuffle")
+  }
+
+  test("decontamination checks the eval set by broadcast, map-side") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "q_decontaminate must broadcast the (small) eval n-gram set into the doc scan")
+    assert(!p.contains("Window ["),
+      "q_decontaminate must not sort the corpus — hit counting is a partial-agg'd groupBy")
+  }
+
+  test("LM scoring joins the pruned model tables by broadcast") {
+    // the public query checkpoints the scored table (it feeds both the
+    // cutoff aggregate and the final projection), which truncates the
+    // scoring lineage out of the final plan — assert on the scoring
+    // stage directly
+    val p = ops.QualityOps.lmScored(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "lmScored must broadcast both the bigram and unigram count tables")
+    assert(!p.contains("Window ["),
+      "lmScored must not window the corpus — cutoffs come from a one-row artifact")
+    val pub = plan("q_lm_perplexity")
+    assert(!pub.contains("Window ["),
+      "q_lm_perplexity must not window the corpus")
+  }
+
+  test("shard packing windows per prefix bucket, never globally over docs") {
+    // the ONLY empty-partition window allowed is the prefix pass over
+    // the tiny bucket-sums table; the doc-level scan must be
+    // partitioned by bkt (every bucket scans in parallel)
+    val p = plan("q_token_shards")
+    assert(p.contains("], [bkt#"),
+      "q_token_shards lost the per-bucket partitioning on the doc-level prefix window")
+    assert(p.contains("BroadcastHashJoin"),
+      "q_token_shards must broadcast the bucket-offset table")
+  }
+
+  test("canonical pick broadcasts the cluster table and windows per cluster") {
+    val p = plan("q_dedup_canonical")
+    assert(p.contains("BroadcastHashJoin"),
+      "q_dedup_canonical must broadcast the (tiny) cluster table into the doc scan")
+    assert(p.contains("], [cluster#"),
+      "q_dedup_canonical's argmax window lost its per-cluster partitioning")
   }
 
   test("minhash/simhash signatures are in-row projections (no per-doc agg shuffle)") {
