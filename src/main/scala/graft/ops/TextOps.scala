@@ -251,6 +251,41 @@ object TextOps {
   }
 
 
+  /** Character-distribution Shannon entropy — the gibberish/binary-junk
+    * signal the shape filters miss: base64 blobs, minified JS and
+    * hex dumps all pass word-count windows but sit far from natural
+    * text's ~4.1 nats of character entropy. Computed ENTIRELY in-row
+    * (distinct chars -> per-char frequency -> -Σ p·ln p over the SORTED
+    * alphabet, so both engines sum in the same order and the rounded
+    * double is bit-stable). Zero shuffle at any scale; per-row cost is
+    * O(alphabet × length) with the alphabet a few dozen symbols.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "split(text, '') as cs")
+      .selectExpr(
+        "doc_id",
+        "cast(size(cs) as long) as n_chars",
+        """round(-aggregate(
+          |  array_sort(array_distinct(cs)),
+          |  0D,
+          |  (acc, c) -> acc
+          |    + (cast(size(filter(cs, x -> x = c)) as double) / size(cs))
+          |      * ln(cast(size(filter(cs, x -> x = c)) as double) / size(cs))), 6)
+          |as entropy""".stripMargin)
+
+  val charEntropySql: String =
+    """WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    string_split(text, '') AS cs
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chars,
+      |  round(-list_sum(list_transform(
+      |    list_sort(list_distinct(cs)),
+      |    c -> (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))
+      |         * ln(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs)))), 6)
+      |  AS entropy
+      |FROM c""".stripMargin
+
   /** The other half of the Gopher gate: repetition filters. Duplicate
     * 2-gram mass (fraction of bigram occurrences beyond each bigram's
     * first) and top-bigram share, computed ENTIRELY in-row with
@@ -533,6 +568,7 @@ object TextOps {
     "q_quality" -> (quality(_, _)),
     "q_gopher_quality" -> (gopherQuality(_, _)),
     "q_repetition_gate" -> (repetitionGate(_, _)),
+    "q_char_entropy" -> (charEntropy(_, _)),
     "q_fingerprint" -> (fingerprint(_, _)),
     "q_url_parse" -> (urlParse(_, _)),
     "q_url_canon" -> (urlCanon(_, _)),
@@ -547,6 +583,7 @@ object TextOps {
     "q_lang_id_cjk" -> langIdCjkSql,
     "q_quality" -> qualitySql,
     "q_gopher_quality" -> gopherQualitySql,
+    "q_char_entropy" -> charEntropySql,
     "q_repetition_gate" -> repetitionGateSql,
     "q_fingerprint" -> fingerprintSql,
     "q_url_parse" -> urlParseSql,
