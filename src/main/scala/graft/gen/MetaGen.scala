@@ -74,6 +74,52 @@ object MetaGen {
     sb.toString
   }
 
+  /** Deterministic feed per host: RSS 2.0 for even hosts (title payload
+    * cycles plain / entity-encoded / CDATA; pubDate only on even items),
+    * Atom for odd hosts (attribute-valued link, rel="self" decoy first).
+    * Every decoded expectation is arithmetic in (h, i) so the DuckDB
+    * oracle can rebuild it.
+    */
+  def feedXml(h: Long): String = {
+    val sb = new StringBuilder(512)
+    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    if (h % 2 == 0) {
+      sb ++= "<rss version=\"2.0\"><channel>\n"
+      sb ++= s"<title>Host $h channel</title><link>http://host$h.example/</link>\n"
+      var i = 0L
+      val n = 3 + h % 4
+      while (i < n) {
+        val title = i % 3 match {
+          case 0 => s"Item $h-$i &amp; more"
+          case 1 => s"<![CDATA[Raw <b>$h-$i</b>]]>"
+          case _ => s"Plain $h-$i"
+        }
+        sb ++= s"<item><title>$title</title>"
+        sb ++= s"<link>http://host$h.example/rss/$i</link>"
+        if (i % 2 == 0)
+          sb ++= s"<pubDate>Mon, ${pad2(i % 28 + 1)} Jan 2024 00:00:00 GMT</pubDate>"
+        sb ++= "</item>\n"
+        i += 1
+      }
+      sb ++= "</channel></rss>\n"
+    } else {
+      sb ++= "<feed xmlns=\"http://www.w3.org/2005/Atom\">\n"
+      sb ++= s"<title>Host $h</title><link rel=\"self\" href=\"http://host$h.example/feed.xml\"/>\n"
+      var i = 0L
+      val n = 2 + h % 3
+      while (i < n) {
+        sb ++= s"<entry><title>Atom $h-$i</title>"
+        // rel="self" decoy first — the parser must prefer the alternate
+        sb ++= s"<link rel=\"self\" href=\"http://host$h.example/atom/$i.xml\"/>"
+        sb ++= s"<link rel=\"alternate\" href=\"http://host$h.example/atom/$i\"/>"
+        sb ++= s"<updated>2024-02-${pad2(i % 9 + 1)}T00:00:00Z</updated></entry>\n"
+        i += 1
+      }
+      sb ++= "</feed>\n"
+    }
+    sb.toString
+  }
+
   private def pad2(v: Long): String = if (v < 10) s"0$v" else v.toString
 
   /** Table-bearing page for q_html_table: one data table with a `<th>`

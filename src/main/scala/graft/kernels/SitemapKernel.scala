@@ -49,7 +49,7 @@ object SitemapKernel {
     * -1 if absent. Matches whole element names only — `<url>` must not
     * match inside `<urlset>`.
     */
-  private def openStart(xml: String, name: String, from: Int): Int = {
+  private[kernels] def openStart(xml: String, name: String, from: Int): Int = {
     var i = from
     while (true) {
       i = xml.indexOf("<" + name, i)
@@ -63,7 +63,7 @@ object SitemapKernel {
   }
 
   /** Index just past the `>` of the open tag found by [[openStart]]. */
-  private def openTag(xml: String, name: String, from: Int): Int = {
+  private[kernels] def openTag(xml: String, name: String, from: Int): Int = {
     val s = openStart(xml, name, from)
     if (s < 0) return -1
     val gt = xml.indexOf('>', s + name.length + 1)
@@ -73,7 +73,7 @@ object SitemapKernel {
   /** Decoded, trimmed text of the first `<name>...</name>` inside
     * [from, stop); "" when absent.
     */
-  private def tagText(xml: String, name: String, from: Int, stop: Int): String = {
+  private[kernels] def tagText(xml: String, name: String, from: Int, stop: Int): String = {
     val open = openTag(xml, name, from)
     if (open < 0 || open >= stop) return ""
     val close = xml.indexOf(s"</$name>", open)
@@ -81,7 +81,7 @@ object SitemapKernel {
     decodeEntities(xml.substring(open, close).trim)
   }
 
-  private def decodeEntities(s: String): String = {
+  private[kernels] def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val out = new java.lang.StringBuilder(s.length)
     var i = 0

@@ -308,6 +308,53 @@ object LinkOps {
       |  'url' AS kind
       |FROM us""".stripMargin
 
+  /** Feed-based frontier discovery (RSS 2.0 / Atom): the polling-source
+    * analog of [[sitemapUrls]] — each host's feed yields (title, link,
+    * published) items through [[graft.kernels.FeedKernel]], covering
+    * the two real-world wrinkles the oracle pins: CDATA/entity-encoded
+    * titles decode to the same string, and Atom's attribute-valued
+    * link prefers rel="alternate" over the rel="self" decoy. Narrow
+    * flatMap over the distinct host list — zero shuffle beyond the
+    * host distinct.
+    */
+  def feedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .map(_ % 20)
+      .distinct()
+      .flatMap { h =>
+        graft.kernels.FeedKernel.parse(graft.gen.MetaGen.feedXml(h))
+          .zipWithIndex.map { case (it, i) =>
+            (h, i.toLong, it.title, it.link, it.published, it.kind)
+          }
+      }
+      .toDF("host_id", "item_idx", "title", "link", "published", "kind")
+  }
+
+  val feedItemsSql: String =
+    """WITH h AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS host_id FROM documents),
+      |rss AS (SELECT host_id, unnest(range(0, 3 + host_id % 4)) AS i
+      |        FROM h WHERE host_id % 2 = 0),
+      |atom AS (SELECT host_id, unnest(range(0, 2 + host_id % 3)) AS i
+      |         FROM h WHERE host_id % 2 = 1)
+      |SELECT host_id, CAST(i AS BIGINT) AS item_idx,
+      |  CASE WHEN i % 3 = 0 THEN 'Item ' || host_id || '-' || i || ' & more'
+      |       WHEN i % 3 = 1 THEN 'Raw <b>' || host_id || '-' || i || '</b>'
+      |       ELSE 'Plain ' || host_id || '-' || i END AS title,
+      |  'http://host' || host_id || '.example/rss/' || i AS link,
+      |  CASE WHEN i % 2 = 0
+      |       THEN 'Mon, ' || lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0') || ' Jan 2024 00:00:00 GMT'
+      |       ELSE '' END AS published,
+      |  'rss' AS kind
+      |FROM rss
+      |UNION ALL
+      |SELECT host_id, CAST(i AS BIGINT) AS item_idx,
+      |  'Atom ' || host_id || '-' || i AS title,
+      |  'http://host' || host_id || '.example/atom/' || i AS link,
+      |  '2024-02-' || lpad(CAST(i % 9 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS published,
+      |  'atom' AS kind
+      |FROM atom""".stripMargin
+
   /** Sitemap discovery from robots.txt: the `Sitemap:` lines (global,
     * group-independent per sitemaps.org) each host advertises — the
     * step that seeds [[sitemapUrls]]'s frontier expansion. Narrow
@@ -569,6 +616,7 @@ object LinkOps {
     "q_robots_txt_gate" -> (robotsTxtGate(_, _)),
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
+    "q_feed_items" -> (feedItems(_, _)),
     "q_frontier_schedule" -> (frontierSchedule(_, _)),
     "q_robots_sitemaps" -> (robotsSitemaps(_, _)),
     "q_crawl_delay" -> (crawlDelay(_, _)),
@@ -585,6 +633,7 @@ object LinkOps {
     "q_robots_txt_gate" -> robotsTxtGateSql,
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
+    "q_feed_items" -> feedItemsSql,
     "q_frontier_schedule" -> frontierScheduleSql,
     "q_robots_sitemaps" -> robotsSitemapsSql,
     "q_crawl_delay" -> crawlDelaySql,
