@@ -342,7 +342,52 @@ object ExtractionOps {
       |  text, 'conversion' AS rec_type
       |FROM documents""".stripMargin
 
+  /** The whole crawl-to-corpus pass in ONE oracle-checked plan: real
+    * HTML bytes → the real extraction kernel → length gate → exact
+    * dedup keep-rule, certifying the STAGES COMPOSE under the
+    * byte-identity contract (the oracle computes gates/dedup from the
+    * original text directly, so one mis-extracted byte flips a
+    * fingerprint and fails the hash compare — gate parity is only as
+    * good as the extraction it stands on).
+    *
+    * Scale shape: the extracted text never rides a shuffle — the dedup
+    * exchange carries (fp, doc_id, n_words) only, and the keep-rule
+    * joins back on the 32-hex fp.
+    */
+  def crawlToCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = extracted(spark, DocPages.htmlSingle(spark, dir))
+      .selectExpr(
+        "doc_id",
+        "cast(size(split(extracted_text, ' ')) as long) as n_words",
+        "md5(cast(extracted_text as binary)) as fp")
+      .localCheckpoint(true)
+    val canon = base.where("n_words >= 25")
+      .groupBy("fp").agg(min("doc_id").as("canonical_id"))
+    base.join(canon, Seq("fp"), "left").selectExpr(
+      "doc_id",
+      "n_words",
+      """case when n_words < 25 then 'short'
+        |     when doc_id = canonical_id then 'keep'
+        |     else 'dup' end as action""".stripMargin,
+      "cast(coalesce(canonical_id, doc_id) as long) as canonical_id")
+  }
+
+  val crawlToCorpusSql: String =
+    """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    md5(text) AS fp
+      |  FROM documents),
+      |c AS (SELECT fp, min(doc_id) AS canonical_id
+      |      FROM b WHERE n_words >= 25 GROUP BY fp)
+      |SELECT b.doc_id, b.n_words,
+      |  CASE WHEN b.n_words < 25 THEN 'short'
+      |       WHEN b.doc_id = c.canonical_id THEN 'keep'
+      |       ELSE 'dup' END AS action,
+      |  CAST(coalesce(c.canonical_id, b.doc_id) AS BIGINT) AS canonical_id
+      |FROM b LEFT JOIN c USING (fp)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crawl_to_corpus" -> (crawlToCorpus(_, _)),
     "q_extract_doc_struct" -> (extractDocStruct(_, _)),
     "q_extract_arabic" -> (extractArabic(_, _)),
     "q_extract_fastpath" -> (extractFastpath(_, _)),
@@ -369,6 +414,7 @@ object ExtractionOps {
     "q_wet_roundtrip" -> (wetRoundtrip(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_crawl_to_corpus" -> crawlToCorpusSql,
     "q_extract_doc_struct" -> extractDocStructSql,
     "q_extract_arabic" -> extractArabicSql,
     "q_extract_fastpath" -> extractHtmlSql,
