@@ -291,6 +291,29 @@ object DocPages {
     }
   }
 
+  /** Failure-mode census corpus — real crawls are full of rows that
+    * must become ERROR ROWS, never task failures: doc_id%5 cycles
+    * good-HTML / corrupt-gzip / degenerate-PDF / empty / passthrough.
+    */
+  def errorMix(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    docs(spark, dir).map { d =>
+      val url = s"doc://e/${d.doc_id}"
+      d.doc_id % 5 match {
+        case 0 =>
+          PageRow(url, Ts0, PagesGen.htmlPage(Seq(d.text), None, d.doc_id).getBytes(UTF_8), "", d.lang)
+        case 1 => // valid gzip magic, garbage stream -> gzip_corrupt
+          PageRow(url, Ts0, Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4, 5, 6), "", d.lang)
+        case 2 => // PDF magic, truncated object graph -> pdf_empty
+          PageRow(url, Ts0, "%PDF-1.4\n1 0 obj\n<< /Type /Catalog".getBytes(UTF_8), "", d.lang)
+        case 3 => // nothing at all -> 'empty' kind, no error
+          PageRow(url, Ts0, Array.emptyByteArray, "", d.lang)
+        case _ =>
+          PageRow(url, Ts0, Array.emptyByteArray, d.text, d.lang)
+      }
+    }
+  }
+
   /** Content-sniffing dispatch exercise: doc_id%3 ∈ {html, pdf, passthrough}. */
   def mixed(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._

@@ -342,6 +342,30 @@ object ExtractionOps {
       |  text, 'conversion' AS rec_type
       |FROM documents""".stripMargin
 
+  /** Failure-mode census: a crawl-shaped corpus where 3 of 5 row classes
+    * are degenerate (corrupt gzip transport, truncated PDF object graph,
+    * empty body) — every one must come back as a TAGGED ERROR ROW (or an
+    * honest 'empty' kind), never a task failure, and the per-(kind,
+    * error) counts are pinned by an arithmetic oracle. This puts the
+    * poison-pill/honest-error contract under the driver's hash gate,
+    * not just under specs.
+    */
+  def extractErrorCensus(spark: SparkSession, dir: String): DataFrame =
+    ExtractPipeline.extract(spark, DocPages.errorMix(spark, dir).toDF())
+      .toDF()
+      .selectExpr("doc_kind", "coalesce(error, 'ok') as error")
+      .groupBy("doc_kind", "error")
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  val extractErrorCensusSql: String =
+    """WITH c AS (SELECT doc_id % 5 AS cls FROM documents)
+      |SELECT CASE cls WHEN 0 THEN 'html' WHEN 1 THEN 'html' WHEN 2 THEN 'pdf'
+      |                WHEN 3 THEN 'empty' ELSE 'passthrough' END AS doc_kind,
+      |  CASE cls WHEN 1 THEN 'gzip_corrupt' WHEN 2 THEN 'pdf_empty'
+      |           ELSE 'ok' END AS error,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   /** The whole crawl-to-corpus pass in ONE oracle-checked plan: real
     * HTML bytes → the real extraction kernel → length gate → exact
     * dedup keep-rule, certifying the STAGES COMPOSE under the
@@ -388,6 +412,7 @@ object ExtractionOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crawl_to_corpus" -> (crawlToCorpus(_, _)),
+    "q_extract_error_census" -> (extractErrorCensus(_, _)),
     "q_extract_doc_struct" -> (extractDocStruct(_, _)),
     "q_extract_arabic" -> (extractArabic(_, _)),
     "q_extract_fastpath" -> (extractFastpath(_, _)),
@@ -415,6 +440,7 @@ object ExtractionOps {
 
   def oracles: Map[String, String] = Map(
     "q_crawl_to_corpus" -> crawlToCorpusSql,
+    "q_extract_error_census" -> extractErrorCensusSql,
     "q_extract_doc_struct" -> extractDocStructSql,
     "q_extract_arabic" -> extractArabicSql,
     "q_extract_fastpath" -> extractHtmlSql,
