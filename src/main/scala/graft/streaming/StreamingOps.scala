@@ -290,11 +290,122 @@ object StreamingOps {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sess""".stripMargin
 
+  // --------------------------------- oracle-gated streaming politeness
+
+  final case class FetchIn(host_id: Long, event_id: Long, ts_us: Long,
+      ets: java.sql.Timestamp)
+  final case class SlotRow(host_id: Long, event_id: Long, slot: Long,
+      sched_us: Long)
+  /** n = requests admitted so far; m = running max of (ts_us - slot*D),
+    * which closes the politeness recurrence (see below).
+    */
+  final case class HostState(n: Long, m: Long)
+
+  private val PoliteDelayUs = 2000000L // 2 s per-host crawl delay
+
+  /** ORACLE-GATED streaming politeness scheduler: fetch requests stream
+    * in; each host's requests are admitted in event-time order with at
+    * least `PoliteDelayUs` between scheduled fetches — sched(i) =
+    * max(ts_i, sched(i-1) + D). That recurrence looks stateful-only,
+    * but closes: sched(i) = i*D + max_{j≤i}(ts_j − j*D), so the
+    * per-host state is just (count, running max) — constant size, the
+    * shape a real frontier keeps per host forever — and the DuckDB
+    * oracle is a plain running-max window, no recursion. Multi-micro-
+    * batch by strict time-sliced staging (one file per trigger, as
+    * [[streamSessionize]]); no timeout/sentinel needed since every
+    * request emits its schedule immediately.
+    */
+  def streamHostSlots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("cast(user_id % 8 as long) as host_id",
+        "cast(event_id as long) as event_id",
+        "unix_micros(cast(ts as timestamp)) as ts_us",
+        "cast(ts as timestamp) as ets")
+    val (minUs, maxUs) = ev.agg(min(col("ts_us")), max(col("ts_us")))
+      .as[(Long, Long)].first()
+    val nSlices = 4
+    val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
+    val stage = java.nio.file.Files.createTempDirectory("stream_slots_src")
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = stage.resolve(s"tmp_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      staged += dest
+    }
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    try {
+      (0 until nSlices).foreach { i =>
+        val lo = minUs + i * spanUs
+        val hi = if (i == nSlices - 1) Long.MaxValue else lo + spanUs
+        stageSlice(ev.filter(col("ts_us") >= lo && col("ts_us") < hi),
+          f"slice-$i%03d", base + i * 10000L)
+      }
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("host_id", LongType), StructField("event_id", LongType),
+          StructField("ts_us", LongType), StructField("ets", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val slots = src
+        .as[FetchIn]
+        .groupByKey(_.host_id)
+        .flatMapGroupsWithState[HostState, SlotRow](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (h: Long, rows: Iterator[FetchIn], st: GroupState[HostState]) =>
+            val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+            var s = st.getOption.getOrElse(HostState(0L, Long.MinValue))
+            val out = evs.map { e =>
+              val m2 = math.max(s.m, e.ts_us - s.n * PoliteDelayUs)
+              val r = SlotRow(h, e.event_id, s.n, s.n * PoliteDelayUs + m2)
+              s = HostState(s.n + 1, m2)
+              r
+            }
+            st.update(s)
+            out.iterator
+        }
+      val name = s"stream_slots_${System.nanoTime()}"
+      val q = slots.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .select(col("host_id"), col("event_id"), col("slot"), col("sched_us"))
+    } finally {
+      staged.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
+  val streamHostSlotsSql: String =
+    s"""WITH e AS (SELECT CAST(user_id % 8 AS BIGINT) AS host_id,
+      |    CAST(event_id AS BIGINT) AS event_id, epoch_us(ts) AS ts_us,
+      |    row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS rk
+      |  FROM events)
+      |SELECT host_id, event_id, CAST(rk AS BIGINT) AS slot,
+      |  CAST(rk * $PoliteDelayUs + max(ts_us - rk * $PoliteDelayUs)
+      |         OVER (PARTITION BY host_id ORDER BY rk
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS sched_us
+      |FROM e""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_host_slots" -> (streamHostSlots(_, _)),
     "q_stream_hourly" -> (streamHourlyEvents(_, _)),
     "q_stream_sessionize" -> (streamSessionize(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_host_slots" -> streamHostSlotsSql,
     "q_stream_hourly" -> streamHourlyEventsSql,
     "q_stream_sessionize" -> streamSessionizeSql)
 }
