@@ -194,6 +194,39 @@ object MainTextExtractor {
       }
       rounds += 1
     }
+    // pass 2.5: link-free list runs (ingredients, steps, spec sheets).
+    // Chrome lists are link-dense, so a run of >=3 consecutive 'li'
+    // blocks with ZERO link chars, each >=2 words and >=10 words in
+    // total, sitting next to kept content (allowing one heading between
+    // — "Ingredients" routinely separates the list from the prose) is
+    // content even though every item fails the per-block word gate.
+    def keptAcrossHeading(p: Int, dir: Int): Boolean = {
+      var j = p
+      var hops = 0
+      while (j >= 0 && j < n && !keep(j) && hops < 1 &&
+        kindOf(blocks(j).tag) == "heading") { hops += 1; j += dir }
+      j >= 0 && j < n && keep(j)
+    }
+    i = 0
+    while (i < n) {
+      if (kindOf(blocks(i).tag) == "li" && !keep(i)) {
+        var j = i
+        var totalWords = 0
+        var linkFree = true
+        while (j < n && kindOf(blocks(j).tag) == "li" && !keep(j)) {
+          val b = blocks(j)
+          if (b.linkChars > 0 || b.words < 2) linkFree = false
+          totalWords += b.words
+          j += 1
+        }
+        if (linkFree && j - i >= 3 && totalWords >= 10 &&
+          (keptAcrossHeading(i - 1, -1) || keptAcrossHeading(j, 1))) {
+          var k = i
+          while (k < j) { keep(k) = true; k += 1 }
+        }
+        i = j
+      } else i += 1
+    }
     // pass 3: headings attach to following content. The scan may hop over
     // up to two short low-link metadata blocks (a byline, a dateline) —
     // real article headlines are routinely separated from the body by

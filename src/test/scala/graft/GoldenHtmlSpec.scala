@@ -57,7 +57,9 @@ class GoldenHtmlSpec extends AnyFunSuite {
   test("golden sanity: chrome strings never leak into extractions") {
     // spot phrases that exist ONLY in boilerplate regions of the fixtures
     val leaked = Seq("Popular posts", "Related coverage", "Archive",
-      "Printed from", "Docs home", "Copyright notice", "الرئيسية")
+      "Printed from", "Docs home", "Copyright notice", "الرئيسية",
+      "Hot this week", "Forum rules", "works best with JavaScript",
+      "do not render", "not content", "Rate this recipe", "More like this")
     cases.foreach { p =>
       val text = MainTextExtractor.extract(
         new String(Files.readAllBytes(p), UTF_8)).text
