@@ -36,7 +36,7 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       ScalarOps.queries ++ FormOps.queries ++ AggOps.queries ++ SketchOps.queries ++
       SampleOps.queries ++ LinkOps.queries ++ RankOps.queries ++
-      CorpusOps.queries ++ QualityOps.queries ++
+      CorpusOps.queries ++ QualityOps.queries ++ ArticleOps.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,6 +48,6 @@ object SparkEntry {
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       ScalarOps.oracles ++ FormOps.oracles ++ AggOps.oracles ++ SketchOps.oracles ++
       SampleOps.oracles ++ LinkOps.oracles ++ RankOps.oracles ++
-      CorpusOps.oracles ++ QualityOps.oracles ++
+      CorpusOps.oracles ++ QualityOps.oracles ++ ArticleOps.oracles ++
       graft.streaming.StreamingOps.oracles
 }

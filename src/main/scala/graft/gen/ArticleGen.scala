@@ -1,0 +1,77 @@
+package graft.gen
+
+/** Deterministic article pages for the q_jsonld_article / q_pub_date /
+  * q_pagination / q_soft404 oracles. Every harvested field is a
+  * closed-form function of doc_id, so the DuckDB oracle reconstructs
+  * expected values from arithmetic alone — it never parses HTML or JSON.
+  *
+  * Page (doc d, host h = d%20, mm = d%12+1, dd = d%28+1):
+  *   - URL carries /Y/mm/dd/ with Y = 2021 + d%3 (the ladder's last rung)
+  *   - meta article:published_time iff d%4==0 — VALID "2024-mm-dd..." only
+  *     when d%8==0; d≡4 (mod 8) writes "not-a-date" (rung fall-through is
+  *     load-bearing)
+  *   - JSON-LD iff d%3==0: NewsArticle with headline `Story d "quoted"`
+  *     (JSON escape load-bearing), datePublished 2023-mm-dd, author as an
+  *     OBJECT (Person name "Reporter {d%50}") when d%6==0 else a plain
+  *     STRING "Staff {d%10}"; wrapped in a root ARRAY behind a WebSite
+  *     decoy when d%9==0. Decoy scripts (no type; application/json) and a
+  *     broken ld+json (d%12==6) must all be ignored.
+  *   - <time datetime="2022-mm-ddT08:30:00Z"> iff d%5==0
+  *   - rel=next "/page/{d+1}" iff d%7 != 6; rel=prev "/page/{d-1}" iff d%7 >= 2
+  *   - soft-404 iff d%11==7: title "Page not found", body marker sentence
+  *     (otherwise title "Article {d}")
+  *
+  * Expected pub-date ladder:
+  *   d%8==0 → 2024-mm-dd (meta) ; else d%3==0 → 2023-mm-dd (jsonld) ;
+  *   else d%5==0 → 2022-mm-dd (time) ; else → (2021+d%3)-mm-dd (url)
+  */
+object ArticleGen {
+
+  def pad2(v: Long): String = if (v < 10) s"0$v" else v.toString
+
+  def mm(d: Long): String = pad2(d % 12 + 1)
+  def dd(d: Long): String = pad2(d % 28 + 1)
+
+  def pageUrl(d: Long): String =
+    s"http://host${d % 20}.example/${2021 + d % 3}/${mm(d)}/${dd(d)}/a$d.html"
+
+  def pageHtml(d: Long): String = {
+    val h = d % 20
+    val soft404 = d % 11 == 7
+    val sb = new StringBuilder(1024)
+    sb ++= "<html><head>"
+    if (soft404) sb ++= "<title>Page not found</title>"
+    else sb ++= s"<title>Article $d</title>"
+    if (d % 4 == 0) {
+      val v = if (d % 8 == 0) s"2024-${mm(d)}-${dd(d)}T00:00:00+00:00" else "not-a-date"
+      sb ++= s"""<meta property="article:published_time" content="$v">"""
+    }
+    // decoys the harvest must skip: untyped script, application/json,
+    // and (d%12==6) a broken ld+json body
+    sb ++= """<script>var page = {"datePublished": "1999-01-01"};</script>"""
+    sb ++= """<script type="application/json">{"datePublished":"1998-01-01"}</script>"""
+    if (d % 12 == 6)
+      sb ++= """<script type="application/ld+json">{"@type":"NewsArticle","datePublished": </script>"""
+    if (d % 3 == 0) {
+      val author =
+        if (d % 6 == 0) s"""{"@type":"Person","name":"Reporter ${d % 50}"}"""
+        else s""""Staff ${d % 10}""""
+      val article =
+        s"""{"@context":"https://schema.org","@type":"NewsArticle","headline":"Story $d \\"quoted\\"","datePublished":"2023-${mm(d)}-${dd(d)}T12:00:00Z","author":$author}"""
+      val payload =
+        if (d % 9 == 0) s"""[{"@type":"WebSite","name":"decoy"},$article]""" else article
+      sb ++= s"""<script type="application/ld+json">$payload</script>"""
+    }
+    if (d % 7 != 6) sb ++= s"""<link rel="next" href="/page/${d + 1}">"""
+    if (d % 7 >= 2) sb ++= s"""<link rel="prev" href="/page/${d - 1}">"""
+    sb ++= "</head><body>"
+    if (d % 5 == 0)
+      sb ++= s"""<p>Updated <time datetime="2022-${mm(d)}-${dd(d)}T08:30:00Z">recently</time>.</p>"""
+    if (soft404)
+      sb ++= "<p>The page you requested does not exist.</p>"
+    else
+      sb ++= s"<p>Body of article $d on host$h with enough prose to look real.</p>"
+    sb ++= "</body></html>"
+    sb.toString
+  }
+}

@@ -52,6 +52,13 @@ object HtmlTokenizer {
     def headLink(rel: String, href: String): Unit = ()
     /** `<base href=...>` (rebases relative link resolution). */
     def base(href: String): Unit = ()
+    /** `<script>` open (attrs mode): the `type` attr, "" when absent.
+      * Fired before the script body's raw `text(...)` delivery, so a
+      * sink can decide whether to buffer the body (JSON-LD harvest).
+      */
+    def scriptType(tpe: String): Unit = ()
+    /** `<time datetime=...>` open (attrs mode). */
+    def timeDatetime(dt: String): Unit = ()
   }
 
   private val VoidTags: Set[String] = Set(
@@ -378,6 +385,8 @@ object HtmlTokenizer {
       var aName: String = null
       var aContent: String = null
       var aProperty: String = null
+      var aType: String = null
+      var aDatetime: String = null
       // attribute loop
       var done = false
       while (!done && i < n) {
@@ -408,6 +417,8 @@ object HtmlTokenizer {
               else if (aLen == 4 && html.regionMatches(true, aStart, "name", 0, 4)) 4
               else if (aLen == 7 && html.regionMatches(true, aStart, "content", 0, 7)) 5
               else if (aLen == 8 && html.regionMatches(true, aStart, "property", 0, 8)) 6
+              else if (aLen == 4 && html.regionMatches(true, aStart, "type", 0, 4)) 7
+              else if (aLen == 8 && html.regionMatches(true, aStart, "datetime", 0, 8)) 8
               else 0
             while (i < n && html.charAt(i).isWhitespace) i += 1
             var av: String = null
@@ -439,6 +450,8 @@ object HtmlTokenizer {
               case 4 => aName = av
               case 5 => aContent = decodeAttrValue(av)
               case 6 => aProperty = av
+              case 7 => aType = av
+              case 8 => aDatetime = decodeAttrValue(av)
               case _ => ()
             }
           }
@@ -458,6 +471,10 @@ object HtmlTokenizer {
           sink.base(aHref)
         else if (name == "link" && aHref != null)
           sink.headLink(if (aRel == null) "" else aRel, aHref)
+        else if (name == "script")
+          sink.scriptType(if (aType == null) "" else aType)
+        else if (name == "time" && aDatetime != null)
+          sink.timeDatetime(aDatetime)
       }
       if (!selfClosing && !void && RawText.contains(name)) {
         // raw-text mode: find case-insensitive "</name"

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Article-metadata tier over deterministic article pages
+  * ([[graft.gen.ArticleGen]], keyed by doc_id like the link/media
+  * fixtures) through the real [[graft.kernels.ArticleKernel]] — JSON-LD
+  * harvest, publication-date laddering, pagination links, soft-404
+  * detection.
+  *
+  * 100 TB shape: all four queries are narrow per-row kernel maps — the
+  * page bytes never shuffle, output rows are a few small strings. The
+  * oracle derives every field from doc_id arithmetic, so a parse bug
+  * (decoy script harvested, invalid date accepted, relative next-link
+  * resolved to the wrong host) breaks the hash.
+  */
+object ArticleOps {
+
+  import graft.gen.ArticleGen
+  import graft.kernels.ArticleKernel
+
+  private def pages(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as d").as[Long]
+  }
+
+  /** JSON-LD article harvest: first article-typed node across the
+    * page's ld+json scripts; object/string author forms, root-array
+    * unwrap, decoy/broken-script skip all load-bearing.
+    */
+  def jsonldArticle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val m = ArticleKernel.extract(ArticleGen.pageHtml(d), ArticleGen.pageUrl(d))
+        (d, m.headline, m.author, m.datePublished)
+      })
+      .toDF("doc_id", "headline", "author", "date_published")
+  }
+
+  val jsonldArticleSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'Story ' || doc_id || ' "quoted"' ELSE '' END AS headline,
+      |  CASE WHEN doc_id % 6 = 0 THEN 'Reporter ' || (doc_id % 50)
+      |       WHEN doc_id % 3 = 0 THEN 'Staff ' || (doc_id % 10)
+      |       ELSE '' END AS author,
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN '2023-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+      |            '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T12:00:00Z'
+      |       ELSE '' END AS date_published
+      |FROM documents""".stripMargin
+
+  /** Publication-date ladder: meta → JSON-LD → <time> → URL path; a
+    * rung that is present but invalid ("not-a-date") falls through.
+    */
+  def pubDate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val m = ArticleKernel.extract(ArticleGen.pageHtml(d), ArticleGen.pageUrl(d))
+        (d, m.pubDate, m.pubSrc)
+      })
+      .toDF("doc_id", "pub_date", "pub_src")
+  }
+
+  val pubDateSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 8 = 0 THEN '2024-'
+      |       WHEN doc_id % 3 = 0 THEN '2023-'
+      |       WHEN doc_id % 5 = 0 THEN '2022-'
+      |       ELSE CAST(2021 + doc_id % 3 AS VARCHAR) || '-' END ||
+      |    lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+      |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS pub_date,
+      |  CASE WHEN doc_id % 8 = 0 THEN 'meta'
+      |       WHEN doc_id % 3 = 0 THEN 'jsonld'
+      |       WHEN doc_id % 5 = 0 THEN 'time'
+      |       ELSE 'url' END AS pub_src
+      |FROM documents""".stripMargin
+
+  /** rel=next / rel=prev pagination links, resolved against the page
+    * URL with the outlink RFC 3986 rules — the crawl-frontier signal
+    * for multi-page articles and listings.
+    */
+  def pagination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val m = ArticleKernel.extract(ArticleGen.pageHtml(d), ArticleGen.pageUrl(d))
+        (d, m.nextUrl, m.prevUrl)
+      })
+      .toDF("doc_id", "next_url", "prev_url")
+  }
+
+  val paginationSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 7 <> 6
+      |       THEN 'http://host' || (doc_id % 20) || '.example/page/' || (doc_id + 1)
+      |       ELSE '' END AS next_url,
+      |  CASE WHEN doc_id % 7 >= 2
+      |       THEN 'http://host' || (doc_id % 20) || '.example/page/' || (doc_id - 1)
+      |       ELSE '' END AS prev_url
+      |FROM documents""".stripMargin
+
+  /** Soft-404 gate: HTTP-200 error pages flagged by title/early-body
+    * marker phrases; the corpus keeps the verdict next to the title so
+    * a human can audit the gate.
+    */
+  def soft404(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val html = ArticleGen.pageHtml(d)
+        val m = ArticleKernel.extract(html, ArticleGen.pageUrl(d))
+        (d, ArticleKernel.titleOf(html), m.soft404)
+      })
+      .toDF("doc_id", "title", "soft404")
+  }
+
+  val soft404Sql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 11 = 7 THEN 'Page not found'
+      |       ELSE 'Article ' || doc_id END AS title,
+      |  doc_id % 11 = 7 AS soft404
+      |FROM documents""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jsonld_article" -> (jsonldArticle(_, _)),
+    "q_pub_date" -> (pubDate(_, _)),
+    "q_pagination" -> (pagination(_, _)),
+    "q_soft404" -> (soft404(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q_jsonld_article" -> jsonldArticleSql,
+    "q_pub_date" -> pubDateSql,
+    "q_pagination" -> paginationSql,
+    "q_soft404" -> soft404Sql)
+}
