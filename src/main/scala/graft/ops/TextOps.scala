@@ -560,8 +560,44 @@ object TextOps {
       |  sum(CASE WHEN n_words < 40 THEN 1 ELSE 0 END) * 2 > count(*) AS blocked
       |FROM d GROUP BY host_id""".stripMargin
 
+  // --------------------------------------------------------------- mojibake
+
+  /** Mojibake repair ([[graft.kernels.MojibakeKernel]], ftfy-style):
+    * each doc's text is decorated with a fixed non-ASCII prefix
+    * (multi-byte UTF-8 incl. bytes that are UNDEFINED in windows-1252 —
+    * the latin-1 fallback is load-bearing), then mojibake'd 0/1/2
+    * rounds by doc_id, then repaired. The oracle is the clean decorated
+    * text — byte-identical repair or the hash fails; the d%3==2 rows
+    * prove clean non-ASCII text passes through untouched.
+    *
+    * 100 TB shape: narrow per-row map, zero shuffle.
+    */
+  def mojibakeRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.kernels.MojibakeKernel
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (d, t) =>
+        val clean = "Café “№" + (d % 100) + "” — naïve эксперимент: " + t
+        val rounds = (2 - d % 3).toInt
+        var wrapped = clean
+        var i = 0
+        while (i < rounds) { wrapped = MojibakeKernel.encodeOnce(wrapped); i += 1 }
+        (d, MojibakeKernel.repair(wrapped), rounds.toLong)
+      })
+      .toDF("doc_id", "text", "enc_rounds")
+  }
+
+  val mojibakeRepairSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'Café “№' || (doc_id % 100) || '” — naïve эксперимент: ' || text AS text,
+      |  CAST(2 - doc_id % 3 AS BIGINT) AS enc_rounds
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (corpusClean(_, _)),
+    "q_mojibake_repair" -> (mojibakeRepair(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_lang_id_cjk" -> (langIdCjk(_, _)),
@@ -578,6 +614,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "q_corpus_clean" -> corpusCleanSql,
+    "q_mojibake_repair" -> mojibakeRepairSql,
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_lang_id_cjk" -> langIdCjkSql,
