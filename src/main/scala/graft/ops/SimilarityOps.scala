@@ -230,7 +230,113 @@ object SimilarityOps {
        |FROM t LEFT JOIN a ON a.q_id = t.q_id AND a.n_id = t.n_id
        |GROUP BY t.q_id""".stripMargin
 
+  /** Distributed Lloyd k-means (k=4, 2 update rounds) over the
+    * embeddings — the corpus-clustering step a training-data pipeline
+    * runs for topic balancing / mixture design before sampling.
+    *
+    * 100 TB shape (the same split as Spark MLlib's KMeans): the model is
+    * tiny and driver-held, the data never shuffles in full —
+    *  - ASSIGNMENT is a narrow projection: centroids inlined as literals
+    *    (the [[annIvf]] codebook pattern), per-point argmin over k
+    *    integer distance keys, zero exchange;
+    *  - UPDATE is a partial-agg'd `groupBy(cluster, dim)` over exploded
+    *    components — exactly k×64 = 256 keys cross the exchange with
+    *    map-side combine, then 256 rows collect to the driver to form
+    *    the next codebook.
+    *
+    * Cross-engine exactness by construction (no float-summation-order
+    * hazard, unlike a naive port): points quantize to integers
+    * (round(e·100)), centroids to fixed-point ×10⁴ (HALF_UP — DuckDB's
+    * round matches), and the distance key
+    * 10⁸·q·q − 2·10⁴·q·s + s·s is integral and < 2⁵³, so every partial
+    * sum is exact in BOTH engines regardless of order, and argmin can
+    * never flip. Ties break to the smallest cluster id on both sides.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long) as vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 100) as bigint)) as q")
+
+    val seeds = pts.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    var clusterIds: Array[Long] = seeds.map(_._1)
+    var cents: Array[Array[Long]] = seeds.map(_._2.map(_ * 10000L))
+
+    def assigned(): DataFrame = {
+      val distCols = cents.map { s =>
+        val sLit = array(s.map(v => lit(v)).toIndexedSeq: _*)
+        aggregate(
+          zip_with(col("q"), sLit, (a, b) => {
+            val d = a * lit(10000L) - b
+            d * d
+          }),
+          lit(0L), (acc, x) => acc + x)
+      }
+      pts.withColumn("dks", array(distCols.toIndexedSeq: _*))
+        .withColumn("dist_key", array_min(col("dks")))
+        .withColumn("cluster",
+          element_at(array(clusterIds.map(lit(_)).toIndexedSeq: _*),
+            array_position(col("dks"), col("dist_key")).cast("int")))
+        .drop("dks")
+    }
+
+    def halfUp(x: Double): Long =
+      new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+    var t = 0
+    while (t < 2) {
+      val rows = assigned()
+        .select(col("cluster"), posexplode(col("q")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = rows.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      clusterIds = byCluster.map(_._1)
+      cents = byCluster.map { case (_, rs) =>
+        val dim = new Array[Long](64)
+        rs.foreach(r => dim(r.getInt(1)) = halfUp(10000.0 * r.getLong(2) / r.getLong(3)))
+        dim
+      }
+      t += 1
+    }
+    assigned().select(col("vec_id"), col("cluster"), col("dist_key"))
+  }
+
+  val kmeansAssignSql: String = {
+    // one assignment round against centroid CTE `cN` (s: fixed-point list)
+    def assign(src: String, cn: String, out: String): String =
+      s"""$out AS (SELECT vec_id, q, j AS cluster, dk FROM (
+         |  SELECT p.vec_id, p.q, c.j,
+         |    100000000 * list_inner_product(p.q, p.q)
+         |      - 20000 * list_inner_product(p.q, c.s)
+         |      + list_inner_product(c.s, c.s) AS dk,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      100000000 * list_inner_product(p.q, p.q)
+         |        - 20000 * list_inner_product(p.q, c.s)
+         |        + list_inner_product(c.s, c.s), c.j) AS rn
+         |  FROM $src p, $cn c) WHERE rn = 1)""".stripMargin
+    // one update round: exact integer component sums → HALF_UP fixed point
+    def update(an: String, out: String): String =
+      s"""$out AS (SELECT cluster AS j, list(s_i ORDER BY i) AS s FROM (
+         |  SELECT cluster, i, round(10000.0 * sum(q[i]) / count(*)) AS s_i
+         |  FROM $an, (SELECT unnest(range(1, 65)) AS i) dims
+         |  GROUP BY cluster, i) GROUP BY cluster)""".stripMargin
+    s"""WITH p AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> round(x * 100)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS j, list_transform(q, x -> x * 10000) AS s
+       |  FROM p WHERE vec_id < 4),
+       |${assign("p", "c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("p", "c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("p", "c2", "a3")}
+       |SELECT vec_id, cluster, CAST(dk AS BIGINT) AS dist_key FROM a3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_assign" -> (kmeansAssign(_, _)),
     "q_ann_brute" -> (annBrute(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
@@ -238,6 +344,7 @@ object SimilarityOps {
     "q_ann_recall" -> (annRecall(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_kmeans_assign" -> kmeansAssignSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,

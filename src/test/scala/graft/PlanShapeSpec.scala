@@ -183,4 +183,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan("q_dedup_simhash").contains("Exchange"),
       "q_dedup_simhash fingerprinting must be a shuffle-free projection")
   }
+
+  test("k-means final assignment is a shuffle-free projection over literals") {
+    // the iterative updates run eagerly inside the query builder (256-key
+    // partial-agg'd groupBy, collected as the model artifact); the plan
+    // the caller gets back — assign with inlined centroids — must be a
+    // pure narrow map like the IVF cell assignment
+    val p = plan("q_kmeans_assign")
+    assert(!p.contains("Exchange"),
+      "k-means assignment must inline the driver-held codebook, not shuffle")
+  }
 }
