@@ -74,4 +74,39 @@ object ArticleGen {
     sb ++= "</body></html>"
     sb.toString
   }
+
+  /** Compliance-signal page for q_license_meta. Closed-form in d:
+    *   - rel=license: d%3==0 → CC BY 4.0 (protocol-relative, resolution
+    *     load-bearing); d%3==1 → root-relative CC0 deed link pointing at
+    *     creativecommons.org? No — a SITE-relative terms page (cc code
+    *     must stay ""); d%9==2 → CC0 public-domain; else absent
+    *   - robots meta: d%4==0 → "noindex, nofollow"; d%4==1 →
+    *     "NOAI, noimageai" (case/sep variance load-bearing); d%4==2 →
+    *     "index,follow"; d%4==3 → absent; decoy googlebot meta always
+    *   - tdm-reservation: d%5==0 → "1"; d%5==1 → "0"; else absent
+    */
+  def complianceHtml(d: Long): String = {
+    val sb = new StringBuilder(512)
+    sb ++= "<html><head><title>Doc " + d + "</title>"
+    (d % 9, d % 3) match {
+      case (2, _) =>
+        sb ++= """<link rel="license" href="https://creativecommons.org/publicdomain/zero/1.0/">"""
+      case (_, 0) =>
+        sb ++= """<link rel="license" href="//creativecommons.org/licenses/by/4.0/">"""
+      case (_, 1) =>
+        sb ++= """<link rel="license" href="/terms.html">"""
+      case _ => ()
+    }
+    d % 4 match {
+      case 0 => sb ++= """<meta name="robots" content="noindex, nofollow">"""
+      case 1 => sb ++= """<meta name="robots" content="NOAI noimageai">"""
+      case 2 => sb ++= """<meta name="robots" content="index,follow">"""
+      case _ => ()
+    }
+    sb ++= """<meta name="googlebot" content="noindex">""" // UA-specific decoy
+    if (d % 5 == 0) sb ++= """<meta name="tdm-reservation" content="1">"""
+    else if (d % 5 == 1) sb ++= """<meta name="tdm-reservation" content="0">"""
+    sb ++= s"</head><body><p>content $d</p></body></html>"
+    sb.toString
+  }
 }

@@ -124,13 +124,50 @@ object ArticleOps {
       |  doc_id % 11 = 7 AS soft404
       |FROM documents""".stripMargin
 
+  /** Corpus-compliance gate per page ([[graft.kernels.ComplianceKernel]]):
+    * license link (CC hrefs normalized to a short code), robots-meta
+    * noindex/noai/noimageai tokens, TDM reservation, and the composed
+    * allowed-training verdict. Narrow per-row kernel map, zero shuffle.
+    */
+  def licenseMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val c = graft.kernels.ComplianceKernel.extract(
+          ArticleGen.complianceHtml(d), ArticleGen.pageUrl(d))
+        (d, c.licenseUrl, c.ccCode, c.noindex, c.noai, c.noimageai, c.tdm,
+          c.allowedTraining)
+      })
+      .toDF("doc_id", "license_url", "cc_code", "noindex", "noai",
+        "noimageai", "tdm", "allowed_training")
+  }
+
+  val licenseMetaSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 9 = 2 THEN 'https://creativecommons.org/publicdomain/zero/1.0/'
+      |       WHEN doc_id % 3 = 0 THEN 'http://creativecommons.org/licenses/by/4.0/'
+      |       WHEN doc_id % 3 = 1 THEN 'http://host' || (doc_id % 20) || '.example/terms.html'
+      |       ELSE '' END AS license_url,
+      |  CASE WHEN doc_id % 9 = 2 THEN 'cc0-1.0'
+      |       WHEN doc_id % 3 = 0 THEN 'by-4.0'
+      |       ELSE '' END AS cc_code,
+      |  doc_id % 4 = 0 AS noindex,
+      |  doc_id % 4 = 1 AS noai,
+      |  doc_id % 4 = 1 AS noimageai,
+      |  CASE WHEN doc_id % 5 = 0 THEN '1'
+      |       WHEN doc_id % 5 = 1 THEN '0' ELSE '' END AS tdm,
+      |  doc_id % 4 <> 1 AND doc_id % 5 <> 0 AS allowed_training
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_license_meta" -> (licenseMeta(_, _)),
     "q_jsonld_article" -> (jsonldArticle(_, _)),
     "q_pub_date" -> (pubDate(_, _)),
     "q_pagination" -> (pagination(_, _)),
     "q_soft404" -> (soft404(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_license_meta" -> licenseMetaSql,
     "q_jsonld_article" -> jsonldArticleSql,
     "q_pub_date" -> pubDateSql,
     "q_pagination" -> paginationSql,
