@@ -19,4 +19,33 @@ object UnicodeKernel {
   def nfc(s: String): String =
     if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) s
     else Normalizer.normalize(s, Normalizer.Form.NFC)
+
+  /** Canonical dedup key (the CCNet/Gopher-style normalization applied
+    * before hashing so visually-identical pages collide):
+    * NFKC (folds fullwidth forms, ligatures, NBSP, compatibility digits)
+    * → drop format chars (Cf: ZWSP/ZWJ/ZWNJ/BOM/soft-hyphen — invisible
+    * dedup-breakers) → collapse whitespace runs to single spaces + trim
+    * → full case fold via upper∘lower (the string-level round trip picks
+    * up multi-char folds like ß→ss that a plain toLowerCase misses).
+    * Deterministic, allocation-light, pure JVM.
+    */
+  def dedupKey(s: String): String = {
+    val n =
+      if (Normalizer.isNormalized(s, Normalizer.Form.NFKC)) s
+      else Normalizer.normalize(s, Normalizer.Form.NFKC)
+    val sb = new java.lang.StringBuilder(n.length)
+    var prevSpace = true // swallows leading whitespace
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (Character.getType(c) == Character.FORMAT) ()
+      else if (Character.isWhitespace(c)) {
+        if (!prevSpace) { sb.append(' '); prevSpace = true }
+      } else { sb.append(c); prevSpace = false }
+      i += 1
+    }
+    // trailing trim
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+    sb.toString.toUpperCase(java.util.Locale.ROOT).toLowerCase(java.util.Locale.ROOT)
+  }
 }

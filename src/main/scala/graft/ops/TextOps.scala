@@ -595,9 +595,37 @@ object TextOps {
       |  CAST(2 - doc_id % 3 AS BIGINT) AS enc_rounds
       |FROM documents""".stripMargin
 
+  /** Canonical dedup key ([[graft.kernels.UnicodeKernel.dedupKey]]):
+    * NFKC + format-char strip + whitespace collapse + full case fold.
+    * Each doc's text is uppercased and decorated with fullwidth forms, a
+    * ligature, ß, an ideographic space, and a zero-width space — the
+    * decoration's folded form is a closed-form constant, so the oracle
+    * reconstructs the key without any Unicode machinery. Narrow
+    * projection, zero shuffle.
+    */
+  def dedupKeyQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "upper(text) as t")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (d, t) =>
+        // fullwidth "Test", ZWSP, ligature fi, ß, ideographic space,
+        // fullwidth "NO." — folds to "testfiss no."
+        val decor = "Ｔｅｓｔ​ﬁß　ＮＯ． "
+        (d, graft.kernels.UnicodeKernel.dedupKey(decor + t))
+      })
+      .toDF("doc_id", "dedup_key")
+  }
+
+  val dedupKeySql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'testfiss no. ' || lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) AS dedup_key
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
+    "q_dedup_key" -> (dedupKeyQ(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_lang_id_cjk" -> (langIdCjk(_, _)),
@@ -615,6 +643,7 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "q_corpus_clean" -> corpusCleanSql,
     "q_mojibake_repair" -> mojibakeRepairSql,
+    "q_dedup_key" -> dedupKeySql,
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_lang_id_cjk" -> langIdCjkSql,

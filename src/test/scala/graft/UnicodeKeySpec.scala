@@ -1,0 +1,39 @@
+package graft
+
+import graft.kernels.UnicodeKernel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** dedupKey contracts: the normalizations that make visually-identical
+  * web pages collide under one hash key.
+  */
+class UnicodeKeySpec extends AnyFunSuite {
+
+  test("fullwidth, ligature, NBSP, compatibility forms fold (NFKC)") {
+    assert(UnicodeKernel.dedupKey("Ｈｅｌｌｏ") === "hello")
+    assert(UnicodeKernel.dedupKey("ﬁle ﬂow") === "file flow")
+    assert(UnicodeKernel.dedupKey("a b") === "a b") // NBSP
+    assert(UnicodeKernel.dedupKey("№ ½") === "no 1⁄2")
+  }
+
+  test("invisible format chars drop: ZWSP/ZWJ/ZWNJ/BOM/soft hyphen") {
+    assert(UnicodeKernel.dedupKey("a​b‍c‌d﻿e­f") === "abcdef")
+  }
+
+  test("full case fold picks up multi-char folds") {
+    assert(UnicodeKernel.dedupKey("STRASSE Straße") === "strasse strasse")
+    assert(UnicodeKernel.dedupKey("MiXeD Case") === "mixed case")
+  }
+
+  test("whitespace runs collapse; ends trim") {
+    assert(UnicodeKernel.dedupKey("  a \t\n b　 c  ") === "a b c")
+    assert(UnicodeKernel.dedupKey("") === "")
+    assert(UnicodeKernel.dedupKey(" \t ") === "")
+  }
+
+  test("identical-looking variants collide; different text does not") {
+    val a = UnicodeKernel.dedupKey("The ﬁnal Straße​ price")
+    val b = UnicodeKernel.dedupKey("THE FINAL STRASSE PRICE")
+    assert(a === b)
+    assert(UnicodeKernel.dedupKey("different words") !== a)
+  }
+}
