@@ -242,6 +242,69 @@ object LinkOps {
       |    ELSE TRUE END AS allowed
       |FROM documents""".stripMargin
 
+  /** HITS hubs/authorities (Kleinberg 1999) over the weighted domain
+    * graph — the complement to PageRank for link analysis: hubs are
+    * pages that point at good sources, authorities are the sources. 5
+    * power iterations with L1 normalization per half-step (chosen over
+    * the classic L2 so the oracle needs no sqrt; the fixed point is the
+    * same up to scale).
+    *
+    * 100 TB shape: same as [[pagerank]] — per-iteration join against
+    * the checkpointed edge set + partial-agg'd groupBy on the receiving
+    * side; the normalizer is a ONE-ROW aggregate broadcast back
+    * (never a global window), and scores are localCheckpoint'ed per
+    * round so lineage stays constant-size. Oracle = the same 5
+    * iterations unrolled as chained DuckDB CTEs, matched to 6 decimals.
+    */
+  def hitsScores(spark: SparkSession, dir: String): DataFrame = {
+    val edges = domainEdges(spark, dir)
+      .selectExpr("src_host as src", "dst_host as dst", "cast(n_links as double) as w")
+      .localCheckpoint()
+    val nodes = edges.selectExpr("src as host")
+      .union(edges.selectExpr("dst as host")).distinct().localCheckpoint()
+    var hubs = edges.selectExpr("src as host").distinct()
+      .selectExpr("host", "cast(1.0 as double) as h")
+    var auths: DataFrame = null
+    var it = 0
+    while (it < 5) {
+      val aRaw = edges.join(hubs, edges("src") === hubs("host"))
+        .selectExpr("dst", "h * w as c").groupBy("dst").agg(expr("sum(c) as raw"))
+      auths = aRaw.crossJoin(broadcast(aRaw.agg(expr("sum(raw) as tot"))))
+        .selectExpr("dst as host", "raw / tot as a").localCheckpoint()
+      val hRaw = edges.join(auths, edges("dst") === auths("host"))
+        .selectExpr("src", "a * w as c").groupBy("src").agg(expr("sum(c) as raw"))
+      hubs = hRaw.crossJoin(broadcast(hRaw.agg(expr("sum(raw) as tot"))))
+        .selectExpr("src as host", "raw / tot as h").localCheckpoint()
+      it += 1
+    }
+    nodes.join(hubs, Seq("host"), "left").join(auths, Seq("host"), "left")
+      .selectExpr("host", "round(coalesce(h, 0.0), 6) as hub",
+        "round(coalesce(a, 0.0), 6) as auth")
+  }
+
+  val hitsScoresSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH de AS ($domainEdgesSql),
+              |e AS (SELECT src_host AS src, dst_host AS dst, CAST(n_links AS DOUBLE) AS w FROM de),
+              |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+              |h0 AS (SELECT DISTINCT src AS host, 1.0 AS h FROM e)""".stripMargin
+    // normalizers via sum() OVER () — a scalar subquery would reference
+    // each round's CTE twice and make CTE inlining exponential in the
+    // number of unrolled iterations
+    for (i <- 1 to 5) {
+      sb ++= s""",
+                |a$i AS (SELECT dst AS host, raw / sum(raw) OVER () AS a FROM (
+                |  SELECT dst, sum(h * w) AS raw FROM e JOIN h${i - 1} ON h${i - 1}.host = e.src GROUP BY dst)),
+                |h$i AS (SELECT src AS host, raw / sum(raw) OVER () AS h FROM (
+                |  SELECT src, sum(a * w) AS raw FROM e JOIN a$i ON a$i.host = e.dst GROUP BY src))""".stripMargin
+    }
+    sb ++= """
+             |SELECT n.host, round(coalesce(h5.h, 0), 6) AS hub,
+             |  round(coalesce(a5.a, 0), 6) AS auth
+             |FROM n LEFT JOIN h5 ON h5.host = n.host LEFT JOIN a5 ON a5.host = n.host""".stripMargin
+    sb.toString
+  }
+
   /** Head-metadata extraction per page: title (whitespace-collapsed),
     * meta description (entity-decoded), OpenGraph title (property=
     * attr), canonical URL (resolved like an outlink). Narrow per-row
@@ -614,6 +677,7 @@ object LinkOps {
     "q_anchor_terms" -> (anchorTerms(_, _)),
     "q_pagerank" -> (pagerank(_, _)),
     "q_robots_txt_gate" -> (robotsTxtGate(_, _)),
+    "q_hits_scores" -> (hitsScores(_, _)),
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
     "q_feed_items" -> (feedItems(_, _)),
@@ -631,6 +695,7 @@ object LinkOps {
     "q_anchor_terms" -> anchorTermsSql,
     "q_pagerank" -> pagerankSql,
     "q_robots_txt_gate" -> robotsTxtGateSql,
+    "q_hits_scores" -> hitsScoresSql,
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
     "q_feed_items" -> feedItemsSql,
