@@ -335,7 +335,46 @@ object SimilarityOps {
        |SELECT vec_id, cluster, CAST(dk AS BIGINT) AS dist_key FROM a3""".stripMargin
   }
 
+  /** Per-vector int8 (0..255) min-max quantization — the storage-side
+    * compression every large vector store applies (4× smaller than
+    * float32 before any index). Outputs the dequant params, the exact
+    * integer code sum (order-independent — pins every code), and the max
+    * reconstruction error. Pure codegen projection, zero shuffle; the
+    * same arithmetic formula text runs in both engines so the doubles
+    * agree bit-for-bit before rounding.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long) as vec_id",
+        "transform(embedding, x -> cast(x as double)) as de")
+      .selectExpr("vec_id", "de",
+        "array_min(de) as mn", "array_max(de) as mx")
+      .selectExpr("vec_id", "de", "mn", "(mx - mn) / 255.0D as s",
+        "round(mn, 6) as q_min", "round(mx, 6) as q_max")
+      .selectExpr("vec_id", "q_min", "q_max",
+        """aggregate(
+          |  transform(de, x -> case when s = 0D then 0L
+          |                     else cast(round((x - mn) / s) as bigint) end),
+          |  0L, (acc, c) -> acc + c) as code_sum""".stripMargin,
+        """round(array_max(transform(de, x ->
+          |  abs(x - (mn + (case when s = 0D then 0D
+          |                 else round((x - mn) / s) end) * s)))), 6) as max_err""".stripMargin)
+
+  val embedQuantizeSql: String =
+    """WITH b AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS de
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, de, list_min(de) AS mn, list_max(de) AS mx FROM b),
+      |c AS (SELECT vec_id, de, mn, (mx - mn) / 255.0 AS s,
+      |  round(mn, 6) AS q_min, round(mx, 6) AS q_max FROM m)
+      |SELECT vec_id, q_min, q_max,
+      |  CAST(list_sum(list_transform(de, x ->
+      |    CASE WHEN s = 0 THEN 0 ELSE CAST(round((x - mn) / s) AS BIGINT) END)) AS BIGINT) AS code_sum,
+      |  round(list_max(list_transform(de, x ->
+      |    abs(x - (mn + (CASE WHEN s = 0 THEN 0 ELSE round((x - mn) / s) END) * s)))), 6) AS max_err
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (embedQuantize(_, _)),
     "q_kmeans_assign" -> (kmeansAssign(_, _)),
     "q_ann_brute" -> (annBrute(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
@@ -344,6 +383,7 @@ object SimilarityOps {
     "q_ann_recall" -> (annRecall(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_embed_quantize" -> embedQuantizeSql,
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_lsh" -> annLshSql,
