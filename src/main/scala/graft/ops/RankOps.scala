@@ -107,6 +107,68 @@ object RankOps {
       |  hsum > 128 * n_words AS pass
       |FROM s""".stripMargin
 
+  /** DSIR-style data selection (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — public method): hashed unigram
+    * features, a target distribution fit on the small high-quality
+    * slice (source = src0) and a raw distribution on the rest, per-doc
+    * importance weight = Σ_w log(p_target[b(w)] / p_raw[b(w)]) with
+    * add-one smoothing; keep docs that look more target- than raw-like.
+    *
+    * 100 TB shape: the FIT is one explode → 64-key partial-agg'd
+    * groupBy collected to the driver (the model artifact, like the IVF
+    * codebook); SCORING is a pure zero-shuffle projection with the
+    * 64-entry log-ratio table inlined as literals. Cross-engine
+    * exactness: log-ratios quantize to integer micro-nats (HALF_UP both
+    * engines) so each doc's score is an ORDER-INDEPENDENT exact integer
+    * sum — only the 64 table entries involve floats at all.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val bucket = s"cast(conv(substring(md5(cast(w as binary)), 1, 2), 16, 10) as int) % $B"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nt = new Array[Long](B)
+    val nr = new Array[Long](B)
+    docs.selectExpr("source = 'src0' as tgt", "explode(split(text, ' ')) as w")
+      .selectExpr("tgt", s"$bucket as b")
+      .groupBy("b")
+      .agg(expr("sum(case when tgt then 1L else 0L end) as nt"),
+        expr("sum(case when tgt then 0L else 1L end) as nr"))
+      .collect()
+      .foreach(r => { nt(r.getInt(0)) = r.getLong(1); nr(r.getInt(0)) = r.getLong(2) })
+    val tt = nt.sum.toDouble
+    val tr = nr.sum.toDouble
+    def halfUp(x: Double): Long =
+      new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val llr = Array.tabulate(B) { b =>
+      halfUp(1000000.0 * math.log(
+        ((nt(b) + 1.0) / (tt + B)) / ((nr(b) + 1.0) / (tr + B))))
+    }
+    val llrLit = llr.mkString("array(", "L, ", "L)")
+    docs.selectExpr("cast(doc_id as long) as doc_id", "text")
+      .selectExpr("doc_id",
+        s"aggregate(split(text, ' '), 0L, (a, w) -> a + element_at($llrLit, ($bucket) + 1)) as dsir_score")
+      .selectExpr("doc_id", "dsir_score", "dsir_score > 0 as keep")
+  }
+
+  val dsirSelectSql: String =
+    """WITH w AS (SELECT doc_id, source = 'src0' AS tgt,
+      |    unnest(string_split(text, ' ')) AS w FROM documents),
+      |bw AS (SELECT doc_id, tgt, ('0x' || substr(md5(w), 1, 2))::INT % 64 AS b FROM w),
+      |ct AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+      |              sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS nr
+      |       FROM bw GROUP BY b),
+      |tot AS (SELECT CAST(sum(nt) AS DOUBLE) AS tt, CAST(sum(nr) AS DOUBLE) AS tr FROM ct),
+      |llr AS (SELECT g.b,
+      |    CAST(round(1000000.0 * ln(
+      |      ((coalesce(ct.nt, 0) + 1.0) / (tot.tt + 64))
+      |      / ((coalesce(ct.nr, 0) + 1.0) / (tot.tr + 64)))) AS BIGINT) AS v
+      |  FROM (SELECT unnest(range(0, 64)) AS b) g
+      |  LEFT JOIN ct ON ct.b = g.b CROSS JOIN tot),
+      |sc AS (SELECT bw.doc_id, CAST(sum(llr.v) AS BIGINT) AS dsir_score
+      |       FROM bw JOIN llr ON llr.b = bw.b GROUP BY bw.doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, dsir_score, dsir_score > 0 AS keep
+      |FROM sc""".stripMargin
+
   private val PostingsHead = 8
 
   /** Inverted-index construction — the IR-native structure under BM25:
@@ -145,10 +207,12 @@ object RankOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (bm25TopK(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
+    "q_dsir_select" -> (dsirSelect(_, _)),
     "q_inverted_index" -> (invertedIndex(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_classifier" -> qualityClassifierSql,
+    "q_dsir_select" -> dsirSelectSql,
     "q_inverted_index" -> invertedIndexSql)
 }
