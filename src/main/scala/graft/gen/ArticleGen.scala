@@ -109,4 +109,30 @@ object ArticleGen {
     sb ++= s"</head><body><p>content $d</p></body></html>"
     sb.toString
   }
+
+  /** Structured page for the q_html_markdown oracle — every markdown
+    * construct closed-form in d: h1/h2, bold + resolved link in a
+    * paragraph, ul with 2+d%3 items, ol, fenced pre/code, blockquote
+    * with an entity, hr, italic footer. Head noise (title/script) must
+    * be dropped; whitespace padding must collapse.
+    */
+  def mdHtml(d: Long): String = {
+    val n = 2 + (d % 3).toInt
+    val sb = new StringBuilder(768)
+    sb ++= "<html><head><title>ignore me</title><script>var x = 1;</script></head><body>"
+    sb ++= s"<h1> Doc $d </h1>"
+    sb ++= s"""<p>Intro paragraph for <b>doc $d</b> with a <a href="/next/$d">link $d</a>.</p>"""
+    sb ++= s"<h2>Section ${d % 5}</h2>"
+    sb ++= "<ul>"
+    var i = 0
+    while (i < n) { sb ++= s"<li> item $d-$i </li>"; i += 1 }
+    sb ++= "</ul>"
+    sb ++= s"<ol><li>first $d</li><li>second $d</li></ol>"
+    sb ++= s"<pre><code>code line $d</code></pre>"
+    sb ++= s"<blockquote><p>quote $d &amp; more</p></blockquote>"
+    sb ++= "<hr>"
+    sb ++= s"<p>Footer <i>note ${d % 7}</i></p>"
+    sb ++= "</body></html>"
+    sb.toString
+  }
 }

@@ -159,7 +159,43 @@ object ArticleOps {
       |  doc_id % 4 <> 1 AND doc_id % 5 <> 0 AS allowed_training
       |FROM documents""".stripMargin
 
+  /** Structure-preserving HTML → Markdown
+    * ([[graft.kernels.MarkdownKernel]]): headings, inline bold/italic,
+    * resolved links, nested-indent lists, fenced code, blockquotes, hr.
+    * The oracle reconstructs the ENTIRE markdown string per doc from
+    * arithmetic, so a marker, separator, or resolution bug anywhere in
+    * the block pipeline breaks the hash. Narrow per-row kernel map.
+    */
+  def htmlMarkdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        (d, graft.kernels.MarkdownKernel.convert(
+          ArticleGen.mdHtml(d), ArticleGen.pageUrl(d)))
+      })
+      .toDF("doc_id", "markdown")
+  }
+
+  val htmlMarkdownSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  '# Doc ' || doc_id || chr(10) || chr(10) ||
+      |  'Intro paragraph for **doc ' || doc_id || '** with a [link ' || doc_id ||
+      |    '](http://host' || (doc_id % 20) || '.example/next/' || doc_id || ').' ||
+      |    chr(10) || chr(10) ||
+      |  '## Section ' || (doc_id % 5) || chr(10) || chr(10) ||
+      |  '- item ' || doc_id || '-0' || chr(10) || '- item ' || doc_id || '-1' ||
+      |  CASE WHEN doc_id % 3 >= 1 THEN chr(10) || '- item ' || doc_id || '-2' ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 2 THEN chr(10) || '- item ' || doc_id || '-3' ELSE '' END ||
+      |  chr(10) || chr(10) ||
+      |  '1. first ' || doc_id || chr(10) || '2. second ' || doc_id || chr(10) || chr(10) ||
+      |  '```' || chr(10) || 'code line ' || doc_id || chr(10) || '```' || chr(10) || chr(10) ||
+      |  '> quote ' || doc_id || ' & more' || chr(10) || chr(10) ||
+      |  '---' || chr(10) || chr(10) ||
+      |  'Footer *note ' || (doc_id % 7) || '*' AS markdown
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_markdown" -> (htmlMarkdown(_, _)),
     "q_license_meta" -> (licenseMeta(_, _)),
     "q_jsonld_article" -> (jsonldArticle(_, _)),
     "q_pub_date" -> (pubDate(_, _)),
@@ -167,6 +203,7 @@ object ArticleOps {
     "q_soft404" -> (soft404(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_html_markdown" -> htmlMarkdownSql,
     "q_license_meta" -> licenseMetaSql,
     "q_jsonld_article" -> jsonldArticleSql,
     "q_pub_date" -> pubDateSql,
