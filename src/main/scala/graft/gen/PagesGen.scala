@@ -214,6 +214,44 @@ object PagesGen {
     out.toByteArray
   }
 
+  /** Single-page PDF carrying a document-information dictionary:
+    * /Title as a LITERAL string (escaped parens load-bearing), /Author
+    * as a UTF-16BE hex string with BOM when `utf16Author` (the common
+    * real-world form for non-ASCII authors), /CreationDate `D:` form.
+    * Trailer carries /Info alongside /Root.
+    */
+  def pdfBytesInfo(pageLines: Seq[Seq[String]], title: String, author: String,
+      creation: String, utf16Author: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w(s"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 << /Type /Font " +
+      "/Subtype /Type1 /BaseFont /Helvetica >> >> >> >> endobj\n")
+    val cs = new java.lang.StringBuilder(256)
+    cs.append("BT /F1 12 Tf 72 720 Td 14 TL\n")
+    pageLines.headOption.getOrElse(Seq.empty).zipWithIndex.foreach { case (line, j) =>
+      if (j > 0) cs.append("T*\n")
+      cs.append(s"(${escapePdf(line)}) Tj\n")
+    }
+    cs.append("ET\n")
+    val raw = cs.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    w(s"4 0 obj << /Length ${raw.length} >> stream\n")
+    out.write(raw)
+    w("\nendstream endobj\n")
+    val authorPdf =
+      if (utf16Author) {
+        val b = author.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        "<FEFF" + b.map(x => f"${x & 0xff}%02X").mkString + ">"
+      } else s"(${escapePdf(author)})"
+    w(s"5 0 obj << /Title (${escapePdf(title)}) /Author $authorPdf " +
+      s"/CreationDate (D:$creation) /Producer (graft) >> endobj\n")
+    w("trailer << /Root 1 0 R /Info 5 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** PDF whose content streams travel through realistic filter chains:
     * `mode` is "png" (FlateDecode + PNG predictors 10-15 via
     * /DecodeParms — every row tag 0-4 exercised), "tiff" (FlateDecode +

@@ -538,6 +538,54 @@ object PdfTextExtractor {
     }
   }
 
+  final case class DocInfo(title: String, author: String, creationDate: String)
+
+  /** Document-information dictionary: /Info from the LAST trailer
+    * (last-wins, like /Root), resolved through the object index (so an
+    * /ObjStm-compressed Info dict works too). Title/Author decode per
+    * PDF text-string rules — UTF-16BE when BOM-prefixed, else
+    * PDFDocEncoding (≈ Latin-1 for the printable range); /CreationDate
+    * `D:YYYYMMDDHHmmSS` normalizes to ISO `yyyy-MM-ddTHH:mm:ss` with
+    * missing fields defaulting per the PDF spec (month/day 01, time 00).
+    * Strings in ENCRYPTED documents are not decrypted here — the text
+    * path owns decryption; info harvest on encrypted files returns the
+    * raw (unreadable) bytes' decode honestly rather than guessing.
+    */
+  def docInfo(bytes: Array[Byte]): DocInfo = {
+    val empty = DocInfo("", "", "")
+    indexObjects(bytes) match {
+      case None => empty
+      case Some(doc0) =>
+        val (doc, _) = expandObjStm(doc0)
+        lastRefOf(doc.s, "Info") match {
+          case None => empty
+          case Some(num) =>
+            val d = doc.dict(num)
+            def str(key: String): String =
+              strOf(d, key).map(decodePdfText).getOrElse("")
+            DocInfo(str("Title"), str("Author"), pdfDate(strOf(d, "CreationDate")))
+        }
+    }
+  }
+
+  private def decodePdfText(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(b, Latin1)
+
+  private def pdfDate(raw: Option[Array[Byte]]): String = raw match {
+    case None => ""
+    case Some(b) =>
+      val s = new String(b, Latin1)
+      val m = cachedPattern("pdfdate",
+        "D:(\\d{4})(\\d{2})?(\\d{2})?(\\d{2})?(\\d{2})?(\\d{2})?").matcher(s)
+      if (!m.find()) ""
+      else {
+        def g(i: Int, dflt: String) = Option(m.group(i)).getOrElse(dflt)
+        s"${m.group(1)}-${g(2, "01")}-${g(3, "01")}T${g(4, "00")}:${g(5, "00")}:${g(6, "00")}"
+      }
+  }
+
   /** Signed integer value of `/key` (the /P permissions flag is negative). */
   private def signedIntOf(dict: String, key: String): Option[Int] = {
     val m = cachedPattern("sint:" + key, "/" + key + "\\s+(-?\\d+)").matcher(dict)

@@ -194,7 +194,44 @@ object ArticleOps {
       |  'Footer *note ' || (doc_id % 7) || '*' AS markdown
       |FROM documents""".stripMargin
 
+  /** PDF document-information harvest
+    * ([[graft.kernels.PdfTextExtractor.docInfo]]): /Info from the last
+    * trailer — literal /Title with escaped parens, /Author as UTF-16BE
+    * hex string (BOM) for non-Latin-1 names, /CreationDate `D:` form
+    * normalized to ISO with spec defaults for missing fields. Narrow
+    * per-row kernel map over generated PDF bytes.
+    */
+  def pdfInfo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val mm = ArticleGen.pad2(d % 12 + 1)
+        val dd = ArticleGen.pad2(d % 28 + 1)
+        val ss = ArticleGen.pad2(d % 60)
+        val title = s"Report (Q${d % 4}) $d"
+        val author = if (d % 2 == 0) s"Łukasz Müller ${d % 30}" else s"Author ${d % 30}"
+        val creation = if (d % 7 == 3) "2024" else s"2023$mm${dd}1230$ss"
+        val bytes = graft.gen.PagesGen.pdfBytesInfo(
+          Seq(Seq(s"body $d")), title, author, creation, utf16Author = d % 2 == 0)
+        val info = graft.kernels.PdfTextExtractor.docInfo(bytes)
+        (d, info.title, info.author, info.creationDate)
+      })
+      .toDF("doc_id", "title", "author", "creation_date")
+  }
+
+  val pdfInfoSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'Report (Q' || (doc_id % 4) || ') ' || doc_id AS title,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'Łukasz Müller ' || (doc_id % 30)
+      |       ELSE 'Author ' || (doc_id % 30) END AS author,
+      |  CASE WHEN doc_id % 7 = 3 THEN '2024-01-01T00:00:00'
+      |       ELSE '2023-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+      |            '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+      |            'T12:30:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') END AS creation_date
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pdf_info" -> (pdfInfo(_, _)),
     "q_html_markdown" -> (htmlMarkdown(_, _)),
     "q_license_meta" -> (licenseMeta(_, _)),
     "q_jsonld_article" -> (jsonldArticle(_, _)),
@@ -203,6 +240,7 @@ object ArticleOps {
     "q_soft404" -> (soft404(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_pdf_info" -> pdfInfoSql,
     "q_html_markdown" -> htmlMarkdownSql,
     "q_license_meta" -> licenseMetaSql,
     "q_jsonld_article" -> jsonldArticleSql,

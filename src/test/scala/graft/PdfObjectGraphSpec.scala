@@ -221,4 +221,33 @@ class PdfObjectGraphSpec extends AnyFunSuite {
     val r = PdfTextExtractor.extract(bytes)
     assert(r.pages.map(_.text).toSeq === Seq("orphan"))
   }
+
+  test("docInfo: literal escapes, UTF-16BE author, D: date normalization") {
+    val bytes = graft.gen.PagesGen.pdfBytesInfo(Seq(Seq("x")),
+      "A (nested) \\ title", "Łukasz Müller", "20230506123045", utf16Author = true)
+    val i = PdfTextExtractor.docInfo(bytes)
+    assert(i.title === "A (nested) \\ title")
+    assert(i.author === "Łukasz Müller")
+    assert(i.creationDate === "2023-05-06T12:30:45")
+  }
+
+  test("docInfo: partial dates default per spec; missing /Info is empty") {
+    val b = graft.gen.PagesGen.pdfBytesInfo(Seq(Seq("x")), "t", "a", "2024", utf16Author = false)
+    assert(PdfTextExtractor.docInfo(b).creationDate === "2024-01-01T00:00:00")
+    val b2 = graft.gen.PagesGen.pdfBytesInfo(Seq(Seq("x")), "t", "a", "202407", utf16Author = false)
+    assert(PdfTextExtractor.docInfo(b2).creationDate === "2024-07-01T00:00:00")
+    val plain = graft.gen.PagesGen.pdfBytes(Seq(Seq("x")), compress = false)
+    assert(PdfTextExtractor.docInfo(plain) === PdfTextExtractor.DocInfo("", "", ""))
+  }
+
+  test("docInfo: the LAST /Info trailer governs incrementally-updated files") {
+    val base = new String(graft.gen.PagesGen.pdfBytesInfo(Seq(Seq("x")),
+      "old title", "a", "2020", utf16Author = false), ISO_8859_1)
+    val updated = base +
+      "7 0 obj << /Title (new title) /Author (b) /CreationDate (D:2021) >> endobj\n" +
+      "trailer << /Root 1 0 R /Info 7 0 R >>\n%%EOF\n"
+    val i = PdfTextExtractor.docInfo(updated.getBytes(ISO_8859_1))
+    assert(i.title === "new title")
+    assert(i.creationDate === "2021-01-01T00:00:00")
+  }
 }
