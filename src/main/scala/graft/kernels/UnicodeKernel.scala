@@ -48,4 +48,40 @@ object UnicodeKernel {
     if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
     sb.toString.toUpperCase(java.util.Locale.ROOT).toLowerCase(java.util.Locale.ROOT)
   }
+
+  final case class ScriptMix(
+      nLetters: Long, nLatin: Long, nCyrillic: Long, nGreek: Long,
+      mixedWords: Long)
+
+  /** Per-document script profile + mixed-script word count — the
+    * homoglyph-spoofing signal ("pаypal" with a Cyrillic а) and the
+    * script-mix spam gate a multilingual corpus runs alongside language
+    * ID. A word counts as mixed when its LETTERS span ≥2 of
+    * {Latin, Cyrillic, Greek} (the confusable trio); COMMON/INHERITED
+    * marks are ignored per UTS #39's skeleton logic.
+    */
+  def scriptMix(s: String): ScriptMix = {
+    var letters = 0L; var latin = 0L; var cyr = 0L; var greek = 0L
+    var mixed = 0L
+    var wordScripts = 0 // bitmask: 1=latin 2=cyrillic 4=greek
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isWhitespace(cp)) {
+        if (Integer.bitCount(wordScripts) >= 2) mixed += 1
+        wordScripts = 0
+      } else if (Character.isLetter(cp)) {
+        letters += 1
+        Character.UnicodeScript.of(cp) match {
+          case Character.UnicodeScript.LATIN => latin += 1; wordScripts |= 1
+          case Character.UnicodeScript.CYRILLIC => cyr += 1; wordScripts |= 2
+          case Character.UnicodeScript.GREEK => greek += 1; wordScripts |= 4
+          case _ => ()
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    if (Integer.bitCount(wordScripts) >= 2) mixed += 1
+    ScriptMix(letters, latin, cyr, greek, mixed)
+  }
 }

@@ -622,10 +622,49 @@ object TextOps {
       |  'testfiss no. ' || lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) AS dedup_key
       |FROM documents""".stripMargin
 
+  /** Script-mix profile + homoglyph signal
+    * ([[graft.kernels.UnicodeKernel.scriptMix]]): per-doc letter counts
+    * by script and the count of words whose letters span ≥2 confusable
+    * scripts ("pаypal"). Decoration by doc_id appends a Latin-
+    * Cyrillic homoglyph word / pure Cyrillic / pure Greek so the oracle
+    * is arithmetic over the base text's letter count. Narrow kernel
+    * map, zero shuffle.
+    */
+  def scriptMixQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (d, t) =>
+        val decorated = (d % 4) match {
+          case 0 => t + " pаypal" // Latin + one Cyrillic а — mixed
+          case 1 => t + " привет"
+          case 2 => t + " λόγος"
+          case _ => t
+        }
+        val m = graft.kernels.UnicodeKernel.scriptMix(decorated)
+        (d, m.nLetters, m.nLatin, m.nCyrillic, m.nGreek, m.mixedWords)
+      })
+      .toDF("doc_id", "n_letters", "n_latin", "n_cyrillic", "n_greek", "mixed_words")
+  }
+
+  val scriptMixSql: String =
+    """WITH base AS (SELECT doc_id,
+      |    CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS nl
+      |  FROM documents)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  nl + CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 6 WHEN 2 THEN 5 ELSE 0 END AS n_letters,
+      |  nl + CASE WHEN doc_id % 4 = 0 THEN 5 ELSE 0 END AS n_latin,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 6 ELSE 0 END AS BIGINT) AS n_cyrillic,
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN 5 ELSE 0 END AS BIGINT) AS n_greek,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS mixed_words
+      |FROM base""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
     "q_dedup_key" -> (dedupKeyQ(_, _)),
+    "q_script_mix" -> (scriptMixQ(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_lang_id_cjk" -> (langIdCjk(_, _)),
@@ -644,6 +683,7 @@ object TextOps {
     "q_corpus_clean" -> corpusCleanSql,
     "q_mojibake_repair" -> mojibakeRepairSql,
     "q_dedup_key" -> dedupKeySql,
+    "q_script_mix" -> scriptMixSql,
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_lang_id_cjk" -> langIdCjkSql,

@@ -36,4 +36,18 @@ class UnicodeKeySpec extends AnyFunSuite {
     assert(a === b)
     assert(UnicodeKernel.dedupKey("different words") !== a)
   }
+
+  test("scriptMix: homoglyph words flag, pure-script words do not") {
+    val m = UnicodeKernel.scriptMix("pay with pаypal now") // Cyrillic а
+    assert(m.mixedWords === 1L)
+    assert(m.nCyrillic === 1L && m.nLatin === 15L)
+    val clean = UnicodeKernel.scriptMix("привет world λόγος")
+    assert(clean.mixedWords === 0L)
+    assert(clean.nCyrillic === 6L && clean.nLatin === 5L && clean.nGreek === 5L)
+    // digits/punct are not letters; CJK letters count but don't flag the trio
+    val cjk = UnicodeKernel.scriptMix("abc123 漢字!")
+    assert(cjk.nLetters === 5L && cjk.nLatin === 3L && cjk.mixedWords === 0L)
+    // trailing word without whitespace still evaluated
+    assert(UnicodeKernel.scriptMix("pаypal").mixedWords === 1L)
+  }
 }
