@@ -184,6 +184,19 @@ class PlanShapeSpec extends SparkTestBase {
       "q_dedup_simhash fingerprinting must be a shuffle-free projection")
   }
 
+  test("new narrow operators stay shuffle-free projections/kernel maps") {
+    Seq("q_html_markdown", "q_script_mix", "q_mojibake_repair", "q_dedup_key",
+      "q_embed_quantize", "q_jsonld_article", "q_pub_date", "q_pagination",
+      "q_soft404", "q_license_meta", "q_pdf_info").foreach { q =>
+      assert(!plan(q).contains("Exchange"),
+        s"$q must stay a zero-shuffle per-row map")
+    }
+    // DSIR scoring: the fit collects its 64-key table eagerly; the plan
+    // handed back (inlined log-ratio literals) must not shuffle
+    assert(!plan("q_dsir_select").contains("Exchange"),
+      "DSIR scoring must inline the driver-held log-ratio table")
+  }
+
   test("k-means final assignment is a shuffle-free projection over literals") {
     // the iterative updates run eagerly inside the query builder (256-key
     // partial-agg'd groupBy, collected as the model artifact); the plan
