@@ -660,11 +660,60 @@ object TextOps {
       |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS mixed_words
       |FROM base""".stripMargin
 
+  /** C4 line-level cleaning ([[graft.kernels.C4Filter]], Raffel et al.
+    * 2020 §2.2): each doc becomes a multi-line page built closed-form
+    * from its own words so EVERY rule fires — a 5-word kept line, a
+    * 3-word short line, a javascript line, a no-terminal-punct line, a
+    * second kept line, and (d%7==0) a "lorem ipsum" line that trips the
+    * page-level gate. The oracle reconstructs the kept text verbatim.
+    * Narrow kernel map, zero shuffle.
+    */
+  def c4LineFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "filter(split(text, ' '), w -> w != '') as ws")
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.map { case (d, ws) =>
+        def w(i: Int) = ws(i)
+        val lines = scala.collection.mutable.ArrayBuffer(
+          s"${w(0)} ${w(1)} ${w(2)} ${w(3)} ${w(4)}.",
+          s"${w(5)} ${w(6)} ${w(7)}.",
+          s"${w(8)} ${w(9)} javascript ${w(0)} ${w(1)}.",
+          s"${w(2)} ${w(3)} ${w(4)} ${w(5)} ${w(6)}",
+          s"${w(7)} ${w(8)} ${w(9)} ${w(0)} ${w(1)}?")
+        if (d % 7 == 0) lines += "lorem ipsum dolor sit amet."
+        val r = graft.kernels.C4Filter.filterLines(lines.mkString("\n"))
+        (d, r.kept, r.nLines, r.nKept, r.droppedPunct, r.droppedShort,
+          r.droppedJs, r.pageDropped)
+      })
+      .toDF("doc_id", "kept", "n_lines", "n_kept", "dropped_punct",
+        "dropped_short", "dropped_js", "page_dropped")
+  }
+
+  val c4LineFilterSql: String =
+    """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN '' ELSE
+      |    ws[1] || ' ' || ws[2] || ' ' || ws[3] || ' ' || ws[4] || ' ' || ws[5] || '.' ||
+      |    chr(10) ||
+      |    ws[8] || ' ' || ws[9] || ' ' || ws[10] || ' ' || ws[1] || ' ' || ws[2] || '?'
+      |  END AS kept,
+      |  CAST(5 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_lines,
+      |  CAST(2 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+      |  CAST(1 AS BIGINT) AS dropped_punct,
+      |  CAST(1 AS BIGINT) AS dropped_short,
+      |  CAST(1 AS BIGINT) AS dropped_js,
+      |  doc_id % 7 = 0 AS page_dropped
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
     "q_dedup_key" -> (dedupKeyQ(_, _)),
     "q_script_mix" -> (scriptMixQ(_, _)),
+    "q_c4_line_filter" -> (c4LineFilterQ(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_lang_id_cjk" -> (langIdCjk(_, _)),
@@ -684,6 +733,7 @@ object TextOps {
     "q_mojibake_repair" -> mojibakeRepairSql,
     "q_dedup_key" -> dedupKeySql,
     "q_script_mix" -> scriptMixSql,
+    "q_c4_line_filter" -> c4LineFilterSql,
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_lang_id_cjk" -> langIdCjkSql,
