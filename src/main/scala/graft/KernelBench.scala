@@ -54,6 +54,14 @@ object KernelBench {
       { graft.kernels.MetaKernel.extract(h, "http://h.example/p"); () })
     bench("table", pages, totalChars, "Mchar")(h =>
       { graft.kernels.TableKernel.extract(h); () })
+    bench("markdown", pages, totalChars, "Mchar")(h =>
+      { graft.kernels.MarkdownKernel.convert(h, "http://h.example/p"); () })
+    bench("article", pages, totalChars, "Mchar")(h =>
+      { graft.kernels.ArticleKernel.extract(h, "http://h.example/p"); () })
+    bench("mojibake", pages, totalChars, "Mchar")(h =>
+      { graft.kernels.MojibakeKernel.repair(h); () })
+    bench("dedupkey", pages, totalChars, "Mchar")(h =>
+      { graft.kernels.UnicodeKernel.dedupKey(h); () })
 
     // multi-threaded extract: aggregate docs/s with T raw JVM threads
     // (no Spark) — isolates allocation/GC-bandwidth scaling of the kernel
