@@ -110,6 +110,42 @@ object ArticleGen {
     sb.toString
   }
 
+  /** i18n page for q_declared_lang / q_hreflang_alternates. Closed-form:
+    * html lang by d%5 (en-US / de / FR / " es " / absent — subtag,
+    * case, trim all load-bearing); og:locale iff d%3==0 from a 4-locale
+    * wheel; d%4 hreflang alternates over [en, de, fr] plus x-default
+    * iff d%6==0; an RSS rel=alternate decoy WITHOUT hreflang always
+    * present (must be excluded).
+    */
+  def i18nHtml(d: Long): String = {
+    val langAttr = (d % 5) match {
+      case 0 => """ lang="en-US""""
+      case 1 => """ lang="de""""
+      case 2 => """ lang="FR""""
+      case 3 => """ lang=" es """"
+      case _ => ""
+    }
+    val sb = new StringBuilder(512)
+    sb ++= s"<html$langAttr><head><title>i18n $d</title>"
+    if (d % 3 == 0) {
+      val loc = (d % 4) match {
+        case 0 => "en_US"; case 1 => "de_DE"; case 2 => "fr_FR"; case _ => "es_ES"
+      }
+      sb ++= s"""<meta property="og:locale" content="$loc">"""
+    }
+    val langs = Array("en", "de", "fr")
+    var i = 0
+    while (i < (d % 4).toInt) {
+      sb ++= s"""<link rel="alternate" hreflang="${langs(i)}" href="/l/${langs(i)}/p$d.html">"""
+      i += 1
+    }
+    if (d % 6 == 0)
+      sb ++= s"""<link rel="alternate" hreflang="x-default" href="/l/p$d.html">"""
+    sb ++= """<link rel="alternate" type="application/rss+xml" href="/feed.xml">"""
+    sb ++= s"</head><body><p>body $d</p></body></html>"
+    sb.toString
+  }
+
   /** Structured page for the q_html_markdown oracle — every markdown
     * construct closed-form in d: h1/h2, bold + resolved link in a
     * paragraph, ul with 2+d%3 items, ol, fenced pre/code, blockquote

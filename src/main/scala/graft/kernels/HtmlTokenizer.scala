@@ -59,6 +59,12 @@ object HtmlTokenizer {
     def scriptType(tpe: String): Unit = ()
     /** `<time datetime=...>` open (attrs mode). */
     def timeDatetime(dt: String): Unit = ()
+    /** `<link hreflang=...>` (attrs mode), alongside `headLink` —
+      * language-alternate cluster harvest (i18n SEO).
+      */
+    def headLinkLang(rel: String, href: String, hreflang: String): Unit = ()
+    /** `<html lang=...>` (attrs mode): the page's declared language. */
+    def htmlLang(lang: String): Unit = ()
   }
 
   private val VoidTags: Set[String] = Set(
@@ -387,6 +393,8 @@ object HtmlTokenizer {
       var aProperty: String = null
       var aType: String = null
       var aDatetime: String = null
+      var aHreflang: String = null
+      var aLang: String = null
       // attribute loop
       var done = false
       while (!done && i < n) {
@@ -419,6 +427,8 @@ object HtmlTokenizer {
               else if (aLen == 8 && html.regionMatches(true, aStart, "property", 0, 8)) 6
               else if (aLen == 4 && html.regionMatches(true, aStart, "type", 0, 4)) 7
               else if (aLen == 8 && html.regionMatches(true, aStart, "datetime", 0, 8)) 8
+              else if (aLen == 8 && html.regionMatches(true, aStart, "hreflang", 0, 8)) 9
+              else if (aLen == 4 && html.regionMatches(true, aStart, "lang", 0, 4)) 10
               else 0
             while (i < n && html.charAt(i).isWhitespace) i += 1
             var av: String = null
@@ -452,6 +462,8 @@ object HtmlTokenizer {
               case 6 => aProperty = av
               case 7 => aType = av
               case 8 => aDatetime = decodeAttrValue(av)
+              case 9 => aHreflang = av
+              case 10 => aLang = av
               case _ => ()
             }
           }
@@ -469,12 +481,16 @@ object HtmlTokenizer {
             if (aContent == null) "" else aContent)
         else if (name == "base" && aHref != null)
           sink.base(aHref)
-        else if (name == "link" && aHref != null)
+        else if (name == "link" && aHref != null) {
           sink.headLink(if (aRel == null) "" else aRel, aHref)
-        else if (name == "script")
+          if (aHreflang != null)
+            sink.headLinkLang(if (aRel == null) "" else aRel, aHref, aHreflang)
+        } else if (name == "script")
           sink.scriptType(if (aType == null) "" else aType)
         else if (name == "time" && aDatetime != null)
           sink.timeDatetime(aDatetime)
+        else if (name == "html" && aLang != null)
+          sink.htmlLang(aLang)
       }
       if (!selfClosing && !void && RawText.contains(name)) {
         // raw-text mode: find case-insensitive "</name"

@@ -230,7 +230,65 @@ object ArticleOps {
       |            'T12:30:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') END AS creation_date
       |FROM documents""".stripMargin
 
+  /** Declared-language harvest ([[graft.kernels.I18nKernel]]): html
+    * lang (raw + normalized BCP 47 primary subtag) and og:locale — the
+    * declared side of the declared-vs-detected language gate. Narrow
+    * kernel map.
+    */
+  def declaredLang(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val m = graft.kernels.I18nKernel.extract(
+          ArticleGen.i18nHtml(d), ArticleGen.pageUrl(d))
+        (d, m.htmlLang, m.htmlLangRaw, m.ogLocale)
+      })
+      .toDF("doc_id", "html_lang", "html_lang_raw", "og_locale")
+  }
+
+  val declaredLangSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+      |       WHEN 3 THEN 'es' ELSE '' END AS html_lang,
+      |  CASE doc_id % 5 WHEN 0 THEN 'en-US' WHEN 1 THEN 'de' WHEN 2 THEN 'FR'
+      |       WHEN 3 THEN 'es' ELSE '' END AS html_lang_raw,
+      |  CASE WHEN doc_id % 3 = 0 THEN
+      |    CASE doc_id % 4 WHEN 0 THEN 'en_US' WHEN 1 THEN 'de_DE'
+      |         WHEN 2 THEN 'fr_FR' ELSE 'es_ES' END
+      |  ELSE '' END AS og_locale
+      |FROM documents""".stripMargin
+
+  /** rel=alternate hreflang cluster, exploded to (doc_id, hreflang,
+    * alt_url) rows — the language-variant grouping key. The RSS
+    * alternate decoy (no hreflang) must not appear.
+    */
+  def hreflangAlternates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .flatMap { d =>
+        graft.kernels.I18nKernel.extract(ArticleGen.i18nHtml(d), ArticleGen.pageUrl(d))
+          .alternates.map { case (l, u) => (d, l, u) }
+      }
+      .toDF("doc_id", "hreflang", "alt_url")
+  }
+
+  val hreflangAlternatesSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+      |n AS (SELECT doc_id, unnest(range(0, doc_id % 4)) AS i FROM d),
+      |langs AS (SELECT doc_id, i,
+      |    CASE i WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS hreflang
+      |  FROM n)
+      |SELECT doc_id, hreflang,
+      |  'http://host' || (doc_id % 20) || '.example/l/' || hreflang || '/p' || doc_id || '.html' AS alt_url
+      |FROM langs
+      |UNION ALL
+      |SELECT doc_id, 'x-default' AS hreflang,
+      |  'http://host' || (doc_id % 20) || '.example/l/p' || doc_id || '.html' AS alt_url
+      |FROM d WHERE doc_id % 6 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_declared_lang" -> (declaredLang(_, _)),
+    "q_hreflang_alternates" -> (hreflangAlternates(_, _)),
     "q_pdf_info" -> (pdfInfo(_, _)),
     "q_html_markdown" -> (htmlMarkdown(_, _)),
     "q_license_meta" -> (licenseMeta(_, _)),
@@ -240,6 +298,8 @@ object ArticleOps {
     "q_soft404" -> (soft404(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_declared_lang" -> declaredLangSql,
+    "q_hreflang_alternates" -> hreflangAlternatesSql,
     "q_pdf_info" -> pdfInfoSql,
     "q_html_markdown" -> htmlMarkdownSql,
     "q_license_meta" -> licenseMetaSql,
