@@ -107,6 +107,47 @@ object RankOps {
       |  hsum > 128 * n_words AS pass
       |FROM s""".stripMargin
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the two retrieval
+    * paths this library ships: BM25 lexical top-10 and dense cosine
+    * top-5 (query vector 0) — the standard hybrid-retrieval combiner,
+    * score = Σ_lists 1/(60 + rank). Both input lists reuse the
+    * production queries unchanged; the fused candidate set is ≤15 rows,
+    * so the final ranking window is driver-scale by construction (the
+    * heavy lifting — corpus scoring, bounded top-k — happened inside
+    * the input queries' plans).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val bm = bm25TopK(spark, dir).selectExpr("doc_id as b_id", "rk")
+    val dn = SimilarityOps.annBrute(spark, dir)
+      .where("q_id = 0 AND rn <= 5").selectExpr("n_id as a_id", "rn")
+    bm.join(dn, col("b_id") === col("a_id"), "full")
+      .selectExpr(
+        "cast(coalesce(b_id, a_id) as bigint) as doc_id",
+        "b_id is not null as in_bm25",
+        "a_id is not null as in_dense",
+        // D suffix: Spark's bare 1.0 literal is DECIMAL, like DuckDB's
+        "coalesce(1.0D / (60 + rk), 0.0D) + coalesce(1.0D / (60 + rn), 0.0D) as rrf0")
+      .selectExpr("doc_id", "in_bm25", "in_dense", "round(rrf0, 6) as rrf",
+        "cast(row_number() over (order by rrf0 desc, doc_id) as bigint) as fused_rank")
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH b0 AS ($bm25TopKSql),
+       |b AS (SELECT doc_id AS b_id, rk FROM b0),
+       |a0 AS (${SimilarityOps.annBruteSql}),
+       |a AS (SELECT n_id AS a_id, rn FROM a0 WHERE q_id = 0 AND rn <= 5),
+       |f AS (SELECT coalesce(b_id, a_id) AS doc_id,
+       |    b_id IS NOT NULL AS in_bm25, a_id IS NOT NULL AS in_dense,
+       |    -- ::DOUBLE: DuckDB's bare 1.0 is DECIMAL and would carry
+       |    -- decimal typing through round() into the hash compare
+       |    coalesce(1.0::DOUBLE / (60 + rk), 0.0::DOUBLE)
+       |      + coalesce(1.0::DOUBLE / (60 + rn), 0.0::DOUBLE) AS rrf0
+       |  FROM b FULL JOIN a ON a_id = b_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, in_bm25, in_dense,
+       |  round(rrf0, 6) AS rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf0 DESC, doc_id) AS BIGINT) AS fused_rank
+       |FROM f""".stripMargin
+
   /** DSIR-style data selection (Data Selection via Importance
     * Resampling, Xie et al. 2023 — public method): hashed unigram
     * features, a target distribution fit on the small high-quality
@@ -208,11 +249,13 @@ object RankOps {
     "q_bm25_topk" -> (bm25TopK(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_dsir_select" -> (dsirSelect(_, _)),
+    "q_rrf_fusion" -> (rrfFusion(_, _)),
     "q_inverted_index" -> (invertedIndex(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_dsir_select" -> dsirSelectSql,
+    "q_rrf_fusion" -> rrfFusionSql,
     "q_inverted_index" -> invertedIndexSql)
 }
