@@ -69,12 +69,28 @@ trait TableFormat {
     */
   def compact(spark: SparkSession, table: String, partitionCol: String,
       targetBytes: Long): TableFormat.CompactStats
+
+  /** Orphan-file cleanup (the Iceberg `CALL system.remove_orphan_files`
+    * analog). In a directory table the committed content is exactly
+    * what the reader scans; the orphans are what it NEVER scans —
+    * underscore/dot-prefixed paths Spark's FileIndex skips: `_temporary`
+    * job attempt trees left by killed writers, `.crc` sidecars,
+    * `_SUCCESS` markers. A killed 100 TB job can leave a full copy of
+    * its output invisible under `_temporary`; without vacuum that space
+    * is never reclaimed. Only entries older than `graceMs` are removed
+    * so an IN-FLIGHT writer's live `_temporary` tree survives (the same
+    * `older_than` guard the Iceberg procedure takes). Idempotent.
+    */
+  def vacuum(table: String, graceMs: Long): TableFormat.VacuumStats
 }
 
 object TableFormat {
   /** Rewrite report: partitions touched, data files before/after. */
   final case class CompactStats(
       partitionsRewritten: Long, filesBefore: Long, filesAfter: Long)
+
+  /** Cleanup report. */
+  final case class VacuumStats(filesDeleted: Long, bytesFreed: Long)
 }
 
 /** Parquet-directory implementation. */
@@ -185,6 +201,45 @@ object ParquetFormat extends TableFormat {
       } else after += files.length
     }
     TableFormat.CompactStats(rewritten, before, after)
+  }
+
+  /** Walks the table tree; a path is orphaned iff SOME element under the
+    * table root starts with `_` or `.` (Spark's FileIndex skip rule —
+    * everything below such an element is invisible to reads, including
+    * normally-named part files inside `_temporary`). Deletion is
+    * file-by-file with the age guard on each file; emptied invisible
+    * directories are pruned bottom-up.
+    */
+  override def vacuum(table: String, graceMs: Long): TableFormat.VacuumStats = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    var files = 0L
+    var bytes = 0L
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
+    def sweep(dir: java.io.File, underHidden: Boolean): Unit = {
+      val entries = dir.listFiles()
+      if (entries == null) return
+      entries.foreach { e =>
+        val h = underHidden || hidden(e.getName)
+        if (e.isDirectory) {
+          sweep(e, h)
+          // prune an invisible dir once empty — no age guard here: the
+          // grace applied to every file inside, and deleting those files
+          // refreshes the dir's own mtime anyway; an empty invisible dir
+          // is never read and a writer recreates it for free
+          if (h) {
+            val left = e.listFiles()
+            if (left == null || left.isEmpty) e.delete()
+          }
+        } else if (h && e.lastModified() < cutoff) {
+          val len = e.length()
+          if (e.delete()) { files += 1; bytes += len }
+        }
+      }
+    }
+    val root = new java.io.File(table)
+    if (root.isDirectory) sweep(root, underHidden = false)
+    TableFormat.VacuumStats(files, bytes)
   }
 
   /** Copy-on-write merge, partition-scoped: the rewritten set is the

@@ -53,4 +53,47 @@ class CompactSpec extends SparkTestBase {
     // compaction never SPLITS (it only merges), so still untouched
     assert(ParquetFormat.compact(spark, table, "day", 1L).partitionsRewritten === 0L)
   }
+
+  test("vacuum removes aged invisible files, keeps live ones and all data") {
+    val table = tmpDir("vacuum") + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "day")
+      .write.partitionBy("day").parquet(table)
+    val expected = ParquetFormat.read(spark, table)
+      .orderBy("id").collect().map(_.toString).toSeq
+
+    // plant orphans: a killed writer's _temporary tree (with a normally-
+    // named part file INSIDE it), a .crc sidecar, the _SUCCESS marker
+    val tmp = new java.io.File(s"$table/_temporary/0/task_1")
+    assert(tmp.mkdirs())
+    val orphanPart = new java.io.File(tmp, "part-00000.parquet")
+    java.nio.file.Files.write(orphanPart.toPath, Array.fill[Byte](64)(1))
+    val crc = new java.io.File(s"$table/day=a/.part-x.crc")
+    java.nio.file.Files.write(crc.toPath, Array.fill[Byte](8)(1))
+    // a FRESH _temporary file (in-flight writer) must survive the grace
+    val live = new java.io.File(s"$table/_temporary/0/live.parquet")
+    java.nio.file.Files.write(live.toPath, Array.fill[Byte](16)(1))
+    // age everything except `live`
+    val old = System.currentTimeMillis() - 3600 * 1000
+    Seq(orphanPart, crc, tmp, tmp.getParentFile, tmp.getParentFile.getParentFile)
+      .foreach(f => f.setLastModified(old))
+    new java.io.File(table).listFiles().filter(_.getName == "_SUCCESS")
+      .foreach(_.setLastModified(old))
+
+    val stats = ParquetFormat.vacuum(table, graceMs = 60 * 1000)
+    assert(stats.filesDeleted >= 3L) // orphan part + crc + _SUCCESS
+    assert(stats.bytesFreed >= 72L)
+    assert(!orphanPart.exists() && !crc.exists())
+    assert(live.exists(), "fresh in-flight file must survive the grace period")
+    // table content unchanged
+    val after = ParquetFormat.read(spark, table)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after === expected)
+    // second pass with everything aged removes the leftover live file
+    live.setLastModified(old)
+    live.getParentFile.setLastModified(old)
+    ParquetFormat.vacuum(table, graceMs = 60 * 1000)
+    assert(!live.exists())
+    assert(!new java.io.File(s"$table/_temporary").exists(),
+      "emptied _temporary tree should be pruned")
+  }
 }
