@@ -242,6 +242,55 @@ object LinkOps {
       |    ELSE TRUE END AS allowed
       |FROM documents""".stripMargin
 
+  /** Per-host crawl-budget allocation: a fixed fetch budget (1000
+    * slots) split across hosts proportionally to their word volume by
+    * the largest-remainder method — the standard way a crawl scheduler
+    * turns continuous priority into integer page quotas that sum
+    * EXACTLY to the budget. All arithmetic is integer (base = ⌊B·w/W⌋,
+    * remainders ranked for the leftover), so the result is exact in
+    * both engines — no float quota can drift.
+    *
+    * 100 TB shape: one partial-agg'd rollup to host rows (the hosts
+    * table is metadata-scale), a one-row total broadcast back, and a
+    * remainder-rank window over host rows only — never over documents.
+    */
+  def crawlBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val hosts = pages(spark, dir)
+      .toDF("d")
+      .selectExpr("d % 50 as host_id", "3 + d % 7 as words") // per-doc volume proxy
+      .groupBy("host_id")
+      .agg(expr("cast(sum(words) as bigint) as w"))
+    val tot = hosts.agg(expr("cast(sum(w) as bigint) as tw"))
+    val based = hosts.crossJoin(broadcast(tot))
+      .selectExpr("host_id", "w",
+        s"cast($budget * w div tw as bigint) as base", // div: true integer quotient
+        s"cast($budget * w % tw as bigint) as rem", "tw")
+    based
+      .selectExpr("host_id", "w", "base", "rem",
+        "cast(row_number() over (order by rem desc, host_id) as bigint) as rr",
+        s"cast($budget as bigint) - sum(base) over () as leftover")
+      .selectExpr("cast(host_id as bigint) as host_id", "w",
+        "base + (case when rr <= leftover then 1 else 0 end) as alloc")
+  }
+
+  val crawlBudgetSql: String =
+    """WITH h AS (SELECT CAST(doc_id % 50 AS BIGINT) AS host_id,
+      |    CAST(sum(3 + doc_id % 7) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM h),
+      |b AS (SELECT host_id, w,
+      |    CAST(1000 * w // tw AS BIGINT) AS base,
+      |    CAST(1000 * w % tw AS BIGINT) AS rem
+      |  FROM h CROSS JOIN t),
+      |r AS (SELECT host_id, w, base,
+      |    CAST(row_number() OVER (ORDER BY rem DESC, host_id) AS BIGINT) AS rr,
+      |    1000 - sum(base) OVER () AS leftover
+      |  FROM b)
+      |SELECT host_id, w,
+      |  CAST(base + (CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+      |FROM r""".stripMargin
+
   /** HITS hubs/authorities (Kleinberg 1999) over the weighted domain
     * graph — the complement to PageRank for link analysis: hubs are
     * pages that point at good sources, authorities are the sources. 5
@@ -678,6 +727,7 @@ object LinkOps {
     "q_pagerank" -> (pagerank(_, _)),
     "q_robots_txt_gate" -> (robotsTxtGate(_, _)),
     "q_hits_scores" -> (hitsScores(_, _)),
+    "q_crawl_budget" -> (crawlBudget(_, _)),
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
     "q_feed_items" -> (feedItems(_, _)),
@@ -696,6 +746,7 @@ object LinkOps {
     "q_pagerank" -> pagerankSql,
     "q_robots_txt_gate" -> robotsTxtGateSql,
     "q_hits_scores" -> hitsScoresSql,
+    "q_crawl_budget" -> crawlBudgetSql,
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
     "q_feed_items" -> feedItemsSql,
