@@ -66,4 +66,19 @@ class GoldenHtmlSpec extends AnyFunSuite {
       leaked.foreach(s => assert(!text.contains(s), s"'$s' leaked in $p"))
     }
   }
+
+  // Markdown mode is structure-preserving BY DESIGN (it keeps nav/footer
+  // — boilerplate stripping is MainTextExtractor's job), so its goldens
+  // freeze the full structural rendering: heading levels, list markers,
+  // resolved link targets, fenced code, inline bold/italic.
+  Seq("blog_post", "docs_page").foreach { name =>
+    test(s"golden markdown: $name converts to frozen markdown byte-identically") {
+      val html = new String(Files.readAllBytes(dir.resolve(s"$name.html")), UTF_8)
+      val expected = new String(
+        Files.readAllBytes(dir.resolve(s"$name.expected.md")), UTF_8)
+      val md = graft.kernels.MarkdownKernel.convert(
+        html, s"http://golden.example/$name.html")
+      assert(md === expected, s"markdown drift on $name — review and re-freeze if intended")
+    }
+  }
 }

@@ -41,6 +41,35 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: metadata-tier kernels are total on arbitrary strings") {
+    val u = "http://h.example/p"
+    check("article-total", Prop.forAll { (s: String) =>
+      graft.kernels.ArticleKernel.extract(s, u); true
+    })
+    check("markdown-total", Prop.forAll { (s: String) =>
+      graft.kernels.MarkdownKernel.convert(s, u); true
+    })
+    check("compliance-total", Prop.forAll { (s: String) =>
+      graft.kernels.ComplianceKernel.extract(s, u); true
+    })
+    check("i18n-total", Prop.forAll { (s: String) =>
+      graft.kernels.I18nKernel.extract(s, u); true
+    })
+    check("dedupkey-total", Prop.forAll { (s: String) =>
+      graft.kernels.UnicodeKernel.dedupKey(s)
+      graft.kernels.UnicodeKernel.scriptMix(s); true
+    })
+    check("c4-total", Prop.forAll { (s: String) =>
+      graft.kernels.C4Filter.filterLines(s); true
+    })
+    // docInfo on arbitrary bytes (the /Info path through the object index)
+    val bytesGen = Gen.choose(0, 1024).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    check("docinfo-total", Prop.forAll(bytesGen) { bs =>
+      PdfTextExtractor.docInfo("%PDF-1.4 /Info 5 0 R ".getBytes ++ bs.toArray); true
+    }, n = 100)
+  }
+
   test("property: PDF extractor is total on arbitrary bytes") {
     val bytesGen = Gen.choose(0, 2048).flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
     check("pdf-total", Prop.forAll(bytesGen) { bs =>
