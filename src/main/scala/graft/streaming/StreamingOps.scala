@@ -399,12 +399,87 @@ object StreamingOps {
       |    AS BIGINT) AS sched_us
       |FROM e""".stripMargin
 
+  /** ORACLE-GATED streaming dedup: a real multi-micro-batch
+    * `dropDuplicates` run — the frontier's "have I seen this key"
+    * stage as a stream. The events table is staged as 4 strict time
+    * slices picked up one file per trigger, so duplicate keys arrive
+    * across DIFFERENT micro-batches and only cross-batch state can
+    * drop them; the memory sink (Append) then holds exactly one row
+    * per key over the whole run. Only the KEY columns are projected —
+    * which physical row survives a within-batch tie is engine's
+    * choice, the key set is not — so the DuckDB compare grades the
+    * deduped set exactly. Unbounded key state is the honest choice for
+    * a finite replay (the watermark-evicting variant,
+    * [[dedupUrlWithinWatermark]], is spec-covered: eviction would
+    * re-admit late duplicates here and break exactness).
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("cast(user_id as long) as user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+    val (minUs, maxUs) = {
+      val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nSlices = 4
+    val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
+    val stage = java.nio.file.Files.createTempDirectory("stream_dedup_src")
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = stage.resolve(s"tmp_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      staged += dest
+    }
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    try {
+      (0 until nSlices).foreach { i =>
+        val lo = minUs + i * spanUs
+        val hi = if (i == nSlices - 1) Long.MaxValue else lo + spanUs
+        stageSlice(ev.filter(col("ts_us") >= lo && col("ts_us") < hi),
+          f"slice-$i%03d", base + i * 10000L)
+      }
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("ts_us", LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val deduped = src.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally {
+      staged.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+      |FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_host_slots" -> (streamHostSlots(_, _)),
     "q_stream_hourly" -> (streamHourlyEvents(_, _)),
     "q_stream_sessionize" -> (streamSessionize(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_dedup" -> streamDedupSql,
     "q_stream_host_slots" -> streamHostSlotsSql,
     "q_stream_hourly" -> streamHourlyEventsSql,
     "q_stream_sessionize" -> streamSessionizeSql)
