@@ -146,6 +146,37 @@ object ArticleGen {
     sb.toString
   }
 
+  /** Image-gallery page for q_image_alt_pairs. Closed-form: 1+d%4
+    * images; image 0 is lazy-load (`data-src`, no `src`) iff d%5==0;
+    * alt "" iff (d+i)%3==2 else entity-bearing "Photo d-i &amp;
+    * caption"; srcset (1x/2x pair) iff (d+i)%2==0; a url-less decoy img
+    * that must be skipped.
+    */
+  def galleryHtml(d: Long): String = {
+    val n = 1 + (d % 4).toInt
+    val sb = new StringBuilder(512)
+    sb ++= s"<html><body><h1>Gallery $d</h1>"
+    sb ++= """<img alt="decorative decoy without any url">"""
+    var i = 0
+    while (i < n) {
+      val alt =
+        if (d % 5 == 0 && i == 0) s"Lazy $d"
+        else if ((d + i) % 3 == 2) ""
+        else s"Photo $d-$i &amp; caption"
+      val srcAttr =
+        if (d % 5 == 0 && i == 0) s"""data-src="/img/${d}_$i.jpg""""
+        else s"""src="/img/${d}_$i.jpg""""
+      val srcset =
+        if ((d + i) % 2 == 0)
+          s""" srcset="/img/${d}_$i@1x.jpg 1x, /img/${d}_$i@2x.jpg 2x""""
+        else ""
+      sb ++= s"""<img $srcAttr alt="$alt"$srcset>"""
+      i += 1
+    }
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
   /** Structured page for the q_html_markdown oracle — every markdown
     * construct closed-form in d: h1/h2, bold + resolved link in a
     * paragraph, ul with 2+d%3 items, ol, fenced pre/code, blockquote

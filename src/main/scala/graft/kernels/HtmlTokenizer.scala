@@ -65,6 +65,10 @@ object HtmlTokenizer {
     def headLinkLang(rel: String, href: String, hreflang: String): Unit = ()
     /** `<html lang=...>` (attrs mode): the page's declared language. */
     def htmlLang(lang: String): Unit = ()
+    /** `<img>` (attrs mode): src/alt/srcset plus the lazy-load
+      * `data-src`; absent attrs arrive as "". Values entity-decoded.
+      */
+    def image(src: String, alt: String, srcset: String, dataSrc: String): Unit = ()
   }
 
   private val VoidTags: Set[String] = Set(
@@ -395,6 +399,10 @@ object HtmlTokenizer {
       var aDatetime: String = null
       var aHreflang: String = null
       var aLang: String = null
+      var aSrc: String = null
+      var aAlt: String = null
+      var aSrcset: String = null
+      var aDataSrc: String = null
       // attribute loop
       var done = false
       while (!done && i < n) {
@@ -429,6 +437,10 @@ object HtmlTokenizer {
               else if (aLen == 8 && html.regionMatches(true, aStart, "datetime", 0, 8)) 8
               else if (aLen == 8 && html.regionMatches(true, aStart, "hreflang", 0, 8)) 9
               else if (aLen == 4 && html.regionMatches(true, aStart, "lang", 0, 4)) 10
+              else if (aLen == 3 && html.regionMatches(true, aStart, "src", 0, 3)) 11
+              else if (aLen == 3 && html.regionMatches(true, aStart, "alt", 0, 3)) 12
+              else if (aLen == 6 && html.regionMatches(true, aStart, "srcset", 0, 6)) 13
+              else if (aLen == 8 && html.regionMatches(true, aStart, "data-src", 0, 8)) 14
               else 0
             while (i < n && html.charAt(i).isWhitespace) i += 1
             var av: String = null
@@ -464,6 +476,10 @@ object HtmlTokenizer {
               case 8 => aDatetime = decodeAttrValue(av)
               case 9 => aHreflang = av
               case 10 => aLang = av
+              case 11 => aSrc = decodeAttrValue(av)
+              case 12 => aAlt = decodeAttrValue(av)
+              case 13 => aSrcset = decodeAttrValue(av)
+              case 14 => aDataSrc = decodeAttrValue(av)
               case _ => ()
             }
           }
@@ -491,6 +507,12 @@ object HtmlTokenizer {
           sink.timeDatetime(aDatetime)
         else if (name == "html" && aLang != null)
           sink.htmlLang(aLang)
+        else if (name == "img" &&
+          (aSrc != null || aSrcset != null || aDataSrc != null))
+          sink.image(if (aSrc == null) "" else aSrc,
+            if (aAlt == null) "" else aAlt,
+            if (aSrcset == null) "" else aSrcset,
+            if (aDataSrc == null) "" else aDataSrc)
       }
       if (!selfClosing && !void && RawText.contains(name)) {
         // raw-text mode: find case-insensitive "</name"

@@ -286,7 +286,40 @@ object ArticleOps {
       |  'http://host' || (doc_id % 20) || '.example/l/p' || doc_id || '.html' AS alt_url
       |FROM d WHERE doc_id % 6 = 0""".stripMargin
 
+  /** LAION-style image-text pair harvest
+    * ([[graft.kernels.ImageKernel]]): per-page (image URL, alt text)
+    * rows with srcset variant count and the highest-density candidate —
+    * src/data-src lazy-load fallback, entity-decoded collapsed alt,
+    * url-less decorative images skipped. Narrow flatMap, zero shuffle.
+    */
+  def imageAltPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .flatMap { d =>
+        graft.kernels.ImageKernel.extract(ArticleGen.galleryHtml(d), ArticleGen.pageUrl(d))
+          .zipWithIndex.map { case (r, i) =>
+            (d, i.toLong, r.url, r.alt, r.nVariants.toLong, r.bestVariant)
+          }
+      }
+      .toDF("doc_id", "img_idx", "img_url", "alt", "n_variants", "best_variant")
+  }
+
+  val imageAltPairsSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents),
+      |i AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS i FROM d)
+      |SELECT doc_id, CAST(i AS BIGINT) AS img_idx,
+      |  'http://host' || (doc_id % 20) || '.example/img/' || doc_id || '_' || i || '.jpg' AS img_url,
+      |  CASE WHEN doc_id % 5 = 0 AND i = 0 THEN 'Lazy ' || doc_id
+      |       WHEN (doc_id + i) % 3 = 2 THEN ''
+      |       ELSE 'Photo ' || doc_id || '-' || i || ' & caption' END AS alt,
+      |  CAST(CASE WHEN (doc_id + i) % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_variants,
+      |  CASE WHEN (doc_id + i) % 2 = 0
+      |       THEN 'http://host' || (doc_id % 20) || '.example/img/' || doc_id || '_' || i || '@2x.jpg'
+      |       ELSE '' END AS best_variant
+      |FROM i""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_alt_pairs" -> (imageAltPairs(_, _)),
     "q_declared_lang" -> (declaredLang(_, _)),
     "q_hreflang_alternates" -> (hreflangAlternates(_, _)),
     "q_pdf_info" -> (pdfInfo(_, _)),
@@ -298,6 +331,7 @@ object ArticleOps {
     "q_soft404" -> (soft404(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_image_alt_pairs" -> imageAltPairsSql,
     "q_declared_lang" -> declaredLangSql,
     "q_hreflang_alternates" -> hreflangAlternatesSql,
     "q_pdf_info" -> pdfInfoSql,
