@@ -146,6 +146,29 @@ object ArticleGen {
     sb.toString
   }
 
+  /** Refresh page for q_meta_refresh. Closed-form: d%4==0 → refresh
+    * with `URL=` (uppercase, quoted) target /next/d.html and delay
+    * d%30; d%4==1 → lowercase unquoted with comma separator, absolute
+    * target on another host; d%4==2 → reload-only refresh (no url — not
+    * a redirect); d%4==3 → none. A pragma decoy meta always present.
+    */
+  def refreshHtml(d: Long): String = {
+    val sb = new StringBuilder(256)
+    sb ++= "<html><head>"
+    sb ++= """<meta http-equiv="pragma" content="no-cache">"""
+    (d % 4) match {
+      case 0 =>
+        sb ++= s"""<meta http-equiv="Refresh" content="${d % 30}; URL='/next/$d.html'">"""
+      case 1 =>
+        sb ++= s"""<meta http-equiv="refresh" content="${d % 30},url=http://moved$d.example/p">"""
+      case 2 =>
+        sb ++= s"""<meta http-equiv="refresh" content="${d % 30}">"""
+      case _ => ()
+    }
+    sb ++= s"</head><body><p>page $d</p></body></html>"
+    sb.toString
+  }
+
   /** Image-gallery page for q_image_alt_pairs. Closed-form: 1+d%4
     * images; image 0 is lazy-load (`data-src`, no `src`) iff d%5==0;
     * alt "" iff (d+i)%3==2 else entity-bearing "Photo d-i &amp;

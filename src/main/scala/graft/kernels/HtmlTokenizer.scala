@@ -403,6 +403,7 @@ object HtmlTokenizer {
       var aAlt: String = null
       var aSrcset: String = null
       var aDataSrc: String = null
+      var aHttpEquiv: String = null
       // attribute loop
       var done = false
       while (!done && i < n) {
@@ -437,6 +438,7 @@ object HtmlTokenizer {
               else if (aLen == 8 && html.regionMatches(true, aStart, "datetime", 0, 8)) 8
               else if (aLen == 8 && html.regionMatches(true, aStart, "hreflang", 0, 8)) 9
               else if (aLen == 4 && html.regionMatches(true, aStart, "lang", 0, 4)) 10
+              else if (aLen == 10 && html.regionMatches(true, aStart, "http-equiv", 0, 10)) 15
               else if (aLen == 3 && html.regionMatches(true, aStart, "src", 0, 3)) 11
               else if (aLen == 3 && html.regionMatches(true, aStart, "alt", 0, 3)) 12
               else if (aLen == 6 && html.regionMatches(true, aStart, "srcset", 0, 6)) 13
@@ -480,6 +482,7 @@ object HtmlTokenizer {
               case 12 => aAlt = decodeAttrValue(av)
               case 13 => aSrcset = decodeAttrValue(av)
               case 14 => aDataSrc = decodeAttrValue(av)
+              case 15 => aHttpEquiv = av
               case _ => ()
             }
           }
@@ -491,9 +494,14 @@ object HtmlTokenizer {
       if (attrs) {
         if (name == "a" && aHref != null)
           sink.link(aHref, if (aRel == null) "" else aRel)
-        else if (name == "meta" && (aName != null || aProperty != null))
-          // property= (OpenGraph) rides the same event when name= is absent
-          sink.meta(if (aName != null) aName else aProperty,
+        else if (name == "meta" &&
+          (aName != null || aProperty != null || aHttpEquiv != null))
+          // property= (OpenGraph) and http-equiv= (refresh/pragma) ride
+          // the same event when name= is absent, in that priority order
+          sink.meta(
+            if (aName != null) aName
+            else if (aProperty != null) aProperty
+            else aHttpEquiv,
             if (aContent == null) "" else aContent)
         else if (name == "base" && aHref != null)
           sink.base(aHref)

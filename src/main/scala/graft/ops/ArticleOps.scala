@@ -318,7 +318,36 @@ object ArticleOps {
       |       ELSE '' END AS best_variant
       |FROM i""".stripMargin
 
+  /** Meta-refresh redirect harvest ([[graft.kernels.RefreshKernel]]):
+    * the client-side redirects a crawler must feed back into the
+    * frontier alongside HTTP 3xx. Reload-only refreshes are not
+    * redirects; delay and resolved target are closed-form.
+    */
+  def metaRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        graft.kernels.RefreshKernel.extract(
+          ArticleGen.refreshHtml(d), ArticleGen.pageUrl(d)) match {
+          case Some((delay, target)) => (d, true, delay, target)
+          case None => (d, false, -1L, "")
+        }
+      })
+      .toDF("doc_id", "redirects", "delay_s", "target")
+  }
+
+  val metaRefreshSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  doc_id % 4 <= 1 AS redirects,
+      |  CAST(CASE WHEN doc_id % 4 <= 1 THEN doc_id % 30 ELSE -1 END AS BIGINT) AS delay_s,
+      |  CASE WHEN doc_id % 4 = 0
+      |       THEN 'http://host' || (doc_id % 20) || '.example/next/' || doc_id || '.html'
+      |       WHEN doc_id % 4 = 1 THEN 'http://moved' || doc_id || '.example/p'
+      |       ELSE '' END AS target
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_meta_refresh" -> (metaRefresh(_, _)),
     "q_image_alt_pairs" -> (imageAltPairs(_, _)),
     "q_declared_lang" -> (declaredLang(_, _)),
     "q_hreflang_alternates" -> (hreflangAlternates(_, _)),
@@ -331,6 +360,7 @@ object ArticleOps {
     "q_soft404" -> (soft404(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_meta_refresh" -> metaRefreshSql,
     "q_image_alt_pairs" -> imageAltPairsSql,
     "q_declared_lang" -> declaredLangSql,
     "q_hreflang_alternates" -> hreflangAlternatesSql,
