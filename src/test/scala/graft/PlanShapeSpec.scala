@@ -187,7 +187,9 @@ class PlanShapeSpec extends SparkTestBase {
   test("new narrow operators stay shuffle-free projections/kernel maps") {
     Seq("q_html_markdown", "q_script_mix", "q_mojibake_repair", "q_dedup_key",
       "q_embed_quantize", "q_jsonld_article", "q_pub_date", "q_pagination",
-      "q_soft404", "q_license_meta", "q_pdf_info").foreach { q =>
+      "q_soft404", "q_license_meta", "q_pdf_info", "q_declared_lang",
+      "q_hreflang_alternates", "q_image_alt_pairs", "q_meta_refresh",
+      "q_c4_line_filter").foreach { q =>
       assert(!plan(q).contains("Exchange"),
         s"$q must stay a zero-shuffle per-row map")
     }
