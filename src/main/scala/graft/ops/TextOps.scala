@@ -708,12 +708,37 @@ object TextOps {
       |  doc_id % 7 = 0 AS page_dropped
       |FROM d""".stripMargin
 
+  /** Type-token ratio — the vocabulary-diversity quality signal
+    * (template/spam pages repeat a tiny vocabulary; TTR collapses on
+    * them). Integer outputs only (percentage via integer division), so
+    * the compare is exact; pure codegen projection, zero shuffle.
+    */
+  def typeTokenRatio(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      "cast(size(filter(split(text, ' '), w -> w != '')) as bigint) as n_tokens",
+      "cast(size(array_distinct(filter(split(text, ' '), w -> w != ''))) as bigint) as n_types")
+      .selectExpr("doc_id", "n_tokens", "n_types",
+        "cast(100 * n_types div greatest(n_tokens, 1L) as bigint) as ttr_pct",
+        "n_tokens >= 20 and 100 * n_types div greatest(n_tokens, 1L) < 20 as repetitive")
+
+  val typeTokenRatioSql: String =
+    """WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_types
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_types,
+      |  CAST(100 * n_types // greatest(n_tokens, 1) AS BIGINT) AS ttr_pct,
+      |  n_tokens >= 20 AND 100 * n_types // greatest(n_tokens, 1) < 20 AS repetitive
+      |FROM t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
     "q_dedup_key" -> (dedupKeyQ(_, _)),
     "q_script_mix" -> (scriptMixQ(_, _)),
     "q_c4_line_filter" -> (c4LineFilterQ(_, _)),
+    "q_type_token_ratio" -> (typeTokenRatio(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_lang_id_cjk" -> (langIdCjk(_, _)),
@@ -734,6 +759,7 @@ object TextOps {
     "q_dedup_key" -> dedupKeySql,
     "q_script_mix" -> scriptMixSql,
     "q_c4_line_filter" -> c4LineFilterSql,
+    "q_type_token_ratio" -> typeTokenRatioSql,
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_lang_id_cjk" -> langIdCjkSql,
