@@ -202,6 +202,55 @@ object SimilarityOps {
       |SELECT q_id, n_id, rn, sim FROM r WHERE rn <= 3""".stripMargin
 
 
+  /** Multi-probe sign-LSH (Lv et al. 2007's trick on the sign family):
+    * each query searches its own bucket PLUS the 8 buckets at Hamming
+    * distance 1 (one sign bit flipped) — recovering neighbors that fell
+    * just across a hyperplane without any extra index. Probes explode
+    * on the SMALL query side only (9 rows per query, still broadcast);
+    * the corpus keeps exactly one bucket per point, so the scan cost is
+    * unchanged and buckets stay disjoint (no candidate dedup needed).
+    */
+  def annMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val all = embeddings(spark, dir).withColumn("bucket", expr(BucketExpr))
+    val probes =
+      "array(bucket, " + (1 to 8).map { i =>
+        s"concat(substring(bucket, 1, ${i - 1}), " +
+          s"case when substring(bucket, $i, 1) = '1' then '0' else '1' end, " +
+          s"substring(bucket, ${i + 1}))"
+      }.mkString(", ") + ")"
+    val q = all.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("nrm").as("q_nrm"), explode(expr(probes)).as("q_bucket"))
+    val scored = all.join(broadcast(q), col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr(DotExpr) / sqrt(col("q_nrm") * col("nrm")), 4))
+    topkTail(scored, 3)
+  }
+
+  val annMultiprobeSql: String = {
+    val bucket = (1 to 8)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    s"""WITH n AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding::DOUBLE[] AS e,
+       |    list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nrm,
+       |    $bucket AS bucket
+       |  FROM embeddings),
+       |q0 AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+       |qp AS (SELECT vec_id, e, nrm,
+       |    CASE WHEN i = 0 THEN bucket
+       |         ELSE substr(bucket, 1, i - 1) ||
+       |           (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |           substr(bucket, i + 1) END AS pbucket
+       |  FROM q0, (SELECT CAST(unnest(range(0, 9)) AS INT) AS i)),
+       |s AS (SELECT qp.vec_id AS q_id, p.vec_id AS n_id,
+       |    round(list_inner_product(qp.e, p.e) / sqrt(qp.nrm * p.nrm), 4) AS sim
+       |  FROM qp JOIN n p ON p.bucket = qp.pbucket AND p.vec_id <> qp.vec_id),
+       |r AS (SELECT q_id, n_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rn
+       |  FROM s)
+       |SELECT q_id, n_id, rn, sim FROM r WHERE rn <= 3""".stripMargin
+  }
+
   /** Recall@3 of the sign-LSH path against brute-force ground truth —
     * the evaluation op any approximate index needs before it replaces the
     * exact one. Both sides reuse the production queries; the oracle
@@ -378,6 +427,7 @@ object SimilarityOps {
     "q_kmeans_assign" -> (kmeansAssign(_, _)),
     "q_ann_brute" -> (annBrute(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
+    "q_ann_multiprobe" -> (annMultiprobe(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
     "q_knn_label" -> (knnLabel(_, _)),
     "q_ann_recall" -> (annRecall(_, _)))
@@ -387,6 +437,7 @@ object SimilarityOps {
     "q_kmeans_assign" -> kmeansAssignSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_multiprobe" -> annMultiprobeSql,
     "q_ann_ivf" -> annIvfSql,
     "q_knn_label" -> knnLabelSql,
     "q_ann_recall" -> annRecallSql)
