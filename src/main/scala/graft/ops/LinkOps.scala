@@ -291,6 +291,48 @@ object LinkOps {
       |  CAST(base + (CASE WHEN rr <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS alloc
       |FROM r""".stripMargin
 
+  /** Crawl-trap URL gate ([[graft.kernels.UrlTrapKernel]]): repeated
+    * path segments, excessive depth, query budget, session-id params —
+    * the frontier filter that keeps a crawler out of infinite URL
+    * spaces. URLs are built closed-form per doc so every rule fires;
+    * narrow per-row map, zero shuffle.
+    */
+  def urlTrapGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val h = d % 20
+        val url = (d % 5) match {
+          case 0 => s"http://host$h.example/a$d/p.html"
+          case 1 => s"http://host$h.example/loop/x${d % 7}/y/x${d % 7}/z/x${d % 7}/p"
+          case 2 => s"http://host$h.example/s0/s1/s2/s3/s4/s5/s6/s7/s8/p$d.html"
+          case 3 => s"http://host$h.example/p?a=1&b=2&c=3&d=4&e=5&f=$d"
+          case _ => s"http://host$h.example/p$d?view=1&PHPSESSID=tok$d"
+        }
+        val v = graft.kernels.UrlTrapKernel.classify(url)
+        (d, url, v.repeatedSeg, v.tooDeep, v.manyParams, v.sessionParam, v.isTrap)
+      })
+      .toDF("doc_id", "url", "repeated_seg", "too_deep", "many_params",
+        "session_param", "is_trap")
+  }
+
+  val urlTrapGateSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'http://host' || (doc_id % 20) || '.example/a' || doc_id || '/p.html'
+      |    WHEN 1 THEN 'http://host' || (doc_id % 20) || '.example/loop/x' || (doc_id % 7) ||
+      |      '/y/x' || (doc_id % 7) || '/z/x' || (doc_id % 7) || '/p'
+      |    WHEN 2 THEN 'http://host' || (doc_id % 20) || '.example/s0/s1/s2/s3/s4/s5/s6/s7/s8/p' || doc_id || '.html'
+      |    WHEN 3 THEN 'http://host' || (doc_id % 20) || '.example/p?a=1&b=2&c=3&d=4&e=5&f=' || doc_id
+      |    ELSE 'http://host' || (doc_id % 20) || '.example/p' || doc_id || '?view=1&PHPSESSID=tok' || doc_id
+      |  END AS url,
+      |  doc_id % 5 = 1 AS repeated_seg,
+      |  doc_id % 5 = 2 AS too_deep,
+      |  doc_id % 5 = 3 AS many_params,
+      |  doc_id % 5 = 4 AS session_param,
+      |  doc_id % 5 <> 0 AS is_trap
+      |FROM documents""".stripMargin
+
   /** HITS hubs/authorities (Kleinberg 1999) over the weighted domain
     * graph — the complement to PageRank for link analysis: hubs are
     * pages that point at good sources, authorities are the sources. 5
@@ -728,6 +770,7 @@ object LinkOps {
     "q_robots_txt_gate" -> (robotsTxtGate(_, _)),
     "q_hits_scores" -> (hitsScores(_, _)),
     "q_crawl_budget" -> (crawlBudget(_, _)),
+    "q_url_trap" -> (urlTrapGate(_, _)),
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
     "q_feed_items" -> (feedItems(_, _)),
@@ -747,6 +790,7 @@ object LinkOps {
     "q_robots_txt_gate" -> robotsTxtGateSql,
     "q_hits_scores" -> hitsScoresSql,
     "q_crawl_budget" -> crawlBudgetSql,
+    "q_url_trap" -> urlTrapGateSql,
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
     "q_feed_items" -> feedItemsSql,
