@@ -333,6 +333,46 @@ object LinkOps {
       |  doc_id % 5 <> 0 AS is_trap
       |FROM documents""".stripMargin
 
+  /** SURT index keys ([[graft.kernels.SurtKernel]]): the Common Crawl
+    * CDX ordering — one registered domain's URLs sort adjacently, so
+    * the 10^12-row URL index range-scans a site. URLs built closed-form
+    * per doc exercise case folding, www-strip, label reversal, default-
+    * port strip, query sorting, and fragment drop; the oracle
+    * reconstructs each key. Narrow projection.
+    */
+  def surtKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val h = d % 20
+        val url = (d % 4) match {
+          case 0 => s"HTTP://WWW.Host$h.Example/Art/p$d.html#frag"
+          case 1 => s"http://sub${d % 3}.host$h.example/p?b=2&a=1&c=$d"
+          case 2 => s"https://host$h.example:443/x$d"
+          case _ => s"http://host$h.example:80/p$d"
+        }
+        (d, url, graft.kernels.SurtKernel.surtKey(url))
+      })
+      .toDF("doc_id", "url", "surt")
+  }
+
+  val surtKeysSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'HTTP://WWW.Host' || (doc_id % 20) || '.Example/Art/p' || doc_id || '.html#frag'
+      |    WHEN 1 THEN 'http://sub' || (doc_id % 3) || '.host' || (doc_id % 20) || '.example/p?b=2&a=1&c=' || doc_id
+      |    WHEN 2 THEN 'https://host' || (doc_id % 20) || '.example:443/x' || doc_id
+      |    ELSE 'http://host' || (doc_id % 20) || '.example:80/p' || doc_id
+      |  END AS url,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'example,host' || (doc_id % 20) || ')/Art/p' || doc_id || '.html'
+      |    WHEN 1 THEN 'example,host' || (doc_id % 20) || ',sub' || (doc_id % 3) ||
+      |      ')/p?a=1&b=2&c=' || doc_id
+      |    WHEN 2 THEN 'example,host' || (doc_id % 20) || ')/x' || doc_id
+      |    ELSE 'example,host' || (doc_id % 20) || ')/p' || doc_id
+      |  END AS surt
+      |FROM documents""".stripMargin
+
   /** HITS hubs/authorities (Kleinberg 1999) over the weighted domain
     * graph — the complement to PageRank for link analysis: hubs are
     * pages that point at good sources, authorities are the sources. 5
@@ -771,6 +811,7 @@ object LinkOps {
     "q_hits_scores" -> (hitsScores(_, _)),
     "q_crawl_budget" -> (crawlBudget(_, _)),
     "q_url_trap" -> (urlTrapGate(_, _)),
+    "q_surt_key" -> (surtKeys(_, _)),
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
     "q_feed_items" -> (feedItems(_, _)),
@@ -791,6 +832,7 @@ object LinkOps {
     "q_hits_scores" -> hitsScoresSql,
     "q_crawl_budget" -> crawlBudgetSql,
     "q_url_trap" -> urlTrapGateSql,
+    "q_surt_key" -> surtKeysSql,
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
     "q_feed_items" -> feedItemsSql,
