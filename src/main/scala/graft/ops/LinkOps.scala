@@ -373,6 +373,42 @@ object LinkOps {
       |  END AS surt
       |FROM documents""".stripMargin
 
+  /** CDX index records (the Common Crawl / OpenWayback capture-index
+    * row): SURT key + capture timestamp + payload digest + length —
+    * what a wayback-style lookup service and the dedup-by-digest pass
+    * both key on. The digest is a REAL md5 over the document text
+    * (computed independently by DuckDB's md5 in the oracle), so a
+    * digest bug cannot hide behind the closed-form fields. Narrow
+    * projection; at archive scale the index is written sorted by
+    * (surt, ts) so site range-scans are sequential.
+    */
+  def cdxIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (d, text) =>
+        val surt = graft.kernels.SurtKernel.surtKey(graft.gen.ArticleGen.pageUrl(d))
+        val ts = s"2024${graft.gen.ArticleGen.mm(d)}${graft.gen.ArticleGen.dd(d)}120000"
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"${b & 0xff}%02x").mkString
+        (d, surt, ts, digest, text.length.toLong)
+      })
+      .toDF("doc_id", "surt", "ts", "digest", "length")
+  }
+
+  val cdxIndexSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  'example,host' || (doc_id % 20) || ')/' || (2021 + doc_id % 3) || '/' ||
+      |    lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '/' ||
+      |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/a' || doc_id || '.html' AS surt,
+      |  '2024' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+      |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '120000' AS ts,
+      |  md5(text) AS digest,
+      |  CAST(len(text) AS BIGINT) AS length
+      |FROM documents""".stripMargin
+
   /** HITS hubs/authorities (Kleinberg 1999) over the weighted domain
     * graph — the complement to PageRank for link analysis: hubs are
     * pages that point at good sources, authorities are the sources. 5
@@ -812,6 +848,7 @@ object LinkOps {
     "q_crawl_budget" -> (crawlBudget(_, _)),
     "q_url_trap" -> (urlTrapGate(_, _)),
     "q_surt_key" -> (surtKeys(_, _)),
+    "q_cdx_index" -> (cdxIndex(_, _)),
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
     "q_feed_items" -> (feedItems(_, _)),
@@ -833,6 +870,7 @@ object LinkOps {
     "q_crawl_budget" -> crawlBudgetSql,
     "q_url_trap" -> urlTrapGateSql,
     "q_surt_key" -> surtKeysSql,
+    "q_cdx_index" -> cdxIndexSql,
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
     "q_feed_items" -> feedItemsSql,
