@@ -346,7 +346,61 @@ object ArticleOps {
       |       ELSE '' END AS target
       |FROM documents""".stripMargin
 
+  /** DOM-skeleton fingerprint per page ([[graft.kernels.SkeletonKernel]])
+    * over the compliance pages (their structure varies by doc_id branch
+    * flags, so the oracle reconstructs the exact tag sequence from
+    * arithmetic). Narrow kernel map.
+    */
+  def domSkeleton(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        (d, graft.kernels.SkeletonKernel.skeleton(ArticleGen.complianceHtml(d)))
+      })
+      .toDF("doc_id", "skeleton")
+  }
+
+  private val skeletonExpr: String =
+    """'html,head,title' ||
+      |  CASE WHEN doc_id % 9 = 2 OR doc_id % 3 <= 1 THEN ',link' ELSE '' END ||
+      |  CASE WHEN doc_id % 4 <= 2 THEN ',meta' ELSE '' END ||
+      |  ',meta' ||
+      |  CASE WHEN doc_id % 5 <= 1 THEN ',meta' ELSE '' END ||
+      |  ',body,p'""".stripMargin
+
+  val domSkeletonSql: String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  $skeletonExpr AS skeleton
+       |FROM documents""".stripMargin
+
+  /** Template diversity per host: pages and DISTINCT skeletons — a host
+    * whose page count dwarfs its template count is CMS-generated; the
+    * rollup shuffles only (host, skeleton-hash)-sized rows with map-side
+    * partial aggregation.
+    */
+  def templateDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        (d % 20, graft.kernels.SkeletonKernel.skeleton(ArticleGen.complianceHtml(d)))
+      })
+      .toDF("host_id", "skeleton")
+      .groupBy("host_id")
+      .agg(org.apache.spark.sql.functions.expr("cast(count(*) as bigint) as n_pages"),
+        org.apache.spark.sql.functions.expr("cast(count(distinct skeleton) as bigint) as n_templates"))
+  }
+
+  val templateDiversitySql: String =
+    s"""WITH s AS (SELECT CAST(doc_id % 20 AS BIGINT) AS host_id,
+       |    $skeletonExpr AS skeleton
+       |  FROM documents)
+       |SELECT host_id, CAST(count(*) AS BIGINT) AS n_pages,
+       |  CAST(count(DISTINCT skeleton) AS BIGINT) AS n_templates
+       |FROM s GROUP BY host_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dom_skeleton" -> (domSkeleton(_, _)),
+    "q_template_diversity" -> (templateDiversity(_, _)),
     "q_meta_refresh" -> (metaRefresh(_, _)),
     "q_image_alt_pairs" -> (imageAltPairs(_, _)),
     "q_declared_lang" -> (declaredLang(_, _)),
@@ -360,6 +414,8 @@ object ArticleOps {
     "q_soft404" -> (soft404(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_dom_skeleton" -> domSkeletonSql,
+    "q_template_diversity" -> templateDiversitySql,
     "q_meta_refresh" -> metaRefreshSql,
     "q_image_alt_pairs" -> imageAltPairsSql,
     "q_declared_lang" -> declaredLangSql,
