@@ -126,4 +126,61 @@ class StreamingSpec extends SparkTestBase {
     assert(out === batch)
     assert(out.nonEmpty)
   }
+
+  test("streaming ingestion commits batch partitions exactly-once across restart") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.lit
+    val corpus = PagesGen.corpus(100, seed = 7L)
+    val srcDir = tmpDir("scommit-src")
+    val table = tmpDir("scommit-table") + "/t"
+    val ledgerDir = tmpDir("scommit-ledger")
+    val ckpt = tmpDir("scommit-ckpt")
+    val (first, second) = corpus.splitAt(50)
+
+    // the standard exactly-once sink shape: deterministic batch id as
+    // the partition value, idempotent partition overwrite, ledger row
+    // per commit — a redelivered batch rewrites its own partition
+    def commitBatch(df: DataFrame, id: Long): Unit = {
+      val part = df.withColumn("batch", lit(id.toString))
+      graft.pipeline.ParquetFormat.overwritePartitions(part, table, "batch")
+      graft.pipeline.Ledger.commit(ledgerDir, graft.pipeline.Ledger.Entry(
+        partition = s"batch=$id", rows = df.count(), chars = 0L, errors = 0L,
+        wallMs = 0L, committedAtMs = System.currentTimeMillis()))
+    }
+    def runOnce(): Unit = {
+      val ext = StreamingOps.extractStream(spark, StreamingOps.pagesStream(spark, srcDir))
+      val q = ext.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(commitBatch _)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    first.map(_.row).toDS().repartition(2).write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(graft.pipeline.ParquetFormat.read(spark, table).count() === 50L)
+    val batchesAfterFirst = graft.pipeline.Ledger.committed(ledgerDir).size
+
+    // second increment + RESTART from the same checkpoint: committed
+    // batches are not redone, new files become new batch partitions
+    second.map(_.row).toDS().repartition(2).write.mode("append").parquet(srcDir)
+    runOnce()
+    val rows = graft.pipeline.ParquetFormat.read(spark, table)
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1))
+    assert(rows.length === 100, "exactly one row per url after restart")
+    assert(rows.map(_._1).distinct.length === 100)
+    val expected = corpus.map(gp => gp.row.url -> gp.expected).toMap
+    rows.foreach { case (u, t) => assert(t === expected(u), u) }
+    val ledger = graft.pipeline.Ledger.committed(ledgerDir)
+    assert(ledger.size > batchesAfterFirst, "new batches were committed")
+    assert(ledger.values.map(_.rows).sum === 100L)
+
+    // duplicate delivery of an already-committed batch is absorbed
+    val someBatch = ledger.keys.head.stripPrefix("batch=").toLong
+    val redelivered = graft.pipeline.ParquetFormat.read(spark, table)
+      .filter(s"batch = '$someBatch'").drop("batch").localCheckpoint(true)
+    commitBatch(redelivered, someBatch)
+    assert(graft.pipeline.ParquetFormat.read(spark, table).count() === 100L)
+  }
 }
