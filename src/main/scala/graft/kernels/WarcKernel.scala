@@ -27,9 +27,15 @@ package graft.kernels
   */
 object WarcKernel {
 
-  /** One parsed page (or a terminal error marker with url == null). */
+  /** One parsed page (or a terminal error marker with url == null).
+    * `revisit` records (Common Crawl's digest-dedup mechanism: a
+    * re-crawl whose payload matched an earlier capture ships headers
+    * only) carry no body; their pointer lives in `refersTo` +
+    * `payloadDigest` so a dedup pass can resolve the canonical capture.
+    */
   final case class WarcPage(url: String, ts: java.sql.Timestamp,
-      body: Array[Byte], recType: String, error: String)
+      body: Array[Byte], recType: String, error: String,
+      refersTo: String = null, payloadDigest: String = null)
 
   /** Serialize extracted text as WARC/1.0 `conversion` records — the
     * WET layout (Common Crawl's extracted-text companion format): one
@@ -135,7 +141,13 @@ object WarcKernel {
               // conversion = extracted-text records (the WET layout this
               // kernel's writeConversion emits); payload is the raw block
               pending = WarcPage(uri, ts, block, recType, null)
-            case _ => // request/warcinfo/metadata/revisit: not pages
+            case "revisit" =>
+              pending = WarcPage(uri, ts, Array.emptyByteArray, recType, null,
+                refersTo = headerOf(head, "WARC-Refers-To-Target-URI")
+                  .map(stripAngles).getOrElse(""),
+                payloadDigest = headerOf(head, "WARC-Payload-Digest")
+                  .map(_.trim).getOrElse(""))
+            case _ => // request/warcinfo/metadata: not pages
           }
         }
       }

@@ -81,6 +81,54 @@ object ExtractionOps {
     extracted(spark, pages).select(col("doc_id"), col("extracted_text"))
   }
 
+  /** WARC revisit records — Common Crawl's digest-dedup at the archive
+    * layer: a re-crawl whose payload matched an earlier capture ships a
+    * headers-only `revisit` record pointing at the canonical capture
+    * via WARC-Refers-To-Target-URI + WARC-Payload-Digest. Each doc
+    * becomes a 2-record archive (resource with the text payload + its
+    * revisit); the reader must surface BOTH — the resource byte-
+    * identically (identity oracle leg) and the revisit's pointer and
+    * digest, which the oracle recomputes independently (DuckDB md5).
+    */
+  def warcRevisit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (d, text) =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val url = s"http://host${d % 20}.example/p$d.html"
+        val digest = "md5:" + java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes(utf8)).map(b => f"${b & 0xff}%02x").mkString
+        val body = text.getBytes(utf8)
+        val archive = new java.io.ByteArrayOutputStream(body.length + 512)
+        def w(s: String): Unit = archive.write(s.getBytes(utf8))
+        w("WARC/1.0\r\nWARC-Type: resource\r\n")
+        w(s"WARC-Target-URI: $url\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n")
+        w(s"Content-Length: ${body.length}\r\n\r\n")
+        archive.write(body)
+        w("\r\n\r\nWARC/1.0\r\nWARC-Type: revisit\r\n")
+        w(s"WARC-Target-URI: $url?recrawl\r\nWARC-Date: 2024-02-01T00:00:00Z\r\n")
+        w(s"WARC-Refers-To-Target-URI: <$url>\r\n")
+        w(s"WARC-Payload-Digest: $digest\r\nContent-Length: 0\r\n\r\n")
+        val pages = graft.kernels.WarcKernel.split(archive.toByteArray).toVector
+        val resource = pages.find(_.recType == "resource")
+        val revisit = pages.find(_.recType == "revisit")
+        (d,
+          resource.map(p => new String(p.body, utf8)).getOrElse(""),
+          revisit.map(_.refersTo).getOrElse(""),
+          revisit.map(_.payloadDigest).getOrElse(""))
+      })
+      .toDF("doc_id", "resp_text", "rev_refers", "rev_digest")
+  }
+
+  val warcRevisitSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  text AS resp_text,
+      |  'http://host' || (doc_id % 20) || '.example/p' || doc_id || '.html' AS rev_refers,
+      |  'md5:' || md5(text) AS rev_digest
+      |FROM documents""".stripMargin
+
   /** Encrypted PDFs (RC4-40/RC4-128/AES-128/AES-256 by doc_id%4) with an
     * empty user password: the kernel validates /U, derives per-object
     * keys and decrypts transparently; identity oracle — any handshake or
@@ -424,6 +472,7 @@ object ExtractionOps {
     "q_extract_pdf_filters" -> (extractPdfFilters(_, _)),
     "q_extract_pdf_encrypted" -> (extractPdfEncrypted(_, _)),
     "q_extract_warc" -> (extractWarc(_, _)),
+    "q_warc_revisit" -> (warcRevisit(_, _)),
     "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
     "q_extract_pdf_scrambled" -> (extractPdfScrambled(_, _)),
     "q_extract_pdf_winansi" -> (extractPdfWinAnsi(_, _)),
@@ -452,6 +501,7 @@ object ExtractionOps {
     "q_extract_pdf_filters" -> extractPdfSql,
     "q_extract_pdf_encrypted" -> extractPdfSql,
     "q_extract_warc" -> extractHtmlSql,
+    "q_warc_revisit" -> warcRevisitSql,
     "q_extract_pdf_multipage" -> extractPdfMultipageSql,
     "q_extract_pdf_scrambled" -> extractPdfMultipageSql,
     "q_extract_pdf_winansi" -> extractPdfWinAnsiSql,
