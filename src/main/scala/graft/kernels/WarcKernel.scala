@@ -35,7 +35,8 @@ object WarcKernel {
     */
   final case class WarcPage(url: String, ts: java.sql.Timestamp,
       body: Array[Byte], recType: String, error: String,
-      refersTo: String = null, payloadDigest: String = null)
+      refersTo: String = null, payloadDigest: String = null,
+      offset: Long = -1L, recLen: Long = -1L)
 
   /** Serialize extracted text as WARC/1.0 `conversion` records — the
     * WET layout (Common Crawl's extracted-text companion format): one
@@ -111,6 +112,11 @@ object WarcKernel {
           if (!startsWith(bytes, pos, "WARC/")) {
             pending = err("warc_bad_magic"); done = true; return
           }
+          // record extent for CDX-style (offset, length) index rows;
+          // offsets are into the DECOMPRESSED stream when the member
+          // arrived gzip'd (a compressed-member CDX would index the
+          // member boundaries instead — stated honestly, not guessed)
+          val recStart = pos.toLong
           val headEnd = indexOfBlank(bytes, pos)
           if (headEnd < 0) { pending = err("warc_truncated_header"); done = true; return }
           // WARC headers are UTF-8 per ISO 28500 (Latin-1 would garble
@@ -131,22 +137,27 @@ object WarcKernel {
           val block = java.util.Arrays.copyOfRange(
             bytes, blockStart, (blockStart + len).toInt)
           pos = (blockStart + len).toInt
+          val recLen = pos - recStart
           recType match {
             case "response" =>
               pending = httpBody(block) match {
-                case Right(body) => WarcPage(uri, ts, body, recType, null)
-                case Left(e)     => WarcPage(uri, ts, Array.emptyByteArray, recType, e)
+                case Right(body) => WarcPage(uri, ts, body, recType, null,
+                  offset = recStart, recLen = recLen)
+                case Left(e) => WarcPage(uri, ts, Array.emptyByteArray, recType, e,
+                  offset = recStart, recLen = recLen)
               }
             case "resource" | "conversion" =>
               // conversion = extracted-text records (the WET layout this
               // kernel's writeConversion emits); payload is the raw block
-              pending = WarcPage(uri, ts, block, recType, null)
+              pending = WarcPage(uri, ts, block, recType, null,
+                offset = recStart, recLen = recLen)
             case "revisit" =>
               pending = WarcPage(uri, ts, Array.emptyByteArray, recType, null,
                 refersTo = headerOf(head, "WARC-Refers-To-Target-URI")
                   .map(stripAngles).getOrElse(""),
                 payloadDigest = headerOf(head, "WARC-Payload-Digest")
-                  .map(_.trim).getOrElse(""))
+                  .map(_.trim).getOrElse(""),
+                offset = recStart, recLen = recLen)
             case _ => // request/warcinfo/metadata: not pages
           }
         }

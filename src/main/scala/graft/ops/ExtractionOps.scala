@@ -90,37 +90,87 @@ object ExtractionOps {
     * identically (identity oracle leg) and the revisit's pointer and
     * digest, which the oracle recomputes independently (DuckDB md5).
     */
+  /** resource record (payload = text) + its revisit record, shared by
+    * the revisit and CDX-offset queries.
+    */
+  private def twoRecordArchive(d: Long, text: String): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val url = s"http://host${d % 20}.example/p$d.html"
+    val digest = "md5:" + java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(utf8)).map(b => f"${b & 0xff}%02x").mkString
+    val body = text.getBytes(utf8)
+    val archive = new java.io.ByteArrayOutputStream(body.length + 512)
+    def w(s: String): Unit = archive.write(s.getBytes(utf8))
+    w("WARC/1.0\r\nWARC-Type: resource\r\n")
+    w(s"WARC-Target-URI: $url\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n")
+    w(s"Content-Length: ${body.length}\r\n\r\n")
+    archive.write(body)
+    w("\r\n\r\nWARC/1.0\r\nWARC-Type: revisit\r\n")
+    w(s"WARC-Target-URI: $url?recrawl\r\nWARC-Date: 2024-02-01T00:00:00Z\r\n")
+    w(s"WARC-Refers-To-Target-URI: <$url>\r\n")
+    w(s"WARC-Payload-Digest: $digest\r\nContent-Length: 0\r\n\r\n")
+    archive.toByteArray
+  }
+
   def warcRevisit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("cast(doc_id as long) as doc_id", "text")
       .as[(Long, String)]
       .mapPartitions(_.map { case (d, text) =>
-        val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        val url = s"http://host${d % 20}.example/p$d.html"
-        val digest = "md5:" + java.security.MessageDigest.getInstance("MD5")
-          .digest(text.getBytes(utf8)).map(b => f"${b & 0xff}%02x").mkString
-        val body = text.getBytes(utf8)
-        val archive = new java.io.ByteArrayOutputStream(body.length + 512)
-        def w(s: String): Unit = archive.write(s.getBytes(utf8))
-        w("WARC/1.0\r\nWARC-Type: resource\r\n")
-        w(s"WARC-Target-URI: $url\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n")
-        w(s"Content-Length: ${body.length}\r\n\r\n")
-        archive.write(body)
-        w("\r\n\r\nWARC/1.0\r\nWARC-Type: revisit\r\n")
-        w(s"WARC-Target-URI: $url?recrawl\r\nWARC-Date: 2024-02-01T00:00:00Z\r\n")
-        w(s"WARC-Refers-To-Target-URI: <$url>\r\n")
-        w(s"WARC-Payload-Digest: $digest\r\nContent-Length: 0\r\n\r\n")
-        val pages = graft.kernels.WarcKernel.split(archive.toByteArray).toVector
+        val pages = graft.kernels.WarcKernel.split(twoRecordArchive(d, text)).toVector
         val resource = pages.find(_.recType == "resource")
         val revisit = pages.find(_.recType == "revisit")
         (d,
-          resource.map(p => new String(p.body, utf8)).getOrElse(""),
+          resource.map(p => new String(p.body,
+            java.nio.charset.StandardCharsets.UTF_8)).getOrElse(""),
           revisit.map(_.refersTo).getOrElse(""),
           revisit.map(_.payloadDigest).getOrElse(""))
       })
       .toDF("doc_id", "resp_text", "rev_refers", "rev_digest")
   }
+
+  /** CDX-style record extents: the reader reports each record's
+    * (offset, length) in the archive — what a wayback-style lookup
+    * serves so a client can range-read ONE record from a 1 GB warc.
+    * The oracle reconstructs both headers' exact byte lengths from the
+    * same string arithmetic the builder uses, so an off-by-one anywhere
+    * in the record framing fails the hash.
+    */
+  def warcCdxOffsets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+      .as[(Long, String)]
+      .flatMap { case (d, text) =>
+        graft.kernels.WarcKernel.split(twoRecordArchive(d, text))
+          .map(p => (d, p.recType, p.offset, p.recLen))
+      }
+      .toDF("doc_id", "rec_type", "offset", "rec_len")
+  }
+
+  val warcCdxOffsetsSql: String =
+    """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+      |    'http://host' || (doc_id % 20) || '.example/p' || doc_id || '.html' AS url,
+      |    chr(13) || chr(10) AS crlf
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    len('WARC/1.0' || crlf || 'WARC-Type: resource' || crlf ||
+      |        'WARC-Target-URI: ' || url || crlf ||
+      |        'WARC-Date: 2024-01-01T00:00:00Z' || crlf ||
+      |        'Content-Length: ' || len(text) || crlf || crlf) + len(text) AS len1,
+      |    len('WARC/1.0' || crlf || 'WARC-Type: revisit' || crlf ||
+      |        'WARC-Target-URI: ' || url || '?recrawl' || crlf ||
+      |        'WARC-Date: 2024-02-01T00:00:00Z' || crlf ||
+      |        'WARC-Refers-To-Target-URI: <' || url || '>' || crlf ||
+      |        'WARC-Payload-Digest: md5:' || md5(text) || crlf ||
+      |        'Content-Length: 0' || crlf || crlf) AS len2
+      |  FROM b)
+      |SELECT doc_id, 'resource' AS rec_type,
+      |  CAST(0 AS BIGINT) AS offset, CAST(len1 AS BIGINT) AS rec_len FROM h
+      |UNION ALL
+      |SELECT doc_id, 'revisit' AS rec_type,
+      |  CAST(len1 + 4 AS BIGINT) AS offset, CAST(len2 AS BIGINT) AS rec_len FROM h""".stripMargin
 
   val warcRevisitSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -473,6 +523,7 @@ object ExtractionOps {
     "q_extract_pdf_encrypted" -> (extractPdfEncrypted(_, _)),
     "q_extract_warc" -> (extractWarc(_, _)),
     "q_warc_revisit" -> (warcRevisit(_, _)),
+    "q_warc_cdx_offsets" -> (warcCdxOffsets(_, _)),
     "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
     "q_extract_pdf_scrambled" -> (extractPdfScrambled(_, _)),
     "q_extract_pdf_winansi" -> (extractPdfWinAnsi(_, _)),
@@ -502,6 +553,7 @@ object ExtractionOps {
     "q_extract_pdf_encrypted" -> extractPdfSql,
     "q_extract_warc" -> extractHtmlSql,
     "q_warc_revisit" -> warcRevisitSql,
+    "q_warc_cdx_offsets" -> warcCdxOffsetsSql,
     "q_extract_pdf_multipage" -> extractPdfMultipageSql,
     "q_extract_pdf_scrambled" -> extractPdfMultipageSql,
     "q_extract_pdf_winansi" -> extractPdfWinAnsiSql,
