@@ -81,15 +81,6 @@ object ExtractionOps {
     extracted(spark, pages).select(col("doc_id"), col("extracted_text"))
   }
 
-  /** WARC revisit records — Common Crawl's digest-dedup at the archive
-    * layer: a re-crawl whose payload matched an earlier capture ships a
-    * headers-only `revisit` record pointing at the canonical capture
-    * via WARC-Refers-To-Target-URI + WARC-Payload-Digest. Each doc
-    * becomes a 2-record archive (resource with the text payload + its
-    * revisit); the reader must surface BOTH — the resource byte-
-    * identically (identity oracle leg) and the revisit's pointer and
-    * digest, which the oracle recomputes independently (DuckDB md5).
-    */
   /** resource record (payload = text) + its revisit record, shared by
     * the revisit and CDX-offset queries.
     */
@@ -112,6 +103,14 @@ object ExtractionOps {
     archive.toByteArray
   }
 
+  /** WARC revisit records — Common Crawl's digest-dedup at the archive
+    * layer: a re-crawl whose payload matched an earlier capture ships a
+    * headers-only `revisit` record pointing at the canonical capture
+    * via WARC-Refers-To-Target-URI + WARC-Payload-Digest. The reader
+    * must surface BOTH records — the resource byte-identically
+    * (identity oracle leg) and the revisit's pointer and digest, which
+    * the oracle recomputes independently (DuckDB md5).
+    */
   def warcRevisit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
