@@ -42,7 +42,8 @@ object ArticleKernel {
       pubSrc: String,
       nextUrl: String,
       prevUrl: String,
-      soft404: Boolean)
+      soft404: Boolean,
+      title: String)
 
   private val ArticleTypes: Set[String] = Set(
     "article", "newsarticle", "blogposting", "report", "scholarlyarticle",
@@ -138,9 +139,12 @@ object ArticleKernel {
   /** First article node across the page's ld+json scripts, as
     * (headline, author, datePublished) — all "" when absent.
     */
+  // one mapper for the object: construction is Jackson's most expensive
+  // operation and the instance is documented thread-safe for readTree
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def jsonLd(bodies: Seq[String]): (String, String, String) = {
     import com.fasterxml.jackson.databind.JsonNode
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
     def textOf(n: JsonNode): String =
       if (n == null) "" else if (n.isTextual) n.asText else ""
@@ -209,13 +213,7 @@ object ArticleKernel {
     }
 
     ArticleMeta(headline, author, datePub, pubDate, pubSrc,
-      sink.resolve(sink.nextHref), sink.resolve(sink.prevHref), is404)
-  }
-
-  /** Page title alone (soft-404 queries report it alongside the verdict). */
-  def titleOf(html: String): String = {
-    val sink = new Sink("")
-    HtmlTokenizer.tokenize(html, sink, attrs = true)
-    sink.title
+      sink.resolve(sink.nextHref), sink.resolve(sink.prevHref), is404,
+      sink.title)
   }
 }

@@ -509,7 +509,9 @@ object HtmlTokenizer {
           sink.headLink(if (aRel == null) "" else aRel, aHref)
           if (aHreflang != null)
             sink.headLinkLang(if (aRel == null) "" else aRel, aHref, aHreflang)
-        } else if (name == "script")
+        } else if (name == "script" && !selfClosing)
+          // a self-closing <script/> has no body and no close event —
+          // firing scriptType would leave body-buffering sinks stuck
           sink.scriptType(if (aType == null) "" else aType)
         else if (name == "time" && aDatetime != null)
           sink.timeDatetime(aDatetime)

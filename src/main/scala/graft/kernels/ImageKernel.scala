@@ -21,27 +21,45 @@ object ImageKernel {
 
   /** Parse a srcset value into (url, numeric descriptor weight) —
     * `2x` → 2·10⁶ (density scaled), `640w` → 640 (width), bare URL →
-    * weight 1 (spec default 1x → 10⁶). Malformed entries are skipped.
+    * weight 1x (10⁶). Malformed descriptors skip their candidate.
+    *
+    * Follows the HTML spec's candidate grammar rather than a naive
+    * comma split: URLs are whitespace-delimited (so a data URI's
+    * internal commas survive), a TRAILING comma on a URL ends a
+    * descriptor-less candidate, and a comma inside a descriptor token
+    * separates it from the next candidate's URL.
     */
   private[graft] def parseSrcset(srcset: String): List[(String, Long)] = {
     if (srcset == null || srcset.isEmpty) return Nil
-    srcset.split(",").toList.flatMap { entry =>
-      val t = entry.trim
-      if (t.isEmpty) None
-      else {
-        val sp = t.indexWhere(Character.isWhitespace)
-        if (sp < 0) Some((t, 1000000L))
-        else {
-          val url = t.substring(0, sp)
-          val desc = t.substring(sp).trim.toLowerCase(java.util.Locale.ROOT)
-          if (desc.endsWith("x"))
-            desc.dropRight(1).toDoubleOption.map(d => (url, (d * 1000000L).toLong))
-          else if (desc.endsWith("w"))
-            desc.dropRight(1).toLongOption.map(w => (url, w))
-          else None
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val toks = scala.collection.mutable.Queue(
+      srcset.split("\\s+").iterator.filter(_.nonEmpty).toSeq: _*)
+    def parseDesc(desc0: String): Option[Long] = {
+      val desc = desc0.toLowerCase(java.util.Locale.ROOT)
+      if (desc.isEmpty) Some(1000000L)
+      else if (desc.endsWith("x"))
+        desc.dropRight(1).toDoubleOption.map(d => (d * 1000000L).toLong)
+      else if (desc.endsWith("w")) desc.dropRight(1).toLongOption
+      else None
+    }
+    while (toks.nonEmpty) {
+      var url = toks.dequeue().dropWhile(_ == ',')
+      if (url.nonEmpty) {
+        if (url.endsWith(",")) {
+          out += ((url.reverse.dropWhile(_ == ',').reverse, 1000000L))
+        } else if (toks.isEmpty) {
+          out += ((url, 1000000L))
+        } else {
+          val t = toks.dequeue()
+          val comma = t.indexOf(',')
+          val desc = if (comma >= 0) t.substring(0, comma) else t
+          val rest = if (comma >= 0) t.substring(comma + 1) else ""
+          parseDesc(desc).foreach(w => out += ((url, w)))
+          if (rest.nonEmpty) toks.prepend(rest) // next candidate's URL
         }
       }
     }
+    out.toList
   }
 
   private final class Sink(pageUrl: String) extends HtmlTokenizer.Sink {

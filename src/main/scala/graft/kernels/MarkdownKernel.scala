@@ -51,7 +51,7 @@ object MarkdownKernel {
     private def flushInline(prefix: String): Unit = {
       val t = collapse(inline.toString)
       inline.setLength(0)
-      if (t.nonEmpty || prefix.nonEmpty && t.nonEmpty) emitBlock(prefix + t)
+      if (t.nonEmpty) emitBlock(prefix + t)
     }
 
     private def flushListItem(): Unit = {
@@ -77,21 +77,23 @@ object MarkdownKernel {
         case "script" | "style" | "noscript" | "template" | "title" |
              "textarea" | "xmp" | "noframes" =>
           if (!selfClosing) skip += 1
-        case "pre" => flushInline(""); preDepth += 1
+        // self-closing structural tags get no close event — opening
+        // their state would corrupt the rest of the document
+        case "pre" if !selfClosing => flushInline(""); preDepth += 1
         case _ if preDepth > 0 => () // structure inside pre stays verbatim text
-        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" if !selfClosing =>
           flushInline(""); heading = name.charAt(1) - '0'
         // inside a list item, pending text becomes the item line BEFORE
         // a nested list opens (or the next un-closed <li> starts)
-        case "ul" =>
+        case "ul" if !selfClosing =>
           if (listStack.nonEmpty) flushListItem() else flushInline("")
           listStack += (('u', Array(0)))
-        case "ol" =>
+        case "ol" if !selfClosing =>
           if (listStack.nonEmpty) flushListItem() else flushInline("")
           listStack += (('o', Array(0)))
         case "li" =>
           if (listStack.nonEmpty) flushListItem() else flushInline("")
-        case "blockquote" => flushInline(""); quoteDepth += 1
+        case "blockquote" if !selfClosing => flushInline(""); quoteDepth += 1
         case "b" | "strong" => inline.append("**")
         case "i" | "em" => inline.append("*")
         case "code" => inline.append('`')

@@ -35,10 +35,13 @@ object RefreshKernel {
         rest = afterUrl.substring(1).dropWhile(Character.isWhitespace)
     }
     rest = rest.trim
-    if (rest.length >= 2 &&
-      ((rest.head == '"' && rest.last == '"') ||
-        (rest.head == '\'' && rest.last == '\'')))
-      rest = rest.substring(1, rest.length - 1).trim
+    // WHATWG: a leading quote collects up to the MATCHING quote or end
+    // of string (truncated attributes are everywhere in crawl soup)
+    if (rest.nonEmpty && (rest.head == '"' || rest.head == '\'')) {
+      val q = rest.head
+      val end = rest.indexOf(q, 1)
+      rest = (if (end >= 0) rest.substring(1, end) else rest.substring(1)).trim
+    }
     Some((delay, rest))
   }
 

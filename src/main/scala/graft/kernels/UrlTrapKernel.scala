@@ -39,8 +39,12 @@ object UrlTrapKernel {
       val p = url.indexOf('/', from)
       if (p < 0) url.length else p
     }
-    val qMark = url.indexOf('?')
     val hash = url.indexOf('#')
+    // a '?' after '#' is fragment content, not a query string
+    val qMark = {
+      val q = url.indexOf('?')
+      if (q >= 0 && hash >= 0 && q > hash) -1 else q
+    }
     val pathEnd = {
       val cands = Seq(qMark, hash).filter(_ >= 0)
       if (cands.isEmpty) url.length else cands.min

@@ -110,9 +110,8 @@ object ArticleOps {
     import spark.implicits._
     pages(spark, dir)
       .mapPartitions(_.map { d =>
-        val html = ArticleGen.pageHtml(d)
-        val m = ArticleKernel.extract(html, ArticleGen.pageUrl(d))
-        (d, ArticleKernel.titleOf(html), m.soft404)
+        val m = ArticleKernel.extract(ArticleGen.pageHtml(d), ArticleGen.pageUrl(d))
+        (d, m.title, m.soft404)
       })
       .toDF("doc_id", "title", "soft404")
   }

@@ -75,7 +75,10 @@ object ExtractionOps {
     import spark.implicits._
     val pages = DocPages.warcFiles(spark, dir).flatMap { case (_, bytes) =>
       graft.kernels.WarcKernel.split(bytes)
-        .filter(p => p.error == null && p.url != null)
+        // payload-bearing record types only: revisit records (now
+        // surfaced by the reader for the dedup path) carry no body and
+        // must not become empty pages here
+        .filter(p => p.error == null && p.url != null && p.recType != "revisit")
         .map(p => graft.model.PageRow(p.url, p.ts, p.body, "", "en"))
     }
     extracted(spark, pages).select(col("doc_id"), col("extracted_text"))

@@ -214,8 +214,14 @@ object ParquetFormat extends TableFormat {
     val cutoff = System.currentTimeMillis() - graceMs
     var files = 0L
     var bytes = 0L
+    // parity with Spark's shouldFilterOutPathName, minus what other
+    // tools still read: `_col=value` partition dirs are NOT hidden
+    // (a partition column may legally start with '_'), and Parquet
+    // summary files are kept even though Spark skips them
     def hidden(name: String): Boolean =
-      name.startsWith("_") || name.startsWith(".")
+      (name.startsWith("_") && !name.contains("=") &&
+        name != "_metadata" && name != "_common_metadata") ||
+        name.startsWith(".")
     def sweep(dir: java.io.File, underHidden: Boolean): Unit = {
       val entries = dir.listFiles()
       if (entries == null) return

@@ -96,4 +96,27 @@ class CompactSpec extends SparkTestBase {
     assert(!new java.io.File(s"$table/_temporary").exists(),
       "emptied _temporary tree should be pruned")
   }
+
+  test("vacuum never touches _col= partition dirs or Parquet summary files") {
+    val table = tmpDir("vacuum2") + "/t"
+    // a partition COLUMN may legally start with '_' — its dirs are
+    // readable data, not orphans
+    Seq((1L, "a"), (2L, "b")).toDF("id", "_day")
+      .write.partitionBy("_day").parquet(table)
+    val meta = new java.io.File(s"$table/_metadata")
+    java.nio.file.Files.write(meta.toPath, Array.fill[Byte](8)(1))
+    val old = System.currentTimeMillis() - 3600 * 1000
+    def ageAll(f: java.io.File): Unit = {
+      f.setLastModified(old)
+      val kids = f.listFiles(); if (kids != null) kids.foreach(ageAll)
+    }
+    ageAll(new java.io.File(table))
+    ParquetFormat.vacuum(table, graceMs = 60 * 1000)
+    assert(meta.exists(), "_metadata summary file must survive vacuum")
+    assert(new java.io.File(s"$table/_day=a").isDirectory)
+    // (the junk _metadata placed above is not valid parquet — remove it
+    // before reading; the point was only that vacuum must not delete it)
+    meta.delete()
+    assert(ParquetFormat.read(spark, table).count() === 2L)
+  }
 }

@@ -54,6 +54,13 @@ class MarkdownKernelSpec extends AnyFunSuite {
     assert(md("<table><tr><td>c1</td><td>c2</td></tr></table>") === "c1\n\nc2")
   }
 
+  test("self-closing structural tags cannot wedge open state") {
+    assert(md("<p>hello</p><pre/><p>world</p>") === "hello\n\nworld")
+    assert(md("<p>a</p><blockquote/><p>b</p>") === "a\n\nb")
+    assert(md("<ul/><p>after</p>") === "after")
+    assert(md("<h2/>plain text") === "plain text")
+  }
+
   test("property: conversion is total on arbitrary strings") {
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200),

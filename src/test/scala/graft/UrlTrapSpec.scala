@@ -30,6 +30,9 @@ class UrlTrapSpec extends AnyFunSuite {
 
   test("fragments are not query params; authority is not a path segment") {
     assert(!v("http://h.example/p#a=1&b=2&c=3&d=4&e=5&f=6").manyParams)
+    // a '?' INSIDE the fragment is not a query string either
+    assert(!v("http://h.example/p#frag?a=1&b=2&c=3&d=4&e=5&f=6").manyParams)
+    assert(!v("http://h.example/p#frag?phpsessid=x").sessionParam)
     assert(!v("http://deep.sub.host.name.example/a/b").tooDeep)
     assert(!v("http://h.example").isTrap)
     assert(!v("").isTrap)
