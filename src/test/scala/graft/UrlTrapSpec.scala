@@ -28,6 +28,19 @@ class UrlTrapSpec extends AnyFunSuite {
     assert(!v("http://h.example/p?id=42").sessionParam)
   }
 
+  test("property: trap classifier, SURT and srcset parsing are total") {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300),
+      org.scalacheck.Prop.forAll { (s: String) =>
+        UrlTrapKernel.classify(s)
+        graft.kernels.SurtKernel.surtKey(s)
+        graft.kernels.ImageKernel.parseSrcset(s)
+        graft.kernels.RefreshKernel.extract(s, "http://h.example/p")
+        true // totality is the contract
+      })
+    assert(res.passed, res.toString)
+  }
+
   test("fragments are not query params; authority is not a path segment") {
     assert(!v("http://h.example/p#a=1&b=2&c=3&d=4&e=5&f=6").manyParams)
     // a '?' INSIDE the fragment is not a query string either
