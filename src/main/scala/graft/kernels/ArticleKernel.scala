@@ -119,9 +119,9 @@ object ArticleKernel {
         name.equalsIgnoreCase("article:published_time")) metaPublished = content
 
     override def headLink(rel: String, href: String): Unit =
-      if (rel.equalsIgnoreCase("next")) {
+      if (HtmlTokenizer.relHas(rel, "next")) {
         if (nextHref == null) nextHref = href
-      } else if (rel.equalsIgnoreCase("prev") || rel.equalsIgnoreCase("previous")) {
+      } else if (HtmlTokenizer.relHas(rel, "prev") || HtmlTokenizer.relHas(rel, "previous")) {
         if (prevHref == null) prevHref = href
       }
 

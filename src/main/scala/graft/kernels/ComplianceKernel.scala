@@ -47,18 +47,26 @@ object ComplianceKernel {
 
   private final class Sink(pageUrl: String) extends HtmlTokenizer.Sink {
     var licenseHref: String = null
-    var robots: String = null
+    // robots directives from MULTIPLE metas combine per the de-facto
+    // standard (a theme and an SEO plugin each emitting one is common);
+    // first-wins would silently drop a later noai/noindex opt-out
+    val robotsTokens = scala.collection.mutable.LinkedHashSet.empty[String]
     var tdm: String = null
     override def open(name: String, classId: String, selfClosing: Boolean): Unit = ()
     override def close(name: String): Unit = ()
     override def text(s: CharSequence): Unit = ()
     override def headLink(rel: String, href: String): Unit =
-      if (licenseHref == null && rel.equalsIgnoreCase("license")) licenseHref = href
+      if (licenseHref == null && HtmlTokenizer.relHas(rel, "license")) licenseHref = href
     override def meta(name: String, content: String): Unit =
       if (name.equalsIgnoreCase("robots")) {
-        if (robots == null) robots = content
+        if (content != null)
+          content.toLowerCase(Locale.ROOT).split("[,\\s]+")
+            .foreach(t => if (t.nonEmpty) robotsTokens += t.trim)
       } else if (name.equalsIgnoreCase("tdm-reservation")) {
-        if (tdm == null) tdm = content
+        // most-restrictive wins: any meta reserving TDM rights ("1")
+        // overrides a non-reserving one, regardless of document order
+        val v = if (content == null) "" else content.trim
+        if (tdm == null || (v == "1" && tdm != "1")) tdm = v
       }
   }
 
@@ -68,12 +76,9 @@ object ComplianceKernel {
     val licenseUrl =
       if (sink.licenseHref == null) ""
       else LinkKernel.resolve(pageUrl, sink.licenseHref).getOrElse("")
-    val tokens: Set[String] =
-      if (sink.robots == null) Set.empty
-      else sink.robots.toLowerCase(Locale.ROOT).split("[,\\s]+").map(_.trim)
-        .filter(_.nonEmpty).toSet
+    val tokens: Set[String] = sink.robotsTokens.toSet
     val noai = tokens.contains("noai")
-    val tdm = if (sink.tdm == null) "" else sink.tdm.trim
+    val tdm = if (sink.tdm == null) "" else sink.tdm
     Compliance(
       licenseUrl, ccCodeOf(licenseUrl),
       tokens.contains("noindex"), noai, tokens.contains("noimageai"), tdm,

@@ -71,6 +71,26 @@ object HtmlTokenizer {
     def image(src: String, alt: String, srcset: String, dataSrc: String): Unit = ()
   }
 
+  /** Whole-token, case-insensitive membership test over a `rel` value —
+    * rel is a space-separated TOKEN LIST per the HTML spec, so
+    * `rel="next prefetch"` carries "next" and a whole-string compare
+    * misses it (and `rel="nofollowed"` must NOT match "nofollow").
+    */
+  def relHas(rel: String, token: String): Boolean = {
+    if (rel == null || rel.isEmpty) return false
+    var i = 0
+    val n = rel.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(rel.charAt(i))) i += 1
+      var j = i
+      while (j < n && !Character.isWhitespace(rel.charAt(j))) j += 1
+      if (j - i == token.length && rel.regionMatches(true, i, token, 0, token.length))
+        return true
+      i = j
+    }
+    false
+  }
+
   private val VoidTags: Set[String] = Set(
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
     "meta", "param", "source", "track", "wbr")

@@ -31,7 +31,7 @@ object I18nKernel {
     override def meta(name: String, content: String): Unit =
       if (og == null && name.equalsIgnoreCase("og:locale")) og = content
     override def headLinkLang(rel: String, href: String, hreflang: String): Unit =
-      if (rel.equalsIgnoreCase("alternate") && hreflang.nonEmpty)
+      if (HtmlTokenizer.relHas(rel, "alternate") && hreflang.nonEmpty)
         LinkKernel.resolve(pageUrl, href).foreach { u =>
           alts += ((hreflang.toLowerCase(Locale.ROOT), u))
         }

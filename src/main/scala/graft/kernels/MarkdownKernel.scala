@@ -124,8 +124,11 @@ object MarkdownKernel {
           }
         case _ if preDepth > 0 => ()
         case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
-          val level = if (heading >= 1) heading else 1
-          flushInline("#" * level + " "); heading = 0
+          // an unmatched </hN> (heading == 0) in crawl tag soup must not
+          // promote pending paragraph text to a fabricated H1 — flush it
+          // as a plain block instead
+          val prefix = if (heading >= 1) "#" * heading + " " else ""
+          flushInline(prefix); heading = 0
         case "li" => flushListItem()
         case "ul" | "ol" =>
           flushListItem() // unclosed trailing <li>

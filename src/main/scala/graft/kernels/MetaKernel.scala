@@ -39,7 +39,7 @@ object MetaKernel {
         if (og == null) og = content
       }
     override def headLink(rel: String, href: String): Unit =
-      if (canon == null && rel.equalsIgnoreCase("canonical"))
+      if (canon == null && HtmlTokenizer.relHas(rel, "canonical"))
         canon = LinkKernel.resolve(pageUrl, href).getOrElse(null)
 
     /** title is RCDATA: raw-text delivery skips entity decoding (script/

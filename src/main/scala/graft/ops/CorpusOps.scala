@@ -230,14 +230,19 @@ object CorpusOps {
           |         then cast(i as long) else -1L end), x -> x != -1L)
           |else array() end as boundaries""".stripMargin)
       .selectExpr("doc_id",
-        "cast(size(boundaries) + 1 as long) as n_chunks", "boundaries")
+        "cast(size(boundaries) + 1 as long) as n_chunks",
+        // serialized scalar, not ARRAY<BIGINT>: the driver's comparator
+        // sorts columns with pandas, which cannot factorize list cells
+        "array_join(transform(boundaries, b -> cast(b as string)), ',') as boundaries")
 
   val cdcChunksSql: String =
     """WITH v AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |    list_transform(string_split(text, ' '),
       |      w -> CAST(37 * length(w) + ascii(w) AS BIGINT)) AS vals
       |  FROM documents)
-      |SELECT doc_id, CAST(len(b) + 1 AS BIGINT) AS n_chunks, b AS boundaries
+      |SELECT doc_id, CAST(len(b) + 1 AS BIGINT) AS n_chunks,
+      |  -- coalesce: DuckDB's array_to_string returns NULL on an empty list
+      |  coalesce(array_to_string(list_transform(b, x -> CAST(x AS VARCHAR)), ','), '') AS boundaries
       |FROM (SELECT doc_id,
       |  CASE WHEN len(vals) >= 4 THEN
       |    [CAST(i AS BIGINT) FOR i IN range(4, len(vals) + 1)
@@ -345,12 +350,16 @@ object CorpusOps {
       .select(
         col("doc_id"),
         col("words"),
-        expr(s"coalesce(flatten(transform(starts, s -> sequence(s, s+${ShingleWords - 1}))), array())")
-          .as("cv"))
+        expr(s"array_distinct(coalesce(flatten(transform(starts, s -> sequence(s, s+${ShingleWords - 1}))), array()))")
+          .as("cvd"))
       .selectExpr(
         "doc_id",
-        "array_join(filter(words, (x, p) -> not array_contains(cv, p)), ' ') as cut_text",
-        "cast(size(array_distinct(cv)) as long) as n_removed")
+        // hash-based set subtraction (ArrayExcept builds a hash set of
+        // cvd), not a per-position array_contains scan — a long fully
+        // duplicated document (the exact doc this operator exists for)
+        // stays linear in its length instead of quadratic
+        "array_join(transform(array_except(sequence(0, size(words)-1), cvd), p -> element_at(words, p+1)), ' ') as cut_text",
+        "cast(size(cvd) as long) as n_removed")
   }
 
   val exactSubstrCutSql: String =

@@ -493,10 +493,12 @@ object DedupOps {
     * every dropped doc is recorded (the audit trail a corpus rebuild
     * needs).
     *
-    * Plan: the cluster table is orders of magnitude smaller than the
-    * corpus (only docs with an accepted near-dup pair appear), so the
-    * token-count join broadcasts the CLUSTER side into the doc scan;
-    * the canonical argmax is a row_number window PARTITIONED by
+    * Plan: the cluster table has one row per doc with an accepted
+    * near-dup pair — on the real web that is a LARGE corpus fraction
+    * (30-50% of pages is common), so neither side is broadcast-hinted:
+    * both joins are plain equi-joins on doc_id/cluster and AQE picks
+    * broadcast at runtime only when the built side genuinely fits.
+    * The canonical argmax is a row_number window PARTITIONED by
     * cluster — parallel across clusters, deterministic tiebreak.
     */
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
@@ -504,14 +506,14 @@ object DedupOps {
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("cast(doc_id as long) as doc_id",
         "cast(size(split(text, ' ')) as long) as n_tokens")
-    val j = toks.join(broadcast(cl), Seq("doc_id")).localCheckpoint(true)
+    val j = toks.join(cl, Seq("doc_id")).localCheckpoint(true)
     val canon = j
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("cluster").orderBy(desc("n_tokens"), asc("doc_id"))))
       .where("rn = 1")
       .selectExpr("cluster", "doc_id as canonical_id")
-    j.join(broadcast(canon), Seq("cluster")).selectExpr(
+    j.join(canon, Seq("cluster")).selectExpr(
       "doc_id",
       "cast(cluster as long) as cluster",
       "cast(canonical_id as long) as canonical_id",

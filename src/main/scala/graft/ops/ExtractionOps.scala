@@ -156,18 +156,23 @@ object ExtractionOps {
       |    'http://host' || (doc_id % 20) || '.example/p' || doc_id || '.html' AS url,
       |    chr(13) || chr(10) AS crlf
       |  FROM documents),
+      |h0 AS (SELECT doc_id, url, crlf, text,
+      |    -- BYTE length (UTF-8), not character count: Content-Length and
+      |    -- the kernel's extents are octets, and len() diverges from
+      |    -- octet_length() on any non-ASCII doc text
+      |    octet_length(encode(text)) AS tb FROM b),
       |h AS (SELECT doc_id,
-      |    len('WARC/1.0' || crlf || 'WARC-Type: resource' || crlf ||
+      |    octet_length(encode('WARC/1.0' || crlf || 'WARC-Type: resource' || crlf ||
       |        'WARC-Target-URI: ' || url || crlf ||
       |        'WARC-Date: 2024-01-01T00:00:00Z' || crlf ||
-      |        'Content-Length: ' || len(text) || crlf || crlf) + len(text) AS len1,
-      |    len('WARC/1.0' || crlf || 'WARC-Type: revisit' || crlf ||
+      |        'Content-Length: ' || tb || crlf || crlf)) + tb AS len1,
+      |    octet_length(encode('WARC/1.0' || crlf || 'WARC-Type: revisit' || crlf ||
       |        'WARC-Target-URI: ' || url || '?recrawl' || crlf ||
       |        'WARC-Date: 2024-02-01T00:00:00Z' || crlf ||
       |        'WARC-Refers-To-Target-URI: <' || url || '>' || crlf ||
       |        'WARC-Payload-Digest: md5:' || md5(text) || crlf ||
-      |        'Content-Length: 0' || crlf || crlf) AS len2
-      |  FROM b)
+      |        'Content-Length: 0' || crlf || crlf)) AS len2
+      |  FROM h0)
       |SELECT doc_id, 'resource' AS rec_type,
       |  CAST(0 AS BIGINT) AS offset, CAST(len1 AS BIGINT) AS rec_len FROM h
       |UNION ALL

@@ -234,7 +234,9 @@ object RankOps {
         count(lit(1)).cast("long").as("df"),
         graft.functions.MinK.mink(PostingsHead)(col("h"), col("doc_id")).as("picks"))
       .selectExpr("term", "df",
-        "transform(picks, p -> p.id) as postings_head")
+        // serialized scalar, not ARRAY<BIGINT>: the driver's comparator
+        // sorts columns with pandas, which cannot factorize list cells
+        "array_join(transform(picks, p -> cast(p.id as string)), ',') as postings_head")
 
   val invertedIndexSql: String =
     s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -242,7 +244,8 @@ object RankOps {
       |           FROM documents),
       |f AS (SELECT doc_id, term FROM t WHERE len(term) > 0)
       |SELECT term, CAST(count(*) AS BIGINT) AS df,
-      |  (list_sort(list(doc_id)))[1:$PostingsHead] AS postings_head
+      |  array_to_string(list_transform((list_sort(list(doc_id)))[1:$PostingsHead],
+      |    x -> CAST(x AS VARCHAR)), ',') AS postings_head
       |FROM f GROUP BY term""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -54,6 +54,13 @@ class MarkdownKernelSpec extends AnyFunSuite {
     assert(md("<table><tr><td>c1</td><td>c2</td></tr></table>") === "c1\n\nc2")
   }
 
+  test("unmatched </hN> close flushes pending text as a plain block, not a fabricated H1") {
+    // stray heading closes in crawl tag soup must not promote paragraph
+    // text to a heading
+    assert(md("<p>ordinary paragraph</h2> text</p>") === "ordinary paragraph\n\ntext")
+    assert(md("plain text</h1>") === "plain text")
+  }
+
   test("self-closing structural tags cannot wedge open state") {
     assert(md("<p>hello</p><pre/><p>world</p>") === "hello\n\nworld")
     assert(md("<p>a</p><blockquote/><p>b</p>") === "a\n\nb")

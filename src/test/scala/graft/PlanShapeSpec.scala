@@ -163,11 +163,16 @@ class PlanShapeSpec extends SparkTestBase {
       "q_token_shards must broadcast the bucket-offset table")
   }
 
-  test("canonical pick broadcasts the cluster table and windows per cluster") {
-    val p = plan("q_dedup_canonical")
-    assert(p.contains("BroadcastHashJoin"),
-      "q_dedup_canonical must broadcast the (tiny) cluster table into the doc scan")
-    assert(p.contains("], [cluster#"),
+  test("canonical pick shuffle-joins on doc_id and windows per cluster") {
+    // the cluster table is a corpus FRACTION on the real web (near-dup
+    // membership is commonly 30-50% of pages), so the join must be a
+    // plain equi-join on doc_id — shuffle-joinable, with AQE free to
+    // broadcast at runtime when the built side genuinely fits. A
+    // mandatory broadcast hint here OOMs the driver at 100x scale.
+    val qe = SparkEntry.queries("q_dedup_canonical")(spark, dir).queryExecution
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "q_dedup_canonical must not hard-hint a broadcast of the cluster table")
+    assert(qe.executedPlan.toString.contains("], [cluster#"),
       "q_dedup_canonical's argmax window lost its per-cluster partitioning")
   }
 

@@ -92,4 +92,21 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out(0) === ((ws(6, "p"), 12L)))
     assert(out(1) === ((ws(2, "q"), 12L)))
   }
+
+  test("exactSubstrCut stays linear on a long fully-duplicated document") {
+    // the exact doc this operator exists for: two identical 20k-word
+    // docs cover EVERY position, so the covered set is as large as the
+    // doc. The per-position rewrite must be hash-set subtraction
+    // (ArrayExcept), not an array_contains scan — the quadratic variant
+    // (20k x 160k comparisons per doc) stalls for minutes here.
+    val long = ws(20000, "dup")
+    val dir = corpus(Seq(0L -> long, 1L -> long))
+    val t0 = System.nanoTime()
+    val out = ops.CorpusOps.exactSubstrCut(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.toSeq === Seq(("", 20000L), ("", 20000L)))
+    assert(secs < 60.0, f"exactSubstrCut took $secs%.1f s on a fully-duplicated 20k-word doc — quadratic rewrite regression")
+  }
 }
