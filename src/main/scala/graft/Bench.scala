@@ -120,17 +120,21 @@ object Bench {
     val corpusDir = ensureCorpus(spark, benchDocs)
     timeExtract(spark, corpusDir, cpus) // one warmup pass (JIT + footers)
     // expression-only fast path at the same parallelism (no Dataset
-    // encoder; sum(n_chars) forces every extraction)
-    def timeExpr(): Double = {
+    // encoder; sum(n_chars) forces every extraction). Timed INSIDE the
+    // interleaved scaling rounds below (min-of-5) — r3 postmortem: the
+    // standalone median ran in its own load window and recorded 59.2k
+    // docs/s while every in-session probe measured 104-116k; min-of-N
+    // inside the rounds makes one steal window unable to halve the
+    // official number, same hardening the main path already has.
+    def timeExpr(s: SparkSession): Double = {
       val t0 = System.nanoTime()
       ExtractPipeline
-        .extractText(spark, spark.read.parquet(corpusDir),
+        .extractText(s, s.read.parquet(corpusDir),
           ExtractPipeline.Conf(repartition = cpus))
         .agg(org.apache.spark.sql.functions.sum("n_chars")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    timeExpr() // warmup
-    val tExpr = (1 to Runs).map(_ => timeExpr()).sorted.apply(Runs / 2)
+    timeExpr(spark) // warmup (codegen + parquet footers)
     // pre-shuffle reference shape (raw html through the exchange) at the
     // same parallelism — records what the post-kernel placement buys
     val tPre = (1 to Runs).map(_ => timeExtract(spark, corpusDir, cpus,
@@ -152,13 +156,16 @@ object Bench {
     // median-of-ratios sits stable near the true ~0.9).
     val levels = (Seq(2, 8) ++ (if (cpus != 2 && cpus != 8) Seq(cpus) else Nil)).distinct
     val times = scala.collection.mutable.Map(levels.map(_ -> List.empty[Double]): _*)
+    var exprTimes = List.empty[Double]
     var nOk = 0L
+    val mainLvl = if (levels.contains(cpus)) cpus else 8
     (1 to 5).foreach { round =>
       levels.foreach { lvl =>
         val s = session(lvl)
         if (round == 1) timeExtract(s, corpusDir, lvl) // warmup first use
         val (t, n) = timeExtract(s, corpusDir, lvl)
         times(lvl) = t :: times(lvl)
+        if (lvl == mainLvl) exprTimes = timeExpr(s) :: exprTimes
         nOk = n
         s.stop()
       }
@@ -166,7 +173,8 @@ object Bench {
     val t2 = times(2).min
     val t8 = times(8).min
     // best-of-5 interleaved at the requested parallelism
-    val tMain = times(if (times.contains(cpus)) cpus else 8).min
+    val tMain = times(mainLvl).min
+    val tExpr = exprTimes.min
     val ratios = times(2).reverse.zip(times(8).reverse).map { case (a, b) => (a / b) / 4.0 }.sorted
     val eff = ratios(ratios.length / 2)
 
