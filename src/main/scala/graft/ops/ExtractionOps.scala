@@ -85,24 +85,56 @@ object ExtractionOps {
   }
 
   /** resource record (payload = text) + its revisit record, shared by
-    * the revisit and CDX-offset queries.
+    * the revisit, CDX-offset and gz-member queries.
     */
-  private def twoRecordArchive(d: Long, text: String): Array[Byte] = {
+  private def resourceRecord(d: Long, text: String): Array[Byte] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val url = s"http://host${d % 20}.example/p$d.html"
+    val body = text.getBytes(utf8)
+    val rec = new java.io.ByteArrayOutputStream(body.length + 256)
+    def w(s: String): Unit = rec.write(s.getBytes(utf8))
+    w("WARC/1.0\r\nWARC-Type: resource\r\n")
+    w(s"WARC-Target-URI: $url\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n")
+    w(s"Content-Length: ${body.length}\r\n\r\n")
+    rec.write(body)
+    rec.toByteArray
+  }
+
+  private def revisitRecord(d: Long, text: String): Array[Byte] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val url = s"http://host${d % 20}.example/p$d.html"
     val digest = "md5:" + java.security.MessageDigest.getInstance("MD5")
       .digest(text.getBytes(utf8)).map(b => f"${b & 0xff}%02x").mkString
-    val body = text.getBytes(utf8)
-    val archive = new java.io.ByteArrayOutputStream(body.length + 512)
-    def w(s: String): Unit = archive.write(s.getBytes(utf8))
-    w("WARC/1.0\r\nWARC-Type: resource\r\n")
-    w(s"WARC-Target-URI: $url\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n")
-    w(s"Content-Length: ${body.length}\r\n\r\n")
-    archive.write(body)
-    w("\r\n\r\nWARC/1.0\r\nWARC-Type: revisit\r\n")
-    w(s"WARC-Target-URI: $url?recrawl\r\nWARC-Date: 2024-02-01T00:00:00Z\r\n")
-    w(s"WARC-Refers-To-Target-URI: <$url>\r\n")
-    w(s"WARC-Payload-Digest: $digest\r\nContent-Length: 0\r\n\r\n")
+    (s"WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      s"WARC-Target-URI: $url?recrawl\r\nWARC-Date: 2024-02-01T00:00:00Z\r\n" +
+      s"WARC-Refers-To-Target-URI: <$url>\r\n" +
+      s"WARC-Payload-Digest: $digest\r\nContent-Length: 0\r\n\r\n").getBytes(utf8)
+  }
+
+  private val RecSep = "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def twoRecordArchive(d: Long, text: String): Array[Byte] = {
+    val archive = new java.io.ByteArrayOutputStream(512)
+    archive.write(resourceRecord(d, text))
+    archive.write(RecSep)
+    archive.write(revisitRecord(d, text))
+    archive.toByteArray
+  }
+
+  /** Per-member `.warc.gz` (the real Common Crawl layout: one gzip
+    * member per record, trailing CRLFCRLF inside the member).
+    */
+  private def twoMemberGzArchive(d: Long, text: String): Array[Byte] = {
+    def gz(recs: Array[Byte]*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(256)
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      recs.foreach(g.write)
+      g.close()
+      bos.toByteArray
+    }
+    val archive = new java.io.ByteArrayOutputStream(512)
+    archive.write(gz(resourceRecord(d, text), RecSep))
+    archive.write(gz(revisitRecord(d, text), RecSep))
     archive.toByteArray
   }
 
@@ -178,6 +210,60 @@ object ExtractionOps {
       |UNION ALL
       |SELECT doc_id, 'revisit' AS rec_type,
       |  CAST(len1 + 4 AS BIGINT) AS offset, CAST(len2 AS BIGINT) AS rec_len FROM h""".stripMargin
+
+  /** Compressed-member CDX extents under the oracle gate: each doc packs
+    * into a per-member `.warc.gz` (resource + revisit, one gzip member
+    * each), the reader reports every record's COMPRESSED `(gzOffset,
+    * gzLen)`, and the query then does exactly what a wayback-style
+    * client does — range-reads that byte slice out of the archive,
+    * gunzips it ALONE, and parses the single record back. The oracle
+    * pins the recovered payload (resource → original text, revisit →
+    * its refers-to URL) plus an extents invariant (members tile the
+    * archive exactly: start at 0, contiguous, end at file length), so a
+    * wrong offset or length anywhere fails the hash. DuckDB cannot
+    * recompute gzip lengths — the range-read roundtrip is what puts the
+    * extents themselves under the gate.
+    */
+  def warcGzMembers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+      .as[(Long, String)]
+      .flatMap { case (d, text) =>
+        // resolved inside the task: java Charset is not Serializable
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val archive = twoMemberGzArchive(d, text)
+        val pages = graft.kernels.WarcKernel.split(archive).toVector
+        val extents = pages.map(p => (p.gzOffset, p.gzLen))
+        val tiles = extents.size == 2 &&
+          extents(0)._1 == 0L &&
+          extents(0)._1 + extents(0)._2 == extents(1)._1 &&
+          extents(1)._1 + extents(1)._2 == archive.length.toLong
+        pages.zipWithIndex.map { case (p, i) =>
+          val slice = java.util.Arrays.copyOfRange(
+            archive, p.gzOffset.toInt, (p.gzOffset + p.gzLen).toInt)
+          val again = graft.kernels.WarcKernel.split(slice).toVector
+          val ok = tiles && again.size == 1 && again.head.error == null &&
+            again.head.recType == p.recType
+          val rangeText = again.headOption.map { q =>
+            if (q.recType == "revisit") q.refersTo else new String(q.body, utf8)
+          }.getOrElse("")
+          (d, p.recType, i.toLong, rangeText, ok)
+        }
+      }
+      .toDF("doc_id", "rec_type", "member_ord", "range_text", "range_read_ok")
+  }
+
+  val warcGzMembersSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, 'resource' AS rec_type,
+      |  CAST(0 AS BIGINT) AS member_ord, text AS range_text,
+      |  true AS range_read_ok
+      |FROM documents
+      |UNION ALL
+      |SELECT CAST(doc_id AS BIGINT), 'revisit', CAST(1 AS BIGINT),
+      |  'http://host' || (doc_id % 20) || '.example/p' || doc_id || '.html',
+      |  true
+      |FROM documents""".stripMargin
 
   val warcRevisitSql: String =
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -531,6 +617,7 @@ object ExtractionOps {
     "q_extract_warc" -> (extractWarc(_, _)),
     "q_warc_revisit" -> (warcRevisit(_, _)),
     "q_warc_cdx_offsets" -> (warcCdxOffsets(_, _)),
+    "q_warc_gz_members" -> (warcGzMembers(_, _)),
     "q_extract_pdf_multipage" -> (extractPdfMultipage(_, _)),
     "q_extract_pdf_scrambled" -> (extractPdfScrambled(_, _)),
     "q_extract_pdf_winansi" -> (extractPdfWinAnsi(_, _)),
@@ -561,6 +648,7 @@ object ExtractionOps {
     "q_extract_warc" -> extractHtmlSql,
     "q_warc_revisit" -> warcRevisitSql,
     "q_warc_cdx_offsets" -> warcCdxOffsetsSql,
+    "q_warc_gz_members" -> warcGzMembersSql,
     "q_extract_pdf_multipage" -> extractPdfMultipageSql,
     "q_extract_pdf_scrambled" -> extractPdfMultipageSql,
     "q_extract_pdf_winansi" -> extractPdfWinAnsiSql,

@@ -90,8 +90,131 @@ class WarcKernelSpec extends AnyFunSuite {
   test("garbage input is a single error row, not an exception") {
     val pages = WarcKernel.split("this is not a warc".getBytes(UTF_8)).toSeq
     assert(pages.map(_.error) === Seq("warc_bad_magic"))
+    // gzip magic but CM != 8: not a decodable member header
     val pages2 = WarcKernel.split(Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2)).toSeq
-    assert(pages2.map(_.error) === Seq("warc_gzip_corrupt"))
+    assert(pages2.map(_.error) === Seq("warc_gz_bad_member_header"))
+  }
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("per-member extents tile the .warc.gz and range-read one member back") {
+    val es = entries(7)
+    val gz = PagesGen.warcBytes(es, gzipMembers = true)
+    val pages = WarcKernel.split(gz).toVector
+    assert(pages.size === 7 && pages.forall(_.error == null))
+    // ALL members (incl. the skipped warcinfo/request records') tile the
+    // file: start 0, contiguous, end at file length
+    val (members, tailErr) = WarcKernel.gzipMembers(gz)
+    assert(tailErr.isEmpty)
+    val tiling = members.map(m => (m.offset, m.compLen))
+    assert(tiling.head._1 === 0L)
+    tiling.sliding(2).foreach {
+      case Seq((o1, l1), (o2, _)) => assert(o1 + l1 === o2)
+      case _                      =>
+    }
+    assert(tiling.last._1 + tiling.last._2 === gz.length.toLong)
+    // every page's extent is exactly one member's extent
+    val memberSet = tiling.toSet
+    assert(pages.forall(p => memberSet((p.gzOffset, p.gzLen))))
+    // the wayback contract: slice [gzOffset, gzOffset+gzLen) parses ALONE
+    pages.foreach { p =>
+      val slice = java.util.Arrays.copyOfRange(gz, p.gzOffset.toInt, (p.gzOffset + p.gzLen).toInt)
+      val again = WarcKernel.split(slice).toVector
+      assert(again.size === 1 && again.head.error == null)
+      assert(again.head.url === p.url)
+      assert(java.util.Arrays.equals(again.head.body, p.body))
+    }
+    // plain input reports no member extents
+    val plain = WarcKernel.split(PagesGen.warcBytes(es, gzipMembers = false)).toVector
+    assert(plain.forall(p => p.gzOffset == -1L && p.gzLen == -1L))
+  }
+
+  test("a whole file compressed as ONE member maps every record to member 0") {
+    val es = entries(4)
+    val one = gzip(PagesGen.warcBytes(es, gzipMembers = false))
+    val pages = WarcKernel.split(one).toVector
+    assert(pages.size === 4 && pages.forall(_.error == null))
+    assert(pages.forall(p => p.gzOffset == 0L && p.gzLen == one.length.toLong))
+  }
+
+  test("truncated gz tail member keeps prior members' records plus one error row") {
+    val es = entries(6)
+    val gz = PagesGen.warcBytes(es, gzipMembers = true)
+    val full = WarcKernel.split(gz).toVector
+    val lastStart = full.map(_.gzOffset).max.toInt
+    // cut inside the LAST member's deflate data
+    val cut = java.util.Arrays.copyOfRange(gz, 0, lastStart + 12)
+    val pages = WarcKernel.split(cut).toVector
+    assert(pages.last.error === "warc_gz_member_truncated")
+    val ok = pages.init
+    assert(ok.forall(_.error == null))
+    assert(ok.map(_.url) === full.init.map(_.url))
+  }
+
+  test("corrupt gz member trailer (CRC flip) is detected, prior members kept") {
+    val es = entries(3)
+    val gz = PagesGen.warcBytes(es, gzipMembers = true)
+    val full = WarcKernel.split(gz).toVector
+    val lastStart = full.map(_.gzOffset).max.toInt
+    val lastLen = full.find(_.gzOffset == lastStart.toLong).get.gzLen.toInt
+    val bad = gz.clone()
+    bad(lastStart + lastLen - 5) = (bad(lastStart + lastLen - 5) ^ 0xff).toByte // CRC byte
+    val pages = WarcKernel.split(bad).toVector
+    assert(pages.last.error === "warc_gz_member_crc")
+    assert(pages.init.map(_.url) === full.init.map(_.url))
+  }
+
+  test("gz member headers with FNAME/FCOMMENT/FEXTRA/FHCRC fields decode") {
+    // hand-build an RFC 1952 member exercising the optional header
+    // fields the JDK writer never emits but real archivers do
+    val payload = ("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: u://f\r\n" +
+      "WARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: 4\r\n\r\nBODY\r\n\r\n").getBytes(UTF_8)
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(payload); deflater.finish()
+    val comp = new Array[Byte](payload.length + 64)
+    val n = deflater.deflate(comp)
+    deflater.end()
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    val bos = new java.io.ByteArrayOutputStream()
+    // FLG = FEXTRA|FNAME|FCOMMENT (no FHCRC: its value must match, and
+    // the point here is field SKIPPING)
+    bos.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (4 | 8 | 16).toByte, 0, 0, 0, 0, 0, 0))
+    bos.write(Array[Byte](3, 0)); bos.write(Array[Byte](1, 2, 3)) // FEXTRA len=3
+    bos.write("name.warc".getBytes(UTF_8)); bos.write(0) // FNAME
+    bos.write("a comment".getBytes(UTF_8)); bos.write(0) // FCOMMENT
+    bos.write(comp, 0, n)
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    bos.write(le32(crc.getValue))
+    bos.write(le32(payload.length.toLong))
+    val pages = WarcKernel.split(bos.toByteArray).toVector
+    assert(pages.size === 1 && pages.head.error == null)
+    assert(pages.head.url === "u://f")
+    assert(new String(pages.head.body, UTF_8) === "BODY")
+  }
+
+  test("fuzz: every truncation of a .warc.gz parses totally, prior records intact") {
+    val es = entries(5)
+    val gz = PagesGen.warcBytes(es, gzipMembers = true)
+    val full = WarcKernel.split(gz).toVector.map(_.url)
+    (1 until gz.length by 3).foreach { cut =>
+      val pages = WarcKernel.split(java.util.Arrays.copyOfRange(gz, 0, cut)).toVector
+      // never throws; complete records are a prefix of the full parse
+      val ok = pages.filter(_.error == null).map(_.url)
+      assert(full.startsWith(ok), s"cut=$cut yielded non-prefix records $ok")
+      assert(pages.size === ok.size || pages.last.error != null)
+    }
+    // trailing garbage after valid members: records survive + one error
+    val garbage = gz ++ "not gzip at all".getBytes(UTF_8)
+    val pages = WarcKernel.split(garbage).toVector
+    assert(pages.filter(_.error == null).map(_.url) === full)
+    assert(pages.last.error === "warc_gz_bad_member_header")
   }
 
   test("bad chunk framing is an error for that record only") {
