@@ -375,6 +375,89 @@ object CorpusOps {
       |  CAST(len(list_distinct(cv)) AS BIGINT) AS n_removed
       |FROM cov""".stripMargin
 
+  // ---------------------------------- exact-substring dedup at ≥50 tokens
+
+  /** Published Lee et al. 2022 granularity: a span is cut iff it lies
+    * inside a substring of ≥50 tokens that occurs MORE THAN ONCE in the
+    * corpus — including twice inside the SAME document (self-repeats are
+    * the paper's boilerplate case; [[exactSubstrCut]]'s 8-word
+    * cross-document variant deliberately keeps them).
+    *
+    * Exactness: at word-token granularity the union of duplicated
+    * 50-gram covers IS the union of all ≥50-token repeats — every
+    * position in a repeat of length L ≥ 50 sits inside some 50-window of
+    * that repeat (which then also occurs at the twin), and any
+    * duplicated 50-gram is itself a 50-token repeat. So no suffix array
+    * is needed for the REMOVE step; the distributed shape is the same
+    * shuffle-light (hash, doc_id, pos) pipeline as the 8-gram op. The
+    * honest deviation from the paper is tokenization (words here, BPE
+    * bytes there), not the repeat semantics.
+    *
+    * The base corpus has no natural ≥50-token repeats, so the query
+    * plants them deterministically on BOTH engines: docs ≡ 0 (mod 7)
+    * append a shared 60-token block (cross-doc repeat — interior covered,
+    * the unique seams survive), docs ≡ 3 (mod 11) with ≥55 words append
+    * their own first 55 words (self-repeat — cut ONLY under the paper's
+    * any-two-occurrences rule).
+    */
+  private val SubstrN = 50
+  private val SharedBlock: String =
+    (0 until 60).map(i => s"sharedblock$i").mkString(" ")
+
+  def substrDedup50(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir).selectExpr(
+      "doc_id",
+      s"""concat(words,
+            case when doc_id % 7 = 0 then split('$SharedBlock', ' ')
+                 else cast(array() as array<string>) end,
+            case when doc_id % 11 = 3 and size(words) >= 55 then slice(words, 1, 55)
+                 else cast(array() as array<string>) end) as words""")
+    val sh = w.selectExpr(
+      "doc_id",
+      s"""posexplode(case when size(words) >= $SubstrN
+            then transform(sequence(0, size(words)-$SubstrN),
+                           i -> md5(array_join(slice(words, i+1, $SubstrN), ' ')))
+            else cast(array() as array<string>) end) as (i, h)""")
+      .localCheckpoint(true)
+    val dup = sh
+      .groupBy("h")
+      .agg(count(lit(1)).as("nocc"))
+      .where("nocc > 1")
+      .select("h")
+    val st = sh
+      .join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    w.join(st, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("words"),
+        expr(s"array_distinct(coalesce(flatten(transform(starts, s -> sequence(s, s+${SubstrN - 1}))), array()))")
+          .as("cvd"))
+      .selectExpr(
+        "doc_id",
+        "array_join(transform(array_except(sequence(0, size(words)-1), cvd), p -> element_at(words, p+1)), ' ') as cut_text",
+        "cast(size(cvd) as long) as n_removed")
+  }
+
+  val substrDedup50Sql: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text,' ') AS base FROM documents),
+      |w AS (SELECT doc_id,
+      |    base ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN string_split('$SharedBlock',' ') ELSE []::VARCHAR[] END) ||
+      |    (CASE WHEN doc_id % 11 = 3 AND len(base) >= 55 THEN base[1:55] ELSE []::VARCHAR[] END) AS ws
+      |  FROM d),
+      |sh AS (SELECT doc_id, i, md5(array_to_string(ws[i+1:i+$SubstrN],' ')) AS h
+      |       FROM w, LATERAL (SELECT unnest(range(0, greatest(len(ws)-${SubstrN - 1},0))) AS i) t),
+      |dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+      |st AS (SELECT doc_id, list_sort(list(i)) AS starts FROM sh JOIN dup USING (h) GROUP BY doc_id),
+      |cov AS (SELECT w.doc_id, w.ws, coalesce(flatten([range(s, s+$SubstrN) for s in st.starts]), []) AS cv
+      |        FROM w LEFT JOIN st USING (doc_id))
+      |SELECT doc_id,
+      |  coalesce(array_to_string([ws[p+1] for p in range(0, len(ws)) if NOT list_contains(cv, p)], ' '), '') AS cut_text,
+      |  CAST(len(list_distinct(cv)) AS BIGINT) AS n_removed
+      |FROM cov""".stripMargin
+
   // ------------------------------------------------------- NFC normalize
 
   /** Unicode NFC canonicalization via the native `nfc` expression
@@ -417,6 +500,7 @@ object CorpusOps {
     "q_nfc_normalize" -> (nfcNormalize(_, _)),
     "q_cdc_chunks" -> (cdcChunks(_, _)),
     "q_exact_substr_cut" -> (exactSubstrCut(_, _)),
+    "q_substr_dedup_50" -> (substrDedup50(_, _)),
     "q_host_line_dedup" -> (hostLineDedup(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -427,5 +511,6 @@ object CorpusOps {
     "q_nfc_normalize" -> nfcNormalizeSql,
     "q_cdc_chunks" -> cdcChunksSql,
     "q_exact_substr_cut" -> exactSubstrCutSql,
+    "q_substr_dedup_50" -> substrDedup50Sql,
     "q_host_line_dedup" -> hostLineDedupSql)
 }

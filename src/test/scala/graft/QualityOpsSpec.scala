@@ -93,6 +93,31 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out(1) === ((ws(2, "q"), 12L)))
   }
 
+  test("substrDedup50 cuts self-repeats and shared-block interiors, keeps seams") {
+    val dir = corpus(Seq(
+      0L -> ws(20, "b"), // 0 % 7 == 0: shared 60-token block appended
+      7L -> ws(30, "c"), // 7 % 7 == 0: shared block appended
+      3L -> ws(60, "a"), // 3 % 11 == 3, >= 55 words: self-repeat appended
+      2L -> ws(80, "d"))) // control: nothing planted, no repeats
+    val out = ops.CorpusOps.substrDedup50(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // cross-doc block: all 60 interior positions cut, the unique base
+    // (and with it the seam) survives in both docs
+    assert(out(0L) === ((ws(20, "b"), 60L)))
+    assert(out(7L) === ((ws(30, "c"), 60L)))
+    // self-repeat: first 55 words occur twice (doc start + appended
+    // copy) -> both copies cut under the any-two-occurrences rule; the
+    // 5-word tail between them is the only survivor
+    assert(out(3L) === (((56 to 60).map(i => s"a$i").mkString(" "), 110L)))
+    assert(out(2L) === ((ws(80, "d"), 0L)))
+    // the 8-gram op's cross-DOCUMENT rule sees nothing to cut in the
+    // self-repeat doc — the semantic line between the two operators
+    val eight = ops.CorpusOps.exactSubstrCut(spark, dir)
+      .where("doc_id = 3").collect()
+    assert(eight.head.getLong(2) === 0L)
+  }
+
   test("exactSubstrCut stays linear on a long fully-duplicated document") {
     // the exact doc this operator exists for: two identical 20k-word
     // docs cover EVERY position, so the covered set is as large as the
