@@ -422,6 +422,247 @@ object SimilarityOps {
       |    abs(x - (mn + (CASE WHEN s = 0 THEN 0 ELSE round((x - mn) / s) END) * s)))), 6) AS max_err
       |FROM c""".stripMargin
 
+  // --------------------------------------------- product quantization (PQ)
+
+  /** PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): the 64-dim vector splits into M=8 subvectors of 8 dims;
+    * each subspace trains its own K=4 codebook with the SAME
+    * exact-integer Lloyd arithmetic as [[kmeansAssign]] (points
+    * quantized ×100, centroids fixed-point ×10⁴, integral distance keys
+    * < 2⁵³ — cross-engine exact, ties to the smallest centroid id);
+    * a vector's code is its 8 per-subspace centroid ids (3 bits each
+    * here — 64 floats → 8 small codes, the 32× compression PQ exists
+    * for). Query scoring is ADC: the query stays full-precision and
+    * sums exact subspace distances to each CODED centroid.
+    *
+    * 100 TB shape: codebooks are a driver-held model artifact (M×K×8
+    * ints), ENCODING is a zero-exchange literal projection
+    * (PlanShapeSpec pins no Exchange in [[pqEncode]]'s plan), and ADC
+    * scoring broadcasts only the query side — the corpus scan carries
+    * codes, never raw vectors, into the bounded top-k aggregation.
+    */
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace
+  private val PqK = 4 // centroids per subspace
+
+  private def pqPoints(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long) as vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 100) as bigint)) as q")
+
+  private def longArrLit(a: Array[Long]): String =
+    a.map(v => s"${v}L").mkString("array(", ",", ")")
+
+  private def idsLit(ids: Array[Array[Long]]): String =
+    ids.map(longArrLit).mkString("array(", ",", ")")
+
+  private def centsLit(cents: Array[Array[Array[Long]]]): String =
+    cents.map(_.map(longArrLit).mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  /** Exact-integer subspace distance keys for subvector expr `sqExpr`
+    * against subspace `m+1`'s codebook (both lambda-scope names).
+    */
+  private def pqDksExpr(cents: Array[Array[Array[Long]]], sqExpr: String): String =
+    s"""transform(element_at(${centsLit(cents)}, m + 1),
+       |  s -> aggregate(zip_with($sqExpr, s,
+       |         (a, b) -> (a * 10000L - b) * (a * 10000L - b)),
+       |       0L, (acc, x) -> acc + x))""".stripMargin
+
+  /** argmin centroid id: first occurrence of the min distance key — the
+    * ids are ascending per subspace, so ties resolve to the smallest id
+    * (the oracle's ORDER BY dk, j).
+    */
+  private def pqCodeExpr(ids: Array[Array[Long]], cents: Array[Array[Array[Long]]],
+      sqExpr: String): String = {
+    val dks = pqDksExpr(cents, sqExpr)
+    s"""element_at(element_at(${idsLit(ids)}, m + 1),
+       |  cast(array_position($dks, array_min($dks)) as int))""".stripMargin
+  }
+
+  private def halfUp(x: Double): Long =
+    new java.math.BigDecimal(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** 2 Lloyd rounds per subspace, all M subspaces in one pass per round:
+    * assignment is a literal-codebook projection over the exploded
+    * (vec_id, m, sq) frame (no join, no window), the update collects
+    * exactly M×K×8 = 256 (m, code, dim) partial sums to the driver.
+    */
+  private def pqTrain(spark: SparkSession, dir: String): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val ex = pqPoints(spark, dir).selectExpr("vec_id",
+      s"posexplode(transform(sequence(0, ${PqM - 1}), m -> slice(q, m * $PqSub + 1, $PqSub))) as (m, sq)")
+      .localCheckpoint(true) // one scan feeds both training rounds
+    val seeds = ex.where(s"vec_id < $PqK").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    var ids: Array[Array[Long]] =
+      Array.tabulate(PqM)(m => seeds.filter(_._2 == m).map(_._1).sorted)
+    var cents: Array[Array[Array[Long]]] =
+      Array.tabulate(PqM)(m =>
+        seeds.filter(_._2 == m).sortBy(_._1).map(_._3.map(_ * 10000L)))
+    var t = 0
+    while (t < 2) {
+      val rows = ex
+        .selectExpr("m", s"${pqCodeExpr(ids, cents, "sq")} as code", "sq")
+        .selectExpr("m", "code", "posexplode(sq) as (pos, v)")
+        .groupBy("m", "code", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byM = rows.groupBy(_.getInt(0))
+      ids = Array.tabulate(PqM)(m =>
+        byM.getOrElse(m, Array.empty[org.apache.spark.sql.Row])
+          .map(_.getLong(1)).distinct.sorted.toArray)
+      cents = Array.tabulate(PqM) { m =>
+        ids(m).map { code =>
+          val dim = new Array[Long](PqSub)
+          byM(m).filter(_.getLong(1) == code).foreach(r =>
+            dim(r.getInt(2)) = halfUp(10000.0 * r.getLong(3) / r.getLong(4)))
+          dim
+        }
+      }
+      t += 1
+    }
+    (ids, cents)
+  }
+
+  private def pqEncodeWith(spark: SparkSession, dir: String,
+      ids: Array[Array[Long]], cents: Array[Array[Array[Long]]]): DataFrame = {
+    val code = pqCodeExpr(ids, cents, s"slice(q, m * $PqSub + 1, $PqSub)")
+    pqPoints(spark, dir).selectExpr("vec_id", "q",
+      s"transform(sequence(0, ${PqM - 1}), m -> $code) as codes")
+  }
+
+  /** Train + encode: the returned plan is a PURE literal projection over
+    * the scan (training already happened driver-side) — zero Exchange.
+    */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (ids, cents) = pqTrain(spark, dir)
+    pqEncodeWith(spark, dir, ids, cents)
+  }
+
+  /** ADC: exact integer distance from full-precision query subvectors to
+    * the corpus row's CODED centroids, summed over subspaces.
+    */
+  private def pqAdcExpr(ids: Array[Array[Long]], cents: Array[Array[Array[Long]]]): String =
+    s"""aggregate(transform(sequence(0, ${PqM - 1}), m ->
+       |    aggregate(zip_with(slice(q_q, m * $PqSub + 1, $PqSub),
+       |        element_at(element_at(${centsLit(cents)}, m + 1),
+       |          cast(array_position(element_at(${idsLit(ids)}, m + 1),
+       |                              element_at(codes, m + 1)) as int)),
+       |        (a, b) -> (a * 10000L - b) * (a * 10000L - b)),
+       |      0L, (acc, x) -> acc + x)),
+       |  0L, (acc, x) -> acc + x)""".stripMargin
+
+  /** PQ-ADC top-3 per query (vec_id % 100 == 0), self excluded. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val (ids, cents) = pqTrain(spark, dir)
+    val enc = pqEncodeWith(spark, dir, ids, cents)
+    val q = pqPoints(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      // ADC keys are integral and < 2^53 — exact in the double TopK rides
+      .withColumn("sim", -expr(pqAdcExpr(ids, cents)).cast("double"))
+    topkTail(scored, 3)
+      .selectExpr("q_id", "n_id", "rn", "cast(-sim as bigint) as adc")
+  }
+
+  /** Recall@3 of PQ-ADC vs EXACT integer-L2 ground truth over the same
+    * quantized points — isolates the quantization loss (the number a PQ
+    * rollout decision actually needs).
+    */
+  def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val pts = pqPoints(spark, dir)
+    val q = pts.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"))
+    val scored = pts.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        -expr("aggregate(zip_with(q, q_q, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .cast("double"))
+    val truth = topkTail(scored, 3).select(col("q_id"), col("n_id"))
+    val approx = annPq(spark, dir)
+      .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+    truth.join(approx,
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("a_n")).as("hits"))
+      .select(col("q_id"), col("hits"),
+        round(col("hits").cast("double") / 3.0, 6).as("recall_at_3"))
+  }
+
+  /** Shared CTE chain: quantized points, subvectors, 2 Lloyd rounds per
+    * subspace (linear CTE chain — a scalar subquery referencing a CTE
+    * twice makes DuckDB's inlining exponential), final encode.
+    */
+  private val pqTrainCtes: String = {
+    def assign(src: String, cn: String, out: String): String =
+      s"""$out AS (SELECT vec_id, m, sq, j AS code FROM (
+         |  SELECT e.vec_id, e.m, e.sq, c.j,
+         |    row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+         |      100000000 * list_inner_product(e.sq, e.sq)
+         |        - 20000 * list_inner_product(e.sq, c.s)
+         |        + list_inner_product(c.s, c.s), c.j) AS rn
+         |  FROM $src e JOIN $cn c ON c.m = e.m) WHERE rn = 1)""".stripMargin
+    def update(an: String, out: String): String =
+      s"""$out AS (SELECT m, code AS j, list(s_i ORDER BY i) AS s FROM (
+         |  SELECT m, code, i, round(10000.0 * sum(sq[i]) / count(*)) AS s_i
+         |  FROM $an, (SELECT unnest(range(1, ${PqSub + 1})) AS i) dims
+         |  GROUP BY m, code, i) GROUP BY m, code)""".stripMargin
+    s"""p AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 100) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |ex AS (SELECT vec_id, m, q[m*$PqSub+1 : m*$PqSub+$PqSub] AS sq
+       |  FROM p, (SELECT unnest(range(0, $PqM)) AS m)),
+       |c0 AS (SELECT m, vec_id AS j, list_transform(sq, x -> x * 10000) AS s
+       |  FROM ex WHERE vec_id < $PqK),
+       |${assign("ex", "c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("ex", "c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("ex", "c2", "enc")}""".stripMargin
+  }
+
+  val annPqSql: String =
+    s"""WITH $pqTrainCtes,
+       |qv AS (SELECT vec_id AS q_id, m, sq AS qs FROM ex WHERE vec_id % 100 = 0),
+       |ad AS (SELECT qv.q_id, e.vec_id AS n_id, CAST(sum(
+       |      100000000 * list_inner_product(qv.qs, qv.qs)
+       |        - 20000 * list_inner_product(qv.qs, c.s)
+       |        + list_inner_product(c.s, c.s)) AS BIGINT) AS adc
+       |  FROM qv JOIN enc e ON e.m = qv.m AND e.vec_id <> qv.q_id
+       |       JOIN c2 c ON c.m = e.m AND c.j = e.code
+       |  GROUP BY qv.q_id, e.vec_id),
+       |r AS (SELECT q_id, n_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS BIGINT) AS rn
+       |  FROM ad)
+       |SELECT q_id, n_id, rn, adc FROM r WHERE rn <= 3""".stripMargin
+
+  val annPqRecallSql: String =
+    s"""WITH $pqTrainCtes,
+       |qv AS (SELECT vec_id AS q_id, m, sq AS qs FROM ex WHERE vec_id % 100 = 0),
+       |ad AS (SELECT qv.q_id, e.vec_id AS n_id, sum(
+       |      100000000 * list_inner_product(qv.qs, qv.qs)
+       |        - 20000 * list_inner_product(qv.qs, c.s)
+       |        + list_inner_product(c.s, c.s)) AS adc
+       |  FROM qv JOIN enc e ON e.m = qv.m AND e.vec_id <> qv.q_id
+       |       JOIN c2 c ON c.m = e.m AND c.j = e.code
+       |  GROUP BY qv.q_id, e.vec_id),
+       |pq AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn
+       |  FROM ad) WHERE rn <= 3),
+       |tq AS (SELECT vec_id AS q_id, q AS qq FROM p WHERE vec_id % 100 = 0),
+       |td AS (SELECT tq.q_id, x.vec_id AS n_id,
+       |    list_inner_product(x.q, x.q) - 2 * list_inner_product(x.q, tq.qq)
+       |      + list_inner_product(tq.qq, tq.qq) AS d
+       |  FROM tq JOIN p x ON x.vec_id <> tq.q_id),
+       |tr AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rn
+       |  FROM td) WHERE rn <= 3)
+       |SELECT tr.q_id, CAST(count(pq.n_id) AS BIGINT) AS hits,
+       |  round(CAST(count(pq.n_id) AS DOUBLE) / 3.0, 6) AS recall_at_3
+       |FROM tr LEFT JOIN pq ON pq.q_id = tr.q_id AND pq.n_id = tr.n_id
+       |GROUP BY tr.q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> (embedQuantize(_, _)),
     "q_kmeans_assign" -> (kmeansAssign(_, _)),
@@ -430,7 +671,9 @@ object SimilarityOps {
     "q_ann_multiprobe" -> (annMultiprobe(_, _)),
     "q_ann_ivf" -> (annIvf(_, _)),
     "q_knn_label" -> (knnLabel(_, _)),
-    "q_ann_recall" -> (annRecall(_, _)))
+    "q_ann_recall" -> (annRecall(_, _)),
+    "q_ann_pq" -> (annPq(_, _)),
+    "q_ann_pq_recall" -> (annPqRecall(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_embed_quantize" -> embedQuantizeSql,
@@ -440,5 +683,7 @@ object SimilarityOps {
     "q_ann_multiprobe" -> annMultiprobeSql,
     "q_ann_ivf" -> annIvfSql,
     "q_knn_label" -> knnLabelSql,
-    "q_ann_recall" -> annRecallSql)
+    "q_ann_recall" -> annRecallSql,
+    "q_ann_pq" -> annPqSql,
+    "q_ann_pq_recall" -> annPqRecallSql)
 }

@@ -213,4 +213,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Exchange"),
       "k-means assignment must inline the driver-held codebook, not shuffle")
   }
+
+  test("PQ encode is a zero-exchange literal projection; ADC broadcasts queries") {
+    // subspace codebook training runs eagerly (256-key partial-agg'd
+    // collects); the encode plan handed back must be a pure narrow map —
+    // at 10^12 vectors this is the write-time projection that emits 8
+    // codes per row without moving a single vector
+    val enc = ops.SimilarityOps.pqEncode(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!enc.contains("Exchange"),
+      "PQ encode must inline the driver-held codebooks, not shuffle")
+    // the search: query side broadcast, bounded top-k, no window
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "q_ann_pq must broadcast the (tiny) query side")
+    assert(p.contains("partial_topkagg"),
+      "q_ann_pq lost the map-side bounded top-k")
+    assert(!p.contains("Window ["),
+      "q_ann_pq regressed to a row_number window")
+  }
 }
