@@ -837,7 +837,76 @@ object LinkOps {
       |  CAST(coalesce(s.wave * (1 + g.host_id % 4), -1) AS BIGINT) AS fetch_at_sec
       |FROM g LEFT JOIN sched s USING (doc_id)""".stripMargin
 
+  /** Per-host robots cache with TTL — the piece a standing crawler needs
+    * between [[fetchPlan]] runs: robots.txt responses are cached
+    * host-keyed for up to 24 hours (the RFC 9309 §2.4 cache bound), so a
+    * fetch decision uses the CACHED rules while the entry is fresh and
+    * must re-fetch + re-gate once it expires.
+    *
+    * The cache is a host-keyed DIM (one row per host: fetched_at + the
+    * robots text captured then) broadcast into the candidate scan —
+    * exactly how a 10^12-row frontier consumes it (hosts are ~10^7, the
+    * dim broadcasts; candidates never shuffle). Hosts aged < 24 h keep
+    * their cached snapshot (even hosts cached a disallow-all, odd an
+    * allow-all — so using the WRONG side is loudly visible); hosts aged
+    * ≥ 24 h re-fetch the current robots.txt and the verdict flips to the
+    * live RFC 9309 kernel result. The oracle recomputes both regimes in
+    * closed form, so gating a stale host with cached rules (or vice
+    * versa) fails the hash.
+    */
+  def robotsCacheTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nowUs = 1736208000000000L // fixed clock: 2025-01-07T00:00:00Z
+    val hourUs = 3600000000L
+    val ttlUs = 24L * hourUs
+    // host-keyed cache dim: host h's robots was fetched h*3 hours ago
+    val dim = (0L until 20L).map { h =>
+      val cached =
+        if (h % 2 == 0) "User-agent: *\nDisallow: /\n"
+        else "User-agent: *\nAllow: /\n"
+      (h, nowUs - h * 3 * hourUs, cached)
+    }.toDF("host_id", "fetched_at_us", "cached_txt")
+    val cand = pages(spark, dir)
+      .map(d => (d, d % 20)).toDF("doc_id", "host_id")
+    cand.join(broadcast(dim), Seq("host_id"))
+      .selectExpr("doc_id", "host_id",
+        s"cast((${nowUs}L - fetched_at_us) div ${hourUs}L as long) as age_hours",
+        s"${nowUs}L - fetched_at_us >= ${ttlUs}L as refetched",
+        "cached_txt")
+      .as[(Long, Long, Long, Boolean, String)]
+      .mapPartitions { it =>
+        val rules = new java.util.HashMap[(Long, Boolean), graft.kernels.RobotsKernel.RuleSet]()
+        it.map { case (d, h, age, refetched, cachedTxt) =>
+          var r = rules.get((h, refetched))
+          if (r == null) {
+            // expiry → the crawler re-fetches the CURRENT robots.txt;
+            // fresh → the cached snapshot governs
+            val txt = if (refetched) graft.gen.LinkGen.robotsTxt(h) else cachedTxt
+            r = graft.kernels.RobotsKernel.parse(txt, "graftbot")
+            rules.put((h, refetched), r)
+          }
+          (d, h, age, refetched,
+            graft.kernels.RobotsKernel.isAllowed(r, graft.gen.LinkGen.fetchPath(d)))
+        }
+      }
+      .toDF("doc_id", "host_id", "age_hours", "refetched", "allowed")
+  }
+
+  val robotsCacheTtlSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_id % 20 AS h FROM documents)
+      |SELECT doc_id, CAST(h AS BIGINT) AS host_id,
+      |  CAST(h * 3 AS BIGINT) AS age_hours,
+      |  h * 3 >= 24 AS refetched,
+      |  CASE WHEN h * 3 >= 24 THEN
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN doc_id % 3 <> h % 3
+      |      WHEN 3 THEN h % 4 <> 0
+      |      ELSE TRUE END
+      |  ELSE h % 2 <> 0 END AS allowed
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robots_cache_ttl" -> (robotsCacheTtl(_, _)),
     "q_outlinks" -> (outlinks(_, _)),
     "q_domain_edges" -> (domainEdges(_, _)),
     "q_robots_gate" -> (robotsGate(_, _)),
@@ -860,6 +929,7 @@ object LinkOps {
     "q_recrawl_schedule" -> (recrawlSchedule(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_robots_cache_ttl" -> robotsCacheTtlSql,
     "q_outlinks" -> outlinksSql,
     "q_domain_edges" -> domainEdgesSql,
     "q_robots_gate" -> robotsGateSql,
