@@ -387,6 +387,68 @@ object DedupOps {
        |FROM j""".stripMargin
 
 
+  /** Estimator-quality eval for the MinHash signatures themselves (the
+    * [[lshVerify]] of the SKETCH rather than the candidates): for every
+    * LSH candidate pair, the K=8 signature agreement fraction — the
+    * Jaccard ESTIMATE MinHash is built on (Broder 1997: P[min agree] =
+    * J) — next to the EXACT distinct-3-shingle Jaccard those signatures
+    * approximate, plus the absolute error. This is the calibration a
+    * rollout needs before picking the LSH accept threshold: if |err|
+    * drifts, K is too small for the corpus' similarity profile.
+    *
+    * The per-function minhashes are recovered by splitting each 2-hash
+    * band key in half (the native `minhash_bands` emits h(2b+1)||h(2b+2)
+    * hex), so the signature pipeline still executes once, in-row; the
+    * exact-Jaccard join touches candidates only.
+    */
+  def minhashEst(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashBands.register(spark)
+    val sigs = docs(spark, dir).selectExpr(
+      "cast(doc_id as long) as doc_id",
+      // [h1..h8] from the 4 band keys; 3-shingle set for the exact leg
+      "flatten(transform(minhash_bands(text), b -> array(substring(b, 1, 32), substring(b, 33, 32)))) as hs",
+      """case when size(split(text, ' ')) >= 3
+        |  then array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+        |         i -> array_join(slice(split(text, ' '), i + 1, 3), ' ')))
+        |  else cast(array() as array<string>) end as ss""".stripMargin)
+    val cand = minhashLsh(spark, dir)
+    cand
+      .join(sigs.toDF("a_id", "a_hs", "a_ss"), "a_id")
+      .join(sigs.toDF("b_id", "b_hs", "b_ss"), "b_id")
+      .selectExpr("a_id", "b_id",
+        "aggregate(zip_with(a_hs, b_hs, (x, y) -> case when x = y then 1L else 0L end), 0L, (acc, v) -> acc + v) as n_agree",
+        "size(array_intersect(a_ss, b_ss)) as inter",
+        "size(a_ss) as na", "size(b_ss) as nb")
+      .selectExpr("a_id", "b_id", "n_agree",
+        s"round(cast(n_agree as double) / $K, 4) as jaccard_est",
+        "round(cast(inter as double) / (na + nb - inter), 6) as jaccard_true",
+        s"round(abs(cast(n_agree as double) / $K - cast(inter as double) / (na + nb - inter)), 6) as est_err")
+  }
+
+  val minhashEstSql: String = {
+    val agree = (1 to K)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH cand AS ($minhashLshSql),
+       |w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM documents),
+       |t AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS wd FROM w),
+       |shl AS (SELECT DISTINCT a.doc_id, a.wd || ' ' || b.wd || ' ' || c.wd AS s
+       |  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       |           JOIN t c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+       |sig AS (SELECT doc_id, ${(1 to K).map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")}
+       |  FROM shl GROUP BY doc_id),
+       |sets AS (SELECT doc_id, list(s) AS ss FROM shl GROUP BY doc_id),
+       |j AS (SELECT c.a_id, c.b_id, $agree AS n_agree,
+       |    len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS inter,
+       |    len(sa.ss) AS na, len(sb.ss) AS nb
+       |  FROM cand c JOIN sig a ON a.doc_id = c.a_id JOIN sig b ON b.doc_id = c.b_id
+       |       JOIN sets sa ON sa.doc_id = c.a_id JOIN sets sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(n_agree AS BIGINT) AS n_agree,
+       |  round(CAST(n_agree AS DOUBLE) / $K, 4) AS jaccard_est,
+       |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard_true,
+       |  round(abs(CAST(n_agree AS DOUBLE) / $K - CAST(inter AS DOUBLE) / (na + nb - inter)), 6) AS est_err
+       |FROM j""".stripMargin
+  }
+
   // ------------------------------------------------- near-dup clustering
 
   /** Terminal dedup step: accepted near-dup PAIRS resolve into connected
@@ -650,6 +712,7 @@ object DedupOps {
     "q_simhash_bucket_stats" -> (simhashBucketStats(_, _)),
     "q_dedup_embed_cosine" -> (embedCosine(_, _)),
     "q_dedup_lsh_verify" -> (lshVerify(_, _)),
+    "q_minhash_est" -> (minhashEst(_, _)),
     "q_dedup_clusters" -> (dedupClusters(_, _)),
     "q_dedup_canonical" -> (dedupCanonical(_, _)),
     "q_dedup_incremental" -> (dedupIncremental(_, _)))
@@ -665,6 +728,7 @@ object DedupOps {
     "q_simhash_bucket_stats" -> simhashBucketStatsSql,
     "q_dedup_embed_cosine" -> embedCosineSql,
     "q_dedup_lsh_verify" -> lshVerifySql,
+    "q_minhash_est" -> minhashEstSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_canonical" -> dedupCanonicalSql,
     "q_dedup_incremental" -> dedupIncrementalSql)

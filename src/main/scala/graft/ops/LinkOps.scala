@@ -837,6 +837,46 @@ object LinkOps {
       |  CAST(coalesce(s.wave * (1 + g.host_id % 4), -1) AS BIGINT) AS fetch_at_sec
       |FROM g LEFT JOIN sched s USING (doc_id)""".stripMargin
 
+  /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    * sharding of hosts onto a fetcher fleet — how a crawler pins every
+    * host to exactly one politeness-owning fetcher so per-host rate
+    * limits need no coordination. Each host picks the shard maximizing
+    * md5(hostname '#' shard) over the 10-shard fleet; the query also
+    * computes the assignment under a 9-shard fleet, exposing HRW's
+    * minimal-movement property AS DATA: a host moves iff its shard was
+    * the removed one (the spec asserts it; with mod-hashing ~90% of
+    * hosts would move and every fetcher's politeness state would reset).
+    * Host rollup is one small partial-agg'd exchange; the shard argmax
+    * is in-row over 10 hex digests.
+    */
+  def fetchShards(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = pages(spark, dir).toDF("d")
+      .selectExpr("cast(d % 50 as long) as host_id")
+      .groupBy("host_id")
+      .agg(org.apache.spark.sql.functions.expr("cast(count(*) as long) as n_docs"))
+    hosts
+      .selectExpr("host_id", "n_docs",
+        "transform(sequence(0, 9), s -> md5(concat('host', host_id, '.example#', s))) as hw")
+      .selectExpr("host_id", "n_docs",
+        "cast(array_position(hw, array_max(hw)) - 1 as long) as shard10",
+        "cast(array_position(slice(hw, 1, 9), array_max(slice(hw, 1, 9))) - 1 as long) as shard9")
+      .selectExpr("host_id", "n_docs", "shard10", "shard9",
+        "shard10 != shard9 as moved")
+  }
+
+  val fetchShardsSql: String =
+    """WITH h AS (SELECT CAST(doc_id % 50 AS BIGINT) AS host_id,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY doc_id % 50),
+      |w AS (SELECT host_id, n_docs,
+      |    list_transform(range(0, 10), s -> md5('host' || host_id || '.example#' || s)) AS hw
+      |  FROM h)
+      |SELECT host_id, n_docs,
+      |  CAST(list_position(hw, list_max(hw)) - 1 AS BIGINT) AS shard10,
+      |  CAST(list_position(hw[1:9], list_max(hw[1:9])) - 1 AS BIGINT) AS shard9,
+      |  list_position(hw, list_max(hw)) <> list_position(hw[1:9], list_max(hw[1:9])) AS moved
+      |FROM w""".stripMargin
+
   /** Per-host robots cache with TTL — the piece a standing crawler needs
     * between [[fetchPlan]] runs: robots.txt responses are cached
     * host-keyed for up to 24 hours (the RFC 9309 §2.4 cache bound), so a
@@ -906,6 +946,7 @@ object LinkOps {
       |FROM d""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fetch_shards" -> (fetchShards(_, _)),
     "q_robots_cache_ttl" -> (robotsCacheTtl(_, _)),
     "q_outlinks" -> (outlinks(_, _)),
     "q_domain_edges" -> (domainEdges(_, _)),
@@ -929,6 +970,7 @@ object LinkOps {
     "q_recrawl_schedule" -> (recrawlSchedule(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_fetch_shards" -> fetchShardsSql,
     "q_robots_cache_ttl" -> robotsCacheTtlSql,
     "q_outlinks" -> outlinksSql,
     "q_domain_edges" -> domainEdgesSql,

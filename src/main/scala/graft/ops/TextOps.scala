@@ -732,7 +732,57 @@ object TextOps {
       |  n_tokens >= 20 AND 100 * n_types // greatest(n_tokens, 1) < 20 AS repetitive
       |FROM t""".stripMargin
 
+  // ------------------------------------------------------- readability
+
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975) — the classic
+    * readability gate a curriculum/mixture designer buckets documents
+    * by. Sentences are genuinely PARSED from terminal punctuation
+    * (split on [.!?]+, non-blank segments); the synthetic corpus has
+    * none, so both engines first decorate it identically — every
+    * (5 + doc_id % 4)-th word gains a period — and then parse what they
+    * decorated. Syllables = vowel-group runs per word with a 1-minimum
+    * (the standard dictionary-free heuristic). All three counts are
+    * integral and the grade is one shared double formula over them, so
+    * the hash compare is exact. Pure in-row projection — zero shuffle.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "split(text, ' ') as ws", "5 + cast(doc_id % 4 as int) as stride")
+      .selectExpr("doc_id",
+        "array_join(transform(ws, (w, i) -> case when (i + 1) % stride = 0 then concat(w, '.') else w end), ' ') as d_text")
+      .selectExpr("doc_id",
+        "size(split(d_text, ' ')) as n_words_i",
+        "size(filter(transform(split(d_text, '[.!?]+'), s -> trim(s)), s -> s != '')) as n_sentences_i",
+        """aggregate(transform(split(d_text, ' '),
+          |  w -> greatest(cast(size(regexp_extract_all(lower(w), '[aeiouy]+', 0)) as long), 1L)),
+          |  0L, (acc, x) -> acc + x) as n_syll_i""".stripMargin)
+      .selectExpr("doc_id",
+        "cast(n_words_i as long) as n_words",
+        "cast(n_sentences_i as long) as n_sentences",
+        "n_syll_i as n_syllables",
+        "round(0.39D * (cast(n_words_i as double) / n_sentences_i) + 11.8D * (cast(n_syll_i as double) / n_words_i) - 15.59D, 4) as fk_grade")
+
+  val readabilitySql: String =
+    """WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws,
+      |    5 + doc_id % 4 AS stride FROM documents),
+      |t AS (SELECT doc_id, stride, generate_subscripts(ws, 1) AS ord, unnest(ws) AS wd FROM w),
+      |d AS (SELECT doc_id, string_agg(CASE WHEN ord % stride = 0 THEN wd || '.' ELSE wd END, ' ' ORDER BY ord) AS d_text
+      |  FROM t GROUP BY doc_id, stride),
+      |c AS (SELECT doc_id,
+      |    len(string_split(d_text, ' ')) AS n_words_i,
+      |    len(list_filter(list_transform(regexp_split_to_array(d_text, '[.!?]+'), s -> trim(s)), s -> s <> '')) AS n_sentences_i,
+      |    list_sum(list_transform(string_split(d_text, ' '),
+      |      w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1))) AS n_syll_i
+      |  FROM d)
+      |SELECT doc_id, CAST(n_words_i AS BIGINT) AS n_words,
+      |  CAST(n_sentences_i AS BIGINT) AS n_sentences,
+      |  CAST(n_syll_i AS BIGINT) AS n_syllables,
+      |  round(0.39 * (CAST(n_words_i AS DOUBLE) / n_sentences_i) + 11.8 * (CAST(n_syll_i AS DOUBLE) / n_words_i) - 15.59, 4) AS fk_grade
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (readability(_, _)),
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
     "q_dedup_key" -> (dedupKeyQ(_, _)),
@@ -754,6 +804,7 @@ object TextOps {
     "q_host_quality" -> (hostQuality(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_readability" -> readabilitySql,
     "q_corpus_clean" -> corpusCleanSql,
     "q_mojibake_repair" -> mojibakeRepairSql,
     "q_dedup_key" -> dedupKeySql,

@@ -99,6 +99,27 @@ class LinkKernelSpec extends AnyFunSuite {
     assert(r.links.head.external)
   }
 
+  test("rendezvous shard assignment moves ONLY hosts owned by a removed shard") {
+    // the scheme behind ops.LinkOps.fetchShards: shard = argmax over the
+    // fleet of md5(host '#' shard). Shrinking the fleet 10 -> 9 must
+    // move a host iff its argmax WAS the removed shard — HRW's minimal
+    // movement property (mod-hashing would reshuffle ~90% of hosts)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString
+    var movedCount = 0
+    (0L until 50L).foreach { h =>
+      val hw = (0 until 10).map(s => md5hex(s"host$h.example#$s"))
+      val shard10 = hw.indexOf(hw.max)
+      val shard9 = hw.take(9).indexOf(hw.take(9).max)
+      assert((shard10 != shard9) === (shard10 == 9), s"host $h")
+      if (shard10 != shard9) movedCount += 1
+    }
+    // sanity: the removed shard owned ~1/10 of hosts, so SOME moved
+    assert(movedCount > 0 && movedCount < 15)
+  }
+
   test("generator closed forms match the kernel on a doc sweep") {
     (0L until 200L).foreach { d =>
       val r = LinkKernel.extract(graft.gen.LinkGen.pageHtml(d), graft.gen.LinkGen.pageUrl(d))
