@@ -472,13 +472,96 @@ object StreamingOps {
     """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
       |FROM events""".stripMargin
 
+  // ------------------------------------ streaming MERGE sink (foreachBatch)
+
+  /** ORACLE-GATED streaming upsert sink — the exactly-once leg every
+    * continuously-landing table needs: five staged increments replay
+    * through a REAL file-source stream one file per trigger, and
+    * `foreachBatch` MERGEs each micro-batch into a standing
+    * day-partitioned table (TableFormat.merge, the copy-on-write
+    * Iceberg `MERGE INTO` analog the batch path already ships). Batch k
+    * carries the docs with (doc_id + k) % 3 == 0 stamped version k, so
+    * almost every doc is upserted TWICE and the final table must hold
+    * exactly its LAST version — an append-duplicating or
+    * first-write-wins sink fails the hash, not just a row count. The
+    * oracle computes the closed-form last version per doc
+    * (d%3=0 → k=3, d%3=1 → k=2, d%3=2 → k=4).
+    *
+    * 100 TB shape: foreachBatch + key-scoped MERGE is the standard
+    * Structured Streaming upsert sink; the merge rewrites only the
+    * partitions an increment touches, and micro-batch order is the file
+    * source's mtime order — the same commit serialization a real
+    * snapshot log provides.
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    val stage = java.nio.file.Files.createTempDirectory("stream_upsert_src")
+    val tableDir = stage.resolve("table").toString
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = stage.resolve(s"tmp_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      staged += dest
+    }
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    try {
+      (0 until 5).foreach { k =>
+        stageSlice(docs.filter(s"(doc_id + $k) % 3 = 0")
+          .selectExpr("doc_id", s"cast($k as long) as version",
+            s"concat('v', $k, ':', text) as text_v",
+            "cast(doc_id % 4 as string) as day"),
+          f"batch-$k%03d", base + k * 10000L)
+      }
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("version", LongType),
+          StructField("text_v", StringType), StructField("day", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val q = src.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.pipeline.ParquetFormat.merge(spark, tableDir, b, "doc_id", "day")
+        }
+        .start()
+      q.awaitTermination()
+      graft.pipeline.ParquetFormat.read(spark, tableDir)
+        .selectExpr("cast(doc_id as long) as doc_id",
+          "cast(version as long) as version", "text_v",
+          "cast(day as string) as day")
+        .localCheckpoint(true) // detach from the temp dirs before cleanup
+    } finally {
+      staged.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  val streamUpsertSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 4 END AS BIGINT) AS version,
+      |  'v' || (CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 4 END) || ':' || text AS text_v,
+      |  CAST(doc_id % 4 AS VARCHAR) AS day
+      |FROM documents""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_upsert" -> (streamUpsert(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_host_slots" -> (streamHostSlots(_, _)),
     "q_stream_hourly" -> (streamHourlyEvents(_, _)),
     "q_stream_sessionize" -> (streamSessionize(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_upsert" -> streamUpsertSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_host_slots" -> streamHostSlotsSql,
     "q_stream_hourly" -> streamHourlyEventsSql,
