@@ -130,6 +130,57 @@ object SampleOps {
       |WHERE q.rq >= 256 OR substr(d.h, 1, 2) < printf('%02x', q.rq)
       |GROUP BY d.source""".stripMargin
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir", IPL 97(5) — the A-Res
+    * scheme): each row draws key = u^(1/w) for uniform u and the k
+    * LARGEST keys form an exact weighted sample. This is the standard
+    * primitive for building a training mix with per-source importance
+    * weights when the budget is a fixed row count rather than a rate.
+    *
+    * Exactness trick: for INTEGER weight w, u^(1/w) is distributed as
+    * the max of w iid uniforms (P[max ≤ t] = t^w), so the key becomes
+    * `array_max` over w independent md5 draws — pure string compares,
+    * no pow/ln on the comparison path, bit-identical in both engines.
+    * Ordering "key DESC" is realized as "nibble-complemented key ASC"
+    * (a strict order-reversing bijection on lowercase hex), which lets
+    * the bounded [[graft.functions.MinK]] aggregate do a GLOBAL top-k
+    * with map-side capping: the exchange carries at most k rows per
+    * partition — never the corpus — exactly the shape a 10^12-row
+    * weighted pick needs. Weights here are w_s = (src_num % 4) + 1.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val keyed = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "cast((cast(substring(source, 4) as int) % 4) + 1 as int) as w")
+      .selectExpr("doc_id", "w",
+        """array_max(transform(sequence(1, w), i ->
+          |  md5(cast(concat(cast(doc_id as string), '#ws',
+          |                  cast(i as string)) as binary)))) as wkey""".stripMargin)
+      .selectExpr("doc_id", "w", "wkey",
+        "translate(wkey, '0123456789abcdef', 'fedcba9876543210') as inv")
+    keyed.groupBy()
+      .agg(graft.functions.MinK.mink(k)(col("inv"), col("doc_id")).as("picks"))
+      .select(posexplode(col("picks")))
+      .selectExpr("cast(pos + 1 as long) as rk", "col.id as doc_id",
+        "translate(col.h, '0123456789abcdef', 'fedcba9876543210') as wkey")
+  }
+
+  val sampleWeightedSql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    (CAST(substr(source, 4) AS INT) % 4) + 1 AS w
+      |  FROM documents),
+      |kd AS (
+      |  SELECT doc_id,
+      |    list_max(list_transform(range(1, w + 1),
+      |      i -> md5(doc_id || '#ws' || CAST(i AS VARCHAR)))) AS wkey
+      |  FROM d)
+      |SELECT CAST(rk AS BIGINT) AS rk, doc_id, wkey FROM (
+      |  SELECT doc_id, wkey,
+      |    row_number() OVER (ORDER BY wkey DESC, doc_id) AS rk
+      |  FROM kd) WHERE rk <= 25""".stripMargin
+
   /** Target tokens per training shard. */
   private val ShardTokens = 1000L
 
@@ -196,11 +247,13 @@ object SampleOps {
     "q_token_shards" -> (tokenShards(_, _)),
     "q_sample_stratified" -> (sampleStratified(_, _)),
     "q_sample_fixed_k" -> (sampleFixedK(_, _)),
+    "q_sample_weighted" -> (sampleWeighted(_, _)),
     "q_token_budget_mix" -> (tokenBudgetMix(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_token_shards" -> tokenShardsSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_fixed_k" -> sampleFixedKSql,
+    "q_sample_weighted" -> sampleWeightedSql,
     "q_token_budget_mix" -> tokenBudgetMixSql)
 }

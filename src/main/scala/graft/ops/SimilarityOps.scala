@@ -352,7 +352,12 @@ object SimilarityOps {
     assigned().select(col("vec_id"), col("cluster"), col("dist_key"))
   }
 
-  val kmeansAssignSql: String = {
+  /** The k-means CTE chain (quantized points `p` → 2 Lloyd rounds →
+    * final assignment `a3` with columns vec_id, q, cluster, dk),
+    * parameterized over the final SELECT so [[semDedupSql]] can reuse
+    * the identical model fit.
+    */
+  private def kmeansChainSql(finalSelect: String): String = {
     // one assignment round against centroid CTE `cN` (s: fixed-point list)
     def assign(src: String, cn: String, out: String): String =
       s"""$out AS (SELECT vec_id, q, j AS cluster, dk FROM (
@@ -381,8 +386,77 @@ object SimilarityOps {
        |${assign("p", "c1", "a2")},
        |${update("a2", "c2")},
        |${assign("p", "c2", "a3")}
-       |SELECT vec_id, cluster, CAST(dk AS BIGINT) AS dist_key FROM a3""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  val kmeansAssignSql: String = kmeansChainSql(
+    "SELECT vec_id, cluster, CAST(dk AS BIGINT) AS dist_key FROM a3")
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster the embedding space with k-means, then look for semantic
+    * duplicates ONLY within a cluster — pairs whose cosine similarity
+    * exceeds τ — and drop the pair member FARTHER from its centroid
+    * (the paper's "keep low-similarity-to-centroid" rule inverted to
+    * its dedup form: of two near-identical points, keep the more
+    * central / more prototypical one; ties to the smaller vec_id).
+    *
+    * 100 TB shape — the whole point of the method: clustering makes the
+    * O(n²) similarity join per-CLUSTER, so the only wide ops are (a)
+    * the k-means fit (tiny driver-held model, see [[kmeansAssign]]) and
+    * (b) a self-join keyed on cluster id. On top of that this caps each
+    * cluster at the [[SemDedupCap]] members closest to the centroid
+    * before pairing (a bounded window per cluster — the same
+    * truncation-is-observable discipline as the LSH bucket caps), so
+    * the pair expansion is ≤ C(cap,2) per cluster no matter how hot a
+    * cluster gets. Similarity is exact integer arithmetic end to end:
+    * quantized components (round(x·100)), integer dot/norms, and
+    * cos ≥ 3/10 tested as 100·dot² ≥ 9·‖a‖²·‖b‖² with dot > 0 — no
+    * float on any comparison path, so the oracle can never flip a pair.
+    */
+  private val SemDedupCap = 64
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir) // vec_id, cluster, dist_key
+    val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long) as vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 100) as bigint)) as q")
+    val members = asg.join(pts, "vec_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("dist_key"), col("vec_id"))))
+      .filter(col("rn") <= SemDedupCap)
+      .selectExpr("vec_id", "cluster", "dist_key", "q",
+        "aggregate(q, 0L, (acc, x) -> acc + x * x) as nq")
+    val a = members.toDF("a_id", "cluster", "a_dk", "a_q", "a_nq")
+    val b = members.toDF("b_id", "b_cluster", "b_dk", "b_q", "b_nq")
+    a.join(b, col("cluster") === col("b_cluster") && col("a_id") < col("b_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(a_q, b_q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .filter(col("dot") > 0 && expr("100L * dot * dot >= 9L * a_nq * b_nq"))
+      .selectExpr(
+        "case when a_dk > b_dk or (a_dk = b_dk and a_id > b_id) then a_id else b_id end as vec_id",
+        "cluster")
+      .groupBy("vec_id", "cluster")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
+  val semDedupSql: String = kmeansChainSql(
+    s""",
+       |m AS (SELECT vec_id, cluster, dk, q,
+       |    CAST(list_inner_product(q, q) AS BIGINT) AS nq,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY dk, vec_id) AS rn
+       |  FROM a3),
+       |cm AS (SELECT * FROM m WHERE rn <= $SemDedupCap),
+       |pr AS (SELECT a.cluster,
+       |    CAST(list_inner_product(a.q, b.q) AS BIGINT) AS dot,
+       |    a.vec_id AS a_id, b.vec_id AS b_id,
+       |    a.dk AS a_dk, b.dk AS b_dk, a.nq AS a_nq, b.nq AS b_nq
+       |  FROM cm a JOIN cm b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT CASE WHEN a_dk > b_dk OR (a_dk = b_dk AND a_id > b_id)
+       |         THEN a_id ELSE b_id END AS vec_id,
+       |  cluster, CAST(count(*) AS BIGINT) AS n_dup_pairs
+       |FROM pr WHERE dot > 0 AND 100 * dot * dot >= 9 * a_nq * b_nq
+       |GROUP BY 1, 2""".stripMargin)
 
   /** Per-vector int8 (0..255) min-max quantization — the storage-side
     * compression every large vector store applies (4× smaller than
@@ -666,6 +740,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> (embedQuantize(_, _)),
     "q_kmeans_assign" -> (kmeansAssign(_, _)),
+    "q_semdedup" -> (semDedup(_, _)),
     "q_ann_brute" -> (annBrute(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
     "q_ann_multiprobe" -> (annMultiprobe(_, _)),
@@ -678,6 +753,7 @@ object SimilarityOps {
   def oracles: Map[String, String] = Map(
     "q_embed_quantize" -> embedQuantizeSql,
     "q_kmeans_assign" -> kmeansAssignSql,
+    "q_semdedup" -> semDedupSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_multiprobe" -> annMultiprobeSql,

@@ -214,6 +214,26 @@ class PlanShapeSpec extends SparkTestBase {
       "k-means assignment must inline the driver-held codebook, not shuffle")
   }
 
+  test("weighted sampling bounds the global top-k via MinK, never a window") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("partial_minkagg"),
+      "q_sample_weighted lost the map-side bounded min-k — a global " +
+        "ORDER BY key window would funnel the corpus into one reducer")
+    assert(!p.contains("Window ["),
+      "q_sample_weighted regressed to a global row_number window")
+  }
+
+  test("semdedup pairs only within capped clusters (windowed per cluster, no global window)") {
+    val p = plan("q_semdedup")
+    // the per-cluster member cap is a window PARTITIONED by cluster —
+    // a global (unpartitioned) window would serialize the corpus
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "q_semdedup must window per cluster, never globally")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      "q_semdedup pair generation must be an equi-join keyed on cluster id")
+  }
+
   test("PQ encode is a zero-exchange literal projection; ADC broadcasts queries") {
     // subspace codebook training runs eagerly (256-key partial-agg'd
     // collects); the encode plan handed back must be a pure narrow map —
