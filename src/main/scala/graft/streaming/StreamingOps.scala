@@ -553,7 +553,108 @@ object StreamingOps {
       |  CAST(doc_id % 4 AS VARCHAR) AS day
       |FROM documents""".stripMargin
 
+  // ------------------------------------ stream-stream interval join
+
+  /** ORACLE-GATED stream-stream inner join — the last core Structured
+    * Streaming surface (after windowed aggs, flatMapGroupsWithState,
+    * dropDuplicates and the foreachBatch MERGE sink): two REAL
+    * file-source streams (views and clicks, time-sliced into 4 files
+    * each, one file per trigger per side) join on user within a
+    * 30-minute event-time interval — the crawl-ops shape "pair each
+    * fetch REQUEST with its RESPONSE arriving within the timeout".
+    *
+    * Exactness argument (why the oracle's batch join matches): both
+    * sides carry a 1-hour watermark and the slices are time-ordered, so
+    * a row's join partners live either in the same slice or the next
+    * one — at the moment slice k+1 is processed the global watermark
+    * (min over both inputs, computed from slice k) still covers the
+    * last 30 minutes of slice k, hence no candidate's state is evicted
+    * before its partners arrive and the inner join emits EXACTLY the
+    * batch result. The same two knobs are the 100 TB state bound: the
+    * interval condition lets the engine drop a row's state once the
+    * watermark passes its join window, so state is the watermark-delay
+    * working set, never the stream's history.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("cast(user_id as long) as user_id", "event_type",
+        "cast(ts as timestamp) as ts",
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+    val (minUs, maxUs) = {
+      val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nSlices = 4
+    val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
+    val stage = java.nio.file.Files.createTempDirectory("stream_join_src")
+    val viewsDir = java.nio.file.Files.createDirectory(stage.resolve("views"))
+    val clicksDir = java.nio.file.Files.createDirectory(stage.resolve("clicks"))
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def stageSlice(df: DataFrame, into: java.nio.file.Path, name: String,
+        mtimeMs: Long): Unit = {
+      val tmp = stage.resolve(s"tmp_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = into.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      staged += dest
+    }
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    try {
+      (0 until nSlices).foreach { i =>
+        val lo = minUs + i * spanUs
+        val hi = if (i == nSlices - 1) Long.MaxValue else lo + spanUs
+        val slice = ev.filter(col("ts_us") >= lo && col("ts_us") < hi)
+        stageSlice(slice.filter("event_type = 'view'").select("user_id", "ts"),
+          viewsDir, f"views-$i%03d", base + i * 10000L)
+        stageSlice(slice.filter("event_type = 'click'").select("user_id", "ts"),
+          clicksDir, f"clicks-$i%03d", base + i * 10000L)
+      }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType)))
+      def side(d: java.nio.file.Path, uid: String, tsc: String): DataFrame =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(d.toString)
+          .withColumnRenamed("user_id", uid).withColumnRenamed("ts", tsc)
+          .withWatermark(tsc, "1 hour")
+      val joined = side(viewsDir, "user_id", "v_ts")
+        .join(side(clicksDir, "c_user", "c_ts"),
+          expr("user_id = c_user AND c_ts >= v_ts AND " +
+            "c_ts <= v_ts + interval 30 minutes"))
+        .selectExpr("user_id", "unix_micros(v_ts) as view_us",
+          "unix_micros(c_ts) as click_us")
+      val name = s"stream_join_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      staged.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(viewsDir)
+      java.nio.file.Files.deleteIfExists(clicksDir)
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
+  val streamJoinSql: String =
+    """SELECT CAST(a.user_id AS BIGINT) AS user_id,
+      |  epoch_us(a.ts) AS view_us, epoch_us(b.ts) AS click_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'click'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join" -> (streamJoin(_, _)),
     "q_stream_upsert" -> (streamUpsert(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_host_slots" -> (streamHostSlots(_, _)),
@@ -561,6 +662,7 @@ object StreamingOps {
     "q_stream_sessionize" -> (streamSessionize(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_join" -> streamJoinSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_host_slots" -> streamHostSlotsSql,
