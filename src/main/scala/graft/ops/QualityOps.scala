@@ -186,13 +186,93 @@ object QualityOps {
       |  CASE WHEN s.score <= c.cl THEN 'head' WHEN s.score <= c.cm THEN 'middle' ELSE 'tail' END AS bucket
       |FROM scored s CROSS JOIN c""".stripMargin
 
+  // ------------------------------------------------- blocklist gate
+
+  /** Phrase-blocklist gate ([[graft.kernels.AhoCorasick]]): count every
+    * occurrence of a fixed phrase list over each document in ONE
+    * automaton pass (vs P per-phrase scans — the C4 / UT1-blocklist
+    * gating shape at corpus scale), then gate documents whose total hit
+    * count crosses the threshold.
+    *
+    * Oracle construction: two phrases occur naturally in the corpus
+    * vocabulary and two are planted `(doc_id + i) % 3` times into a
+    * suffix, so the counts exercise both accidental and planted hits.
+    * DuckDB recomputes each count independently via the
+    * length-difference-under-replace identity, which equals the
+    * automaton's all-occurrence count exactly BECAUSE every phrase is
+    * borderless (no proper prefix equals a suffix) — borderless
+    * occurrences cannot overlap themselves, so non-overlapping and
+    * total counts coincide; the `require` below pins that invariant
+    * against future phrase edits. (The automaton itself handles
+    * self-overlapping patterns correctly — AhoCorasickSpec proves it
+    * against a brute-force scan — only the ORACLE identity needs
+    * borderless phrases.)
+    *
+    * 100 TB shape: narrow per-row map, zero shuffle; the automaton is a
+    * per-JVM singleton built from the (small, model-artifact-sized)
+    * blocklist, never serialized per task.
+    */
+  private val BlockPhrases = Array(
+    "table scan", "sort merge", "slow query", // natural corpus vocabulary
+    "free money now", "click here")           // planted spam suffix only
+  require(BlockPhrases.forall(p =>
+    (1 until p.length).forall(k => p.substring(0, k) != p.substring(p.length - k))),
+    "blocklist phrases must be borderless so the oracle's replace-count identity holds")
+
+  private lazy val BlockAutomaton = new graft.kernels.AhoCorasick(BlockPhrases)
+
+  private val GateThreshold = 4
+
+  private def phraseCol(p: String): String =
+    "n_" + p.replace(' ', '_')
+
+  def blocklistGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tail = BlockPhrases.zipWithIndex.map { case (p, i) =>
+      s"repeat(' $p pad', cast((doc_id + $i) % 3 as int))"
+    }.mkString(", ")
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id",
+        s"concat(text, ' ##', $tail) as raw")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = BlockAutomaton
+        it.map { case (d, raw) =>
+          val c = ac.countAll(raw)
+          (d, c(0), c(1), c(2), c(3), c(4), c.sum)
+        }
+      }
+      .toDF("doc_id" +: BlockPhrases.map(phraseCol) :+ "total_hits": _*)
+      .selectExpr(("doc_id" +: BlockPhrases.map(phraseCol) :+ "total_hits") :+
+        s"cast(total_hits >= $GateThreshold as int) as gated": _*)
+  }
+
+  val blocklistGateSql: String = {
+    val tail = BlockPhrases.zipWithIndex.map { case (p, i) =>
+      s"repeat(' $p pad', CAST((doc_id + $i) % 3 AS INT))"
+    }.mkString(" || ")
+    val counts = BlockPhrases.map { p =>
+      s"CAST((len(raw) - len(replace(raw, '$p', ''))) // ${p.length} AS BIGINT) AS ${phraseCol(p)}"
+    }.mkString(",\n      |  ")
+    val total = BlockPhrases.map(phraseCol).mkString(" + ")
+    s"""WITH r AS (SELECT doc_id, text || ' ##' || $tail AS raw FROM documents),
+      |c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  $counts
+      |  FROM r)
+      |SELECT *, $total AS total_hits,
+      |  CAST($total >= $GateThreshold AS INT) AS gated
+      |FROM c""".stripMargin
+  }
+
   // -------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate(_, _)),
+    "q_blocklist_gate" -> (blocklistGate(_, _)),
     "q_lm_perplexity" -> (lmPerplexity(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
+    "q_blocklist_gate" -> blocklistGateSql,
     "q_lm_perplexity" -> lmPerplexitySql)
 }
