@@ -945,8 +945,95 @@ object LinkOps {
       |  ELSE h % 2 <> 0 END AS allowed
       |FROM d""".stripMargin
 
+  /** Host-community detection via synchronous label propagation
+    * (Raghavan et al. 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks") over the undirected
+    * domain graph: each host starts in its own community and, per round,
+    * adopts the label carrying the largest total incident edge weight
+    * among its neighbors (tie → lexicographically smallest label — the
+    * determinism LPA famously lacks, restored so the oracle can gate
+    * it). Two synchronous rounds, unrolled. This is the web-scale
+    * mirror-site/link-farm grouping step that runs AFTER near-dup
+    * clustering: connected components ([[graft.ops.DedupOps]]) answer
+    * "reachable at all", LPA answers "densely interlinked".
+    *
+    * 100 TB shape: per round exactly one shuffle keyed by host — the
+    * edge table joins the (host, label) table (host-cardinality, ~10⁷
+    * on the real web: shuffle join, no broadcast hint, AQE decides) and
+    * partial-aggregates (node, label) votes; the argmax is a window
+    * over each node's candidate labels (bounded by its degree). Each
+    * round ends in a localCheckpoint so the unrolled lineage never
+    * recomputes round k-1 inside round k.
+    *
+    * `lpaRounds` is the synchronous-round engine over an undirected
+    * weighted edge table `(node, nbr, w)` (callers pass BOTH
+    * directions), factored out so the spec can drive it with a
+    * hand-built two-clique graph.
+    */
+  def lpaRounds(und: DataFrame, rounds: Int): DataFrame = {
+    var labels = und.select("node").distinct().selectExpr("node", "node as label")
+    (1 to rounds).foreach { _ =>
+      labels = und
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy("node", "label")
+        .agg(org.apache.spark.sql.functions.sum("w").as("votes"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("node")
+            .orderBy(org.apache.spark.sql.functions.desc("votes"),
+              org.apache.spark.sql.functions.asc("label"))))
+        .where("rn = 1")
+        .select("node", "label")
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  def hostCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = domainEdges(spark, dir)
+    val und = e0.selectExpr("src_host as node", "dst_host as nbr", "n_links as w")
+      .unionByName(e0.selectExpr("dst_host as node", "src_host as nbr", "n_links as w"))
+      .groupBy("node", "nbr")
+      .agg(org.apache.spark.sql.functions.sum("w").as("w"))
+      .localCheckpoint(true)
+    lpaRounds(und, 2)
+      .selectExpr("node as host", "label as community")
+      .withColumn("community_size",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("community"))
+          .cast("long"))
+  }
+
+  val hostCommunitiesSql: String =
+    """WITH p AS (SELECT doc_id AS d, 3 + doc_id % 5 AS n FROM documents),
+      |j AS (SELECT d, unnest(range(0, n)) AS j FROM p),
+      |e AS (SELECT 'host' || (d % 20) || '.example' AS src_host,
+      |             'h' || ((d * 7 + j) % 20) || '.example' AS dst_host,
+      |             CAST(count(*) AS BIGINT) AS n_links
+      |      FROM j WHERE (d + j) % 3 = 0 GROUP BY 1, 2),
+      |und AS (SELECT node, nbr, sum(w) AS w FROM (
+      |    SELECT src_host AS node, dst_host AS nbr, n_links AS w FROM e
+      |    UNION ALL
+      |    SELECT dst_host AS node, src_host AS nbr, n_links AS w FROM e)
+      |  GROUP BY node, nbr),
+      |l0 AS (SELECT DISTINCT node, node AS label FROM und),
+      |v1 AS (SELECT u.node, l.label, sum(u.w) AS votes
+      |  FROM und u JOIN l0 l ON l.node = u.nbr GROUP BY 1, 2),
+      |l1 AS (SELECT node, label FROM (SELECT node, label,
+      |    row_number() OVER (PARTITION BY node ORDER BY votes DESC, label) AS rn
+      |  FROM v1) WHERE rn = 1),
+      |v2 AS (SELECT u.node, l.label, sum(u.w) AS votes
+      |  FROM und u JOIN l1 l ON l.node = u.nbr GROUP BY 1, 2),
+      |l2 AS (SELECT node, label FROM (SELECT node, label,
+      |    row_number() OVER (PARTITION BY node ORDER BY votes DESC, label) AS rn
+      |  FROM v2) WHERE rn = 1)
+      |SELECT node AS host, label AS community,
+      |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+      |FROM l2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fetch_shards" -> (fetchShards(_, _)),
+    "q_host_communities" -> (hostCommunities(_, _)),
     "q_robots_cache_ttl" -> (robotsCacheTtl(_, _)),
     "q_outlinks" -> (outlinks(_, _)),
     "q_domain_edges" -> (domainEdges(_, _)),
@@ -971,6 +1058,7 @@ object LinkOps {
 
   def oracles: Map[String, String] = Map(
     "q_fetch_shards" -> fetchShardsSql,
+    "q_host_communities" -> hostCommunitiesSql,
     "q_robots_cache_ttl" -> robotsCacheTtlSql,
     "q_outlinks" -> outlinksSql,
     "q_domain_edges" -> domainEdgesSql,

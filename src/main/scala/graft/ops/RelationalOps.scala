@@ -332,6 +332,85 @@ object RelationalOps {
       |  ON e.value >= b.lo AND e.value < b.hi
       |GROUP BY b.label""".stripMargin
 
+  // ------------------------------------------------- Z-order data layout
+
+  /** Morton/Z-order bit interleave of (host, slot) as an explicit
+    * integer-term sum, generated once so the Spark and DuckDB texts are
+    * the same formula modulo the integer-division operator.
+    */
+  private def zExpr(divOp: String): String =
+    (0 until 6).map(i =>
+      s"((host $divOp ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((slot $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+
+  private val ZFiles = 16
+
+  /** Z-order (Morton-curve) data layout vs insertion-order layout — the
+    * lakehouse clustering decision (Delta `OPTIMIZE ZORDER BY`, Iceberg
+    * sort orders) evaluated AS DATA. Every parquet file in a 100 TB
+    * table carries per-column min/max stats; a scan prunes a file when
+    * the predicate falls outside its range. Sorting by ONE key makes
+    * only that key's ranges tight; interleaving the bits of BOTH keys
+    * (z = morton(host, slot)) makes every file a small rectangle in
+    * (host, slot) space, so min/max pruning stays selective on EITHER
+    * dimension. The query lays the same rows out both ways (16 files of
+    * equal z-span vs 16 insertion-order slices), computes each file's
+    * min/max footprint, and emits the pruning verdict for a host=7
+    * point predicate — under the z layout few files touch host 7, under
+    * insertion order every file does (doc_id % 50 cycles hosts through
+    * every slice).
+    *
+    * 100 TB shape: the z-value is a pure per-row integer projection
+    * (the real layout job would `repartitionByRange(z)` + write); the
+    * file stats are one partial-agg'd shuffle of (layout, file_id)
+    * keys. The only driver-held value is the one-row corpus count the
+    * insertion-order slicing needs, broadcast back (same one-row
+    * pattern as the BM25 stats join).
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "cast(doc_id % 50 as long) as host",
+        "cast((doc_id * 7) % 64 as long) as slot")
+    val cnt = d.agg(count(lit(1)).cast("long").as("n_total"))
+    d.crossJoin(broadcast(cnt))
+      .selectExpr("host", "slot",
+        s"cast((${zExpr("div")}) as long) as z",
+        s"cast(least(doc_id * $ZFiles div n_total, ${ZFiles - 1}) as long) as lin_fid")
+      .selectExpr("host", "slot",
+        s"""explode(array(
+           |  named_struct('layout', 'zorder', 'fid', z div ${4096 / ZFiles}),
+           |  named_struct('layout', 'insertion', 'fid', lin_fid))) as lf""".stripMargin)
+      .selectExpr("lf.layout as layout", "lf.fid as file_id", "host", "slot")
+      .groupBy("layout", "file_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        min("host").as("host_min"), max("host").as("host_max"),
+        min("slot").as("slot_min"), max("slot").as("slot_max"))
+      .selectExpr("layout", "file_id", "n_rows",
+        "host_min", "host_max", "slot_min", "slot_max",
+        "host_min <= 7 and host_max >= 7 as scans_host7")
+  }
+
+  val zorderLayoutSql: String =
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    doc_id % 50 AS host, (doc_id * 7) % 64 AS slot,
+       |    count(*) OVER () AS n_total
+       |  FROM documents),
+       |z AS (SELECT host, slot, ${zExpr("//")} AS z,
+       |    least(doc_id * $ZFiles // n_total, ${ZFiles - 1}) AS lin_fid
+       |  FROM d),
+       |f AS (SELECT t.layout, t.fid AS file_id, host, slot
+       |  FROM z, LATERAL (VALUES ('zorder', z // ${4096 / ZFiles}),
+       |                          ('insertion', lin_fid)) t(layout, fid))
+       |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(min(host) AS BIGINT) AS host_min, CAST(max(host) AS BIGINT) AS host_max,
+       |  CAST(min(slot) AS BIGINT) AS slot_min, CAST(max(slot) AS BIGINT) AS slot_max,
+       |  min(host) <= 7 AND max(host) >= 7 AS scans_host7
+       |FROM f GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
     "q_asof_join" -> (asofJoin(_, _)),
@@ -346,6 +425,7 @@ object RelationalOps {
     "q_topk_per_group" -> (topkPerGroup(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)),
     "q_date_derive" -> (dateDerive(_, _)),
+    "q_zorder_layout" -> (zorderLayout(_, _)),
     "q_hourly_window" -> (hourlyWindow(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -362,5 +442,6 @@ object RelationalOps {
     "q_topk_per_group" -> topkPerGroupSql,
     "q_json_extract" -> jsonExtractSql,
     "q_date_derive" -> dateDeriveSql,
+    "q_zorder_layout" -> zorderLayoutSql,
     "q_hourly_window" -> hourlyWindowSql)
 }

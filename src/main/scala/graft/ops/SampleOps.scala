@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, posexplode, sum}
+import org.apache.spark.sql.functions.{asc, broadcast, coalesce, col, count, desc, expr, lit, posexplode, row_number, sum}
 
 /** Corpus sampling / domain mixing — the selection stage of a
   * training-data pipeline (the reference stops at extraction; a corpus
@@ -181,6 +181,72 @@ object SampleOps {
       |    row_number() OVER (ORDER BY wkey DESC, doc_id) AS rk
       |  FROM kd) WHERE rk <= 25""".stripMargin
 
+  /** Temperature-scaled source mixing (the multilingual-LM sampling rule
+    * popularized by mBERT/XLM-R and used for domain mixing since: sample
+    * source s with probability ∝ n_s^α, α ∈ (0,1), so head sources are
+    * down-weighted and tail sources up-weighted relative to natural
+    * frequency). α = 1/2 here; the fixed row budget B = 1000 is
+    * apportioned by largest-remainder (Hamilton) rounding so the quotas
+    * are integers that sum EXACTLY to B — the contract a downstream
+    * fixed-size sampler needs.
+    *
+    * Exactness: w_s = floor(sqrt(n_s · 10⁶)) — IEEE-754 sqrt is
+    * correctly rounded and n_s·10⁶ ≪ 2⁵³, and no integer in that range
+    * is close enough to a perfect square for floor∘sqrt to differ from
+    * isqrt across engines (the gap to the nearest square root integer,
+    * ≥ 1/(2·√(n·10⁶)), dwarfs the double ulp there). Base quotas and
+    * remainders are pure integer arithmetic (B·w div/mod W), and the
+    * leftover goes to the largest remainders with a source-name
+    * tiebreak — every comparison integral, so the oracle can never
+    * disagree by a rounding artifact.
+    *
+    * 100 TB shape: one partial-agg'd shuffle to per-source counts; all
+    * windows run over the SOURCE table (mixture components — tens to
+    * thousands of rows), never the corpus.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val b = 1000L
+    spark.read.parquet(s"$dir/documents.parquet")
+      // component = source × length band: the corpus' sources are
+      // deliberately uniform, so mixing on source alone would never
+      // exercise the sqrt compression or the remainder distribution —
+      // the length band brings real skew (and is how a mixture designer
+      // actually slices: domain × document-length regime)
+      .selectExpr(
+        "concat(source, '#', cast(least(size(split(text, ' ')) div 40, 5) as string)) as component")
+      .groupBy("component")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .selectExpr("component", "n_docs",
+        "cast(floor(sqrt(cast(n_docs as double) * 1000000.0D)) as bigint) as w")
+      .withColumn("tw", sum("w").over(Window.partitionBy()))
+      .selectExpr("component", "n_docs", "w",
+        s"($b * w) div tw as base", s"($b * w) % tw as rem", "tw")
+      .withColumn("deficit", lit(b) - sum("base").over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy().orderBy(desc("rem"), asc("component"))))
+      .selectExpr("component", "n_docs", "w as weight",
+        "cast(base + (case when rk <= deficit then 1 else 0 end) as long) as quota")
+  }
+
+  val mixTemperatureSql: String =
+    """WITH c AS (SELECT source || '#' ||
+      |      least(len(string_split(text, ' ')) // 40, 5) AS component,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT component, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+      |  FROM c),
+      |q AS (SELECT component, n_docs, w,
+      |    (1000 * w) // sum(w) OVER () AS base,
+      |    (1000 * w) % sum(w) OVER () AS rem
+      |  FROM w),
+      |r AS (SELECT *, 1000 - sum(base) OVER () AS deficit,
+      |    row_number() OVER (ORDER BY rem DESC, component) AS rk
+      |  FROM q)
+      |SELECT component, n_docs, w AS weight,
+      |  CAST(base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
+      |FROM r""".stripMargin
+
   /** Target tokens per training shard. */
   private val ShardTokens = 1000L
 
@@ -248,6 +314,7 @@ object SampleOps {
     "q_sample_stratified" -> (sampleStratified(_, _)),
     "q_sample_fixed_k" -> (sampleFixedK(_, _)),
     "q_sample_weighted" -> (sampleWeighted(_, _)),
+    "q_mix_temperature" -> (mixTemperature(_, _)),
     "q_token_budget_mix" -> (tokenBudgetMix(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -255,5 +322,6 @@ object SampleOps {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_fixed_k" -> sampleFixedKSql,
     "q_sample_weighted" -> sampleWeightedSql,
+    "q_mix_temperature" -> mixTemperatureSql,
     "q_token_budget_mix" -> tokenBudgetMixSql)
 }
