@@ -27,6 +27,61 @@ object ExtractionOps {
   val extractHtmlSql: String =
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS extracted_text FROM documents"
 
+  /** Content-hash-gated incremental re-extraction — the recompute-
+    * avoidance leg of a standing 10^12-document corpus: a fresh crawl
+    * of every url joins the STANDING extracted table on the raw-byte
+    * digest recorded at last extraction, byte-identical captures carry
+    * their extracted text forward untouched, and the extraction kernel
+    * runs ONLY on the changed slice (here every 4th url gained a
+    * sentence). [[graft.pipeline.Ledger]] already skips committed DAYS;
+    * this is the finer per-document gate a recrawl needs — at typical
+    * crawl churn (a few % of pages change between visits) it cuts
+    * kernel compute by ~the churn ratio.
+    *
+    * The oracle knows which slice changed in closed form, so a gate
+    * that re-extracts nothing (stale text for changed docs) or
+    * re-extracts everything with a broken carry-forward fails the hash.
+    * Shuffle shape: one equi-join on doc_id between the crawl and the
+    * standing table; the kernel slice is a narrow map after a filter.
+    */
+  def incrementalExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ts0 = new java.sql.Timestamp(1735689600000L)
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"${x & 0xff}%02x").mkString
+    // standing table: last crawl's raw digest + the text extracted then
+    val standing = DocPages.docs(spark, dir).map { d =>
+      val raw = graft.gen.PagesGen.htmlPage(Seq(d.text), None, d.doc_id)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (d.doc_id, md5hex(raw), d.text)
+    }.toDF("doc_id", "digest_old", "text_old")
+    // fresh crawl: every 4th page gained a sentence, the rest re-serve
+    // byte-identical content
+    val crawl = DocPages.docs(spark, dir).map { d =>
+      val t2 = if (d.doc_id % 4 == 1) d.text + " updated content" else d.text
+      val raw = graft.gen.PagesGen.htmlPage(Seq(t2), None, d.doc_id)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (d.doc_id, raw, md5hex(raw), d.lang)
+    }.toDF("doc_id", "raw", "digest_new", "lang")
+    val j = crawl.join(standing, Seq("doc_id"))
+    val reused = j.filter("digest_new = digest_old")
+      .selectExpr("doc_id", "'reused' as action", "text_old as extracted_text")
+    val changedPages = j.filter("digest_new <> digest_old")
+      .select(col("doc_id"), col("raw"), col("lang"))
+      .map(r => graft.model.PageRow(s"doc://i/${r.getLong(0)}", ts0,
+        r.getAs[Array[Byte]](1), "", r.getString(2)))
+    val reextracted = extracted(spark, changedPages)
+      .selectExpr("doc_id", "'reextracted' as action", "extracted_text")
+    reused.unionByName(reextracted)
+  }
+
+  val incrementalExtractSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN doc_id % 4 = 1 THEN 'reextracted' ELSE 'reused' END AS action,
+      |  CASE WHEN doc_id % 4 = 1 THEN text || ' updated content' ELSE text END AS extracted_text
+      |FROM documents""".stripMargin
+
   /** HTML page with the text split into 40-word paragraphs; extraction
     * re-joins blocks with '\n'. The oracle reproduces the chunking in SQL
     * (keep the grouping formula in sync with DocPages.chunkWords).
@@ -609,6 +664,7 @@ object ExtractionOps {
     "q_extract_fastpath" -> (extractFastpath(_, _)),
     "q_extract_sql_expr" -> (extractSqlExpr(_, _)),
     "q_extract_html" -> (extractHtml(_, _)),
+    "q_incremental_extract" -> (incrementalExtract(_, _)),
     "q_extract_html_chunked" -> (extractHtmlChunked(_, _)),
     "q_extract_pdf" -> (extractPdf(_, _)),
     "q_extract_pdf_flate" -> (extractPdfFlate(_, _)),
@@ -640,6 +696,7 @@ object ExtractionOps {
     "q_extract_fastpath" -> extractHtmlSql,
     "q_extract_sql_expr" -> extractHtmlSql,
     "q_extract_html" -> extractHtmlSql,
+    "q_incremental_extract" -> incrementalExtractSql,
     "q_extract_html_chunked" -> extractHtmlChunkedSql,
     "q_extract_pdf" -> extractPdfSql,
     "q_extract_pdf_flate" -> extractPdfSql,

@@ -1031,8 +1031,50 @@ object LinkOps {
       |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
       |FROM l2""".stripMargin
 
+  /** Conditional-GET recrawl (RFC 9110 §13: `If-None-Match` against the
+    * cached `ETag`, 304 on match): the fetch-side twin of
+    * [[graft.ops.ExtractionOps.incrementalExtract]]'s extract-side
+    * gate. The standing fetch ledger holds each url's validator (ETag =
+    * strong digest of the last-served body); the fresh crawl re-serves
+    * every 3rd page byte-identical (→ 304, zero payload transferred,
+    * validator kept) and changed bodies elsewhere (→ 200, full payload,
+    * validator replaced). The emitted `transfer_bytes` is the actual
+    * crawl bandwidth — the number a recrawl scheduler budgets with; at
+    * typical churn the 304 path saves most of the fleet's egress.
+    *
+    * Exactness: ETags are md5 hex on both engines, transfer size is
+    * the UTF-8 octet length, action is a pure digest compare. Shuffle
+    * shape: one equi-join of the crawl against the host-sharded ledger
+    * on url key — no global state.
+    */
+  def recrawlEtag(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    val ledger = d.selectExpr("doc_id", "md5(cast(text as binary)) as etag_cached")
+    val crawl = d.selectExpr("doc_id",
+      "case when doc_id % 3 = 0 then text else concat(text, ' rev2') end as body")
+      .selectExpr("doc_id", "body", "md5(cast(body as binary)) as etag_live")
+    crawl.join(ledger, Seq("doc_id"))
+      .selectExpr("doc_id",
+        "case when etag_live = etag_cached then '304' else '200' end as status",
+        "case when etag_live = etag_cached then 0L else cast(octet_length(cast(body as binary)) as long) end as transfer_bytes",
+        "case when etag_live = etag_cached then etag_cached else etag_live end as etag_after")
+  }
+
+  val recrawlEtagSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+      |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' rev2' END AS body
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN '304' ELSE '200' END AS status,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+      |       ELSE octet_length(encode(body)) END AS BIGINT) AS transfer_bytes,
+      |  CASE WHEN doc_id % 3 = 0 THEN md5(text) ELSE md5(body) END AS etag_after
+      |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fetch_shards" -> (fetchShards(_, _)),
+    "q_recrawl_etag" -> (recrawlEtag(_, _)),
     "q_host_communities" -> (hostCommunities(_, _)),
     "q_robots_cache_ttl" -> (robotsCacheTtl(_, _)),
     "q_outlinks" -> (outlinks(_, _)),
@@ -1058,6 +1100,7 @@ object LinkOps {
 
   def oracles: Map[String, String] = Map(
     "q_fetch_shards" -> fetchShardsSql,
+    "q_recrawl_etag" -> recrawlEtagSql,
     "q_host_communities" -> hostCommunitiesSql,
     "q_robots_cache_ttl" -> robotsCacheTtlSql,
     "q_outlinks" -> outlinksSql,

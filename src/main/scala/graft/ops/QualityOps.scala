@@ -264,15 +264,86 @@ object QualityOps {
       |FROM c""".stripMargin
   }
 
+  // ------------------------------------------------- robust outliers
+
+  /** Robust per-source length outliers via median/MAD (the
+    * Hampel-filter decision rule, the standard robust alternative to
+    * mean±3σ — one pathological 100 MB page inflates a source's mean
+    * and σ enough to mask every other outlier, but moves its median and
+    * MAD not at all). Flags docs with |len − median| > 3·MAD.
+    *
+    * Medians are the LOWER median, pinned explicitly as the value at
+    * row (n+1) div 2 of the (n_tokens, doc_id) ordering — written out
+    * as row_number on BOTH engines rather than a native `median()`,
+    * whose even-count interpolation (x.5 averages) differs across
+    * engines and would leave the oracle comparing conventions instead
+    * of data. Every comparison is integer (dev > 3·MAD in tokens), so
+    * the gate is exact.
+    *
+    * 100 TB shape: all windows partition by SOURCE — per-group sorts,
+    * parallel across sources, never a global window. An exact
+    * per-source median does cost a sort of that source's rows; at
+    * extreme per-source cardinality the drop-in relaxation is
+    * approx_percentile with the same downstream rule.
+    */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "source",
+        "cast(size(split(text, ' ')) as long) as n_tokens")
+    val byLen = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    val all = Window.partitionBy("source")
+    val med = d
+      .withColumn("rn", row_number().over(byLen))
+      .withColumn("n", count(lit(1)).over(all))
+      .where("rn = (n + 1) div 2")
+      .selectExpr("source", "n_tokens as med")
+    val dev = d.join(med, Seq("source"))
+      .selectExpr("doc_id", "source", "n_tokens", "med",
+        "abs(n_tokens - med) as dev")
+    val byDev = Window.partitionBy("source").orderBy("dev", "doc_id")
+    val mad = dev
+      .withColumn("rn", row_number().over(byDev))
+      .withColumn("n", count(lit(1)).over(all))
+      .where("rn = (n + 1) div 2")
+      .selectExpr("source", "dev as mad")
+    dev.join(mad, Seq("source"))
+      .selectExpr("doc_id", "source", "n_tokens", "med", "mad",
+        "dev > 3 * mad as outlier")
+  }
+
+  val robustOutliersSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |m AS (SELECT source, n_tokens AS med FROM (
+      |    SELECT source, n_tokens, doc_id,
+      |      row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+      |      count(*) OVER (PARTITION BY source) AS n
+      |    FROM d) WHERE rn = (n + 1) // 2),
+      |v AS (SELECT d.doc_id, d.source, d.n_tokens, m.med,
+      |    abs(d.n_tokens - m.med) AS dev
+      |  FROM d JOIN m USING (source)),
+      |a AS (SELECT source, dev AS mad FROM (
+      |    SELECT source, dev, doc_id,
+      |      row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+      |      count(*) OVER (PARTITION BY source) AS n
+      |    FROM v) WHERE rn = (n + 1) // 2)
+      |SELECT v.doc_id, v.source, v.n_tokens, v.med, a.mad,
+      |  v.dev > 3 * a.mad AS outlier
+      |FROM v JOIN a USING (source)""".stripMargin
+
   // -------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate(_, _)),
     "q_blocklist_gate" -> (blocklistGate(_, _)),
+    "q_robust_outliers" -> (robustOutliers(_, _)),
     "q_lm_perplexity" -> (lmPerplexity(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_blocklist_gate" -> blocklistGateSql,
+    "q_robust_outliers" -> robustOutliersSql,
     "q_lm_perplexity" -> lmPerplexitySql)
 }

@@ -134,4 +134,29 @@ class QualityOpsSpec extends SparkTestBase {
     assert(out.toSeq === Seq(("", 20000L), ("", 20000L)))
     assert(secs < 60.0, f"exactSubstrCut took $secs%.1f s on a fully-duplicated 20k-word doc — quadratic rewrite regression")
   }
+
+  test("robustOutliers flags extremes that a mean-sigma rule would mask") {
+    // 8 normal 100-word docs + TWO 5000-word monsters in one source:
+    // the monsters inflate mean (~1080) and sigma (~1960) so much that
+    // mean+3*sigma (~6960) flags NEITHER — the classic masking failure.
+    // Median (100) and MAD (0... use slight spread: lengths 98..105)
+    val dir = corpus(
+      (0L until 8L).map(i => i -> ws(98 + i.toInt, "n")) ++
+        Seq(8L -> ws(5000, "m"), 9L -> ws(5000, "m")))
+    val rows = ops.QualityOps.robustOutliers(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    // lower median of (98..105, 5000, 5000) = 102 (5th of 10); MAD:
+    // devs (4,3,2,1,0,1,2,3,4898,4898) sorted -> lower median 2
+    assert(rows(4L)._2 === 102L && rows(4L)._3 === 2L)
+    assert(rows(8L)._4 && rows(9L)._4, "both monsters must be flagged")
+    // sanity: the mean-sigma rule would NOT flag them (documents why
+    // the operator is median/MAD): mean + 3*sigma > 5000 here
+    val lens = (98 to 105).map(_.toDouble) ++ Seq(5000.0, 5000.0)
+    val mean = lens.sum / lens.size
+    val sigma = math.sqrt(lens.map(x => (x - mean) * (x - mean)).sum / lens.size)
+    assert(mean + 3 * sigma > 5000.0)
+    assert((0L until 8L).forall(i => !rows(i)._4), "normal docs stay clean")
+  }
 }
