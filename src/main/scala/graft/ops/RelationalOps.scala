@@ -411,8 +411,54 @@ object RelationalOps {
        |  min(host) <= 7 AND max(host) >= 7 AS scans_host7
        |FROM f GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------- range-bound estimation
+
+  /** Sampled range-partition boundaries — what `repartitionByRange` /
+    * a sort-based write actually computes before shuffling 10^12 rows:
+    * a GLOBAL sort key histogram is unaffordable, so the partitioner
+    * draws a sample, sorts THAT, and reads the k−1 split points off the
+    * sample's quantile ranks. The sample here is deterministic
+    * hash-threshold (md5(doc_id) below a fixed prefix, ~1/16 of rows)
+    * so both engines draw the SAME sample and the boundaries are exact
+    * integers under the gate.
+    *
+    * 100 TB shape: the only global window runs over the SAMPLE
+    * (rate-bounded, ~n/16 here; a production job caps it with a second
+    * threshold), never the corpus — the same contract as Spark's
+    * RangePartitioner reservoir. Boundary count 8 ⇒ 7 split rows out.
+    */
+  def rangeBounds(spark: SparkSession, dir: String): DataFrame = {
+    val parts = 8
+    val sample = t(spark, dir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "cast(size(split(text, ' ')) as long) as n_tokens")
+      .where("substring(md5(cast(concat('rb#', cast(doc_id as string)) as binary)), 1, 1) = '0'")
+    sample
+      .withColumn("rn", row_number().over(
+        Window.partitionBy().orderBy("n_tokens", "doc_id")))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+      .where(s"rn % greatest(ns div $parts, 1) = 0 and rn div greatest(ns div $parts, 1) < $parts")
+      .selectExpr(s"cast(rn div greatest(ns div $parts, 1) as long) as bound_idx",
+        "n_tokens as bound_value", "cast(ns as long) as sample_size")
+  }
+
+  val rangeBoundsSql: String =
+    """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |  WHERE substr(md5('rb#' || doc_id), 1, 1) = '0'),
+      |r AS (SELECT n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+      |    count(*) OVER () AS ns
+      |  FROM s)
+      |SELECT CAST(rn // greatest(ns // 8, 1) AS BIGINT) AS bound_idx,
+      |  n_tokens AS bound_value, CAST(ns AS BIGINT) AS sample_size
+      |FROM r
+      |WHERE rn % greatest(ns // 8, 1) = 0 AND rn // greatest(ns // 8, 1) < 8""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "q_range_bounds" -> (rangeBounds(_, _)),
     "q_asof_join" -> (asofJoin(_, _)),
     "q_range_join" -> (rangeJoin(_, _)),
     "q_bucketed_join" -> (bucketedJoin(_, _)),
@@ -430,6 +476,7 @@ object RelationalOps {
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q_range_bounds" -> rangeBoundsSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,

@@ -247,6 +247,45 @@ object SampleOps {
       |  CAST(base + (CASE WHEN rk <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
       |FROM r""".stripMargin
 
+  /** Curriculum/interleave training order: rank documents within each
+    * source by a quality signal (token count here, descending — "best
+    * first" curriculum), then emit a GLOBAL training position that
+    * round-robins the sources (position = rank·S + source index), so no
+    * contiguous run of the shuffled-by-position corpus is dominated by
+    * one source — the anti-clumping property data-order recipes want
+    * without a global sort.
+    *
+    * 100 TB shape: the only window partitions by SOURCE (per-group
+    * rank); the global position is CLOSED-FORM arithmetic over (rank,
+    * source index) — no global row_number, no single-partition window,
+    * which is the whole trick: a total order over 10^12 rows emitted
+    * without ever totally ordering them. The source index comes from
+    * the source name itself (a dim-table lookup in a real pipeline),
+    * not a corpus-wide dense_rank.
+    */
+  def trainOrder(spark: SparkSession, dir: String): DataFrame = {
+    val s = 20L // source-dim cardinality (src0..src19)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "source",
+        "cast(substring(source, 4) as long) as src_idx",
+        "cast(size(split(text, ' ')) as long) as n_tokens")
+      .withColumn("rank_in_source", row_number().over(
+        Window.partitionBy("source").orderBy(desc("n_tokens"), asc("doc_id"))).cast("long"))
+      .selectExpr("doc_id", "source", "n_tokens", "rank_in_source",
+        s"(rank_in_source - 1) * $s + src_idx as position")
+  }
+
+  val trainOrderSql: String =
+    """WITH r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    CAST(substr(source, 4) AS BIGINT) AS src_idx,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS BIGINT) AS rank_in_source
+      |  FROM documents)
+      |SELECT doc_id, source, n_tokens, rank_in_source,
+      |  (rank_in_source - 1) * 20 + src_idx AS position
+      |FROM r""".stripMargin
+
   /** Target tokens per training shard. */
   private val ShardTokens = 1000L
 
@@ -315,6 +354,7 @@ object SampleOps {
     "q_sample_fixed_k" -> (sampleFixedK(_, _)),
     "q_sample_weighted" -> (sampleWeighted(_, _)),
     "q_mix_temperature" -> (mixTemperature(_, _)),
+    "q_train_order" -> (trainOrder(_, _)),
     "q_token_budget_mix" -> (tokenBudgetMix(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -323,5 +363,6 @@ object SampleOps {
     "q_sample_fixed_k" -> sampleFixedKSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_mix_temperature" -> mixTemperatureSql,
+    "q_train_order" -> trainOrderSql,
     "q_token_budget_mix" -> tokenBudgetMixSql)
 }

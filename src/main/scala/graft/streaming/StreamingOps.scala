@@ -653,8 +653,123 @@ object StreamingOps {
       | AND a.event_type = 'view' AND b.event_type = 'click'
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
 
+  // ------------------------------------ watermark late-data drop accounting
+
+  /** ORACLE-GATED watermark DROP semantics — the one streaming contract
+    * the other oracle-gated runs never exercise (their slices arrive in
+    * order, so nothing is ever late). Here the events table is staged
+    * as one file per tumbling window, in window order, and every file
+    * k ≥ 3 ALSO carries duplicate copies of window k−3's
+    * `user_id % 10 == 7` rows at their ORIGINAL event times — rows
+    * three windows late. Three, not one: the late-row filter inside a
+    * micro-batch evaluates against the watermark planned one trigger
+    * earlier (measured here — a row exactly one watermark-update late
+    * still merges into its window's open state before eviction), so the
+    * plants sit firmly beyond even the lagged watermark and MUST be
+    * dropped. The per-window counts must then equal the plain batch
+    * counts over the ORIGINAL table: an engine that leaks late rows
+    * inflates a window (hash fail), one that over-drops starves one. A
+    * far-future sentinel row finalizes the last real windows (append
+    * mode only emits below the watermark); its own window stays open
+    * and is excluded on both sides. A require() guards that the
+    * engine's drop METRIC engaged at all; its magnitude is
+    * partitioning-dependent (it counts dropped partial-agg rows), so
+    * the exact planted-copy exclusion is what the hash compare pins.
+    *
+    * 100 TB shape: state is one (window, count) row per open window —
+    * watermark-bounded; the planted copies ride the same key-partitioned
+    * exchange as on-time rows and die at the state operator's gate.
+    */
+  def streamLate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("cast(user_id as long) as user_id",
+        "cast(ts as timestamp) as ts",
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+    val (minUs, maxUs) = {
+      val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // whole-second tumbling span, ~4 windows over the table (Spark's
+    // window() aligns to the epoch, so the oracle's ts_us div span is
+    // exact only for whole-second spans)
+    val spanUs = (((maxUs - minUs) / 4 + 1) / 1000000L + 1L) * 1000000L
+    val widxs = ev.selectExpr(s"ts_us div ${spanUs}L as widx")
+      .distinct().orderBy("widx").as[Long].collect()
+    val stage = java.nio.file.Files.createTempDirectory("stream_late_src")
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val tmp = stage.resolve(s"tmp_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = stage.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      staged += dest
+    }
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    try {
+      widxs.zipWithIndex.foreach { case (w, k) =>
+        val onTime = ev.filter(s"ts_us div ${spanUs}L = ${w}L").select("user_id", "ts")
+        val slice =
+          if (k >= 3)
+            onTime.unionByName(
+              ev.filter(s"ts_us div ${spanUs}L = ${widxs(k - 3)}L and user_id % 10 = 7")
+                .select("user_id", "ts"))
+          else onTime
+        stageSlice(slice, f"late-$k%03d", base + k * 10000L)
+      }
+      // sentinel: advances the final watermark past every real window
+      stageSlice(
+        Seq((-1L, new java.sql.Timestamp((maxUs + 10 * spanUs) / 1000L)))
+          .toDF("user_id", "ts"),
+        f"late-${widxs.length}%03d", base + widxs.length * 10000L)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType)))
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), s"${spanUs / 1000000L} seconds"))
+        .agg(count(lit(1)).as("n"))
+      val name = s"stream_late_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // observability guard, not an oracle column: the engine must have
+      // REPORTED watermark drops (the metric counts dropped partial-agg
+      // rows, so its magnitude is partitioning-dependent — the exact
+      // planted-copy count is what the per-window hash compare pins)
+      val dropped = q.recentProgress.iterator.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      require(widxs.length < 4 || dropped > 0,
+        "late plants present but numRowsDroppedByWatermark stayed 0 — watermark drop path never engaged")
+      spark.table(name)
+        .selectExpr(s"unix_micros(window.start) div ${spanUs}L as widx", "n")
+        .localCheckpoint(true)
+    } finally {
+      staged.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
+  val streamLateSql: String =
+    """WITH p AS (SELECT epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+      |b AS (SELECT ts_us, (SELECT ((max(ts_us) - min(ts_us)) // 4 + 1) // 1000000 + 1 FROM p) * 1000000 AS span
+      |  FROM p)
+      |SELECT CAST(ts_us // span AS BIGINT) AS widx, CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_join" -> (streamJoin(_, _)),
+    "q_stream_late" -> (streamLate(_, _)),
     "q_stream_upsert" -> (streamUpsert(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
     "q_stream_host_slots" -> (streamHostSlots(_, _)),
@@ -663,6 +778,7 @@ object StreamingOps {
 
   def oracles: Map[String, String] = Map(
     "q_stream_join" -> streamJoinSql,
+    "q_stream_late" -> streamLateSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_host_slots" -> streamHostSlotsSql,
