@@ -225,4 +225,30 @@ object ArticleGen {
     sb ++= "</body></html>"
     sb.toString
   }
+
+  /** Pages with `<link rel="canonical">` variants for the canonical-
+    * cluster query: duplicate groups share the head a(d − d%7); hrefs
+    * exercise absolute, relative (must resolve against the page dir),
+    * protocol-relative, first-of-several-wins, and absent (self).
+    */
+  def canonicalHtml(d: Long): String = {
+    val head = d - d % 7
+    val sb = new StringBuilder(512)
+    sb ++= s"<html><head><title>Canon $d</title>"
+    // decoy: rel is a token LIST — "canonical-ish" tokens must not match
+    sb ++= """<link rel="alternate canonicalish" href="/decoy.html">"""
+    d % 5 match {
+      case 0 => () // no canonical: page is its own canonical
+      case 1 => sb ++= s"""<link rel="canonical" href="${pageUrl(head)}">"""
+      case 2 => sb ++= s"""<link rel="canonical" href="a$head.html">"""
+      case 3 =>
+        sb ++= s"""<link rel="canonical" href="${pageUrl(head)}">"""
+        // de-facto first-wins: a second canonical is ignored
+        sb ++= s"""<link rel="canonical" href="${pageUrl(d)}">"""
+      case _ =>
+        sb ++= s"""<link rel="CANONICAL" href="//chost${head % 4}.example/c/a$head.html">"""
+    }
+    sb ++= s"</head><body><p>canon body $d</p></body></html>"
+    sb.toString
+  }
 }

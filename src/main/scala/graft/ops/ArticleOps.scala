@@ -397,7 +397,64 @@ object ArticleOps {
        |  CAST(count(DISTINCT skeleton) AS BIGINT) AS n_templates
        |FROM s GROUP BY host_id""".stripMargin
 
+  /** Canonical-URL clustering ([[graft.kernels.CanonicalKernel]]): the
+    * page-declared dedup signal, grouped. Pages carry absolute,
+    * relative (resolved against the page directory), protocol-relative,
+    * first-of-several and absent (self) canonical links pointing at
+    * per-7-group heads; the oracle reconstructs every resolved URL in
+    * closed form, so a resolution bug on ANY form (or matching the
+    * `canonicalish` rel-token decoy) breaks the hash. `n_in_cluster`
+    * counts pages per canonical target — the family size a dedup pass
+    * collapses without reading any body text.
+    *
+    * 100 TB shape: the kernel is a zero-shuffle per-row map; the
+    * cluster count is one window keyed by canonical target (bounded by
+    * duplicate-family size, the same key a canonical-collapse join
+    * would shuffle on anyway).
+    */
+  def relCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val url = ArticleGen.pageUrl(d)
+        val canon = graft.kernels.CanonicalKernel.canonicalUrl(
+          ArticleGen.canonicalHtml(d), url)
+        (d, canon, canon == url)
+      })
+      .toDF("doc_id", "canonical_url", "is_self")
+      .withColumn("n_in_cluster",
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("canonical_url"))
+          .cast("long"))
+  }
+
+  val relCanonicalSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    doc_id - doc_id % 7 AS head FROM documents),
+      |u AS (SELECT doc_id, head,
+      |    'http://host' || (doc_id % 20) || '.example/' || (2021 + doc_id % 3) || '/' ||
+      |      printf('%02d', doc_id % 12 + 1) || '/' || printf('%02d', doc_id % 28 + 1) ||
+      |      '/a' || doc_id || '.html' AS page_url,
+      |    'http://host' || (head % 20) || '.example/' || (2021 + head % 3) || '/' ||
+      |      printf('%02d', head % 12 + 1) || '/' || printf('%02d', head % 28 + 1) ||
+      |      '/a' || head || '.html' AS head_url
+      |  FROM d),
+      |c AS (SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN page_url
+      |      WHEN 1 THEN head_url
+      |      WHEN 2 THEN regexp_replace(page_url, 'a[0-9]+\.html$', 'a' || head || '.html')
+      |      WHEN 3 THEN head_url
+      |      ELSE 'http://chost' || (head % 4) || '.example/c/a' || head || '.html'
+      |    END AS canonical_url,
+      |    page_url
+      |  FROM u)
+      |SELECT doc_id, canonical_url, canonical_url = page_url AS is_self,
+      |  CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_in_cluster
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rel_canonical" -> (relCanonical(_, _)),
     "q_dom_skeleton" -> (domSkeleton(_, _)),
     "q_template_diversity" -> (templateDiversity(_, _)),
     "q_meta_refresh" -> (metaRefresh(_, _)),
@@ -413,6 +470,7 @@ object ArticleOps {
     "q_soft404" -> (soft404(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_rel_canonical" -> relCanonicalSql,
     "q_dom_skeleton" -> domSkeletonSql,
     "q_template_diversity" -> templateDiversitySql,
     "q_meta_refresh" -> metaRefreshSql,

@@ -332,6 +332,56 @@ object RelationalOps {
       |  ON e.value >= b.lo AND e.value < b.hi
       |GROUP BY b.label""".stripMargin
 
+  // ------------------------------------------------------ salted skew join
+
+  private val JoinSalts = 8
+
+  /** Salted join for a pathologically hot key — the north rule's
+    * "salting for skewed hosts" applied to a JOIN (the agg-side twin is
+    * `q_salted_agg`). The fact side maps half the corpus onto host 0 (a
+    * planted megasite); a plain shuffle join on host would put ~50% of
+    * all rows in ONE reducer task, the classic straggler that stalls a
+    * 1000-executor stage at the speed of one. Salting splits the hot
+    * key's rows across `JoinSalts` shuffle keys (salt = doc_id % 8,
+    * data-derived and uniform) and REPLICATES each dim row once per
+    * salt, so the join becomes equi on (host, salt) with every task
+    * bounded at ~1/8 of the hot key. The final rollup removes the salt;
+    * the oracle is the UNSALTED join — any lost or doubled replication
+    * breaks the counts exactly.
+    *
+    * (AQE's skew-join split is the runtime alternative for sort-merge
+    * joins; explicit salting remains THE portable answer when the build
+    * side must broadcast or the engine cannot re-split mid-stage.)
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = t(spark, dir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "cast(case when doc_id % 2 = 0 then 0 else doc_id % 50 end as long) as host",
+        s"cast(doc_id % $JoinSalts as long) as salt",
+        "cast(size(split(text, ' ')) as long) as n_tokens")
+    val dim = spark.range(0, 50).toDF("host")
+      .selectExpr("host", "cast(host % 4 as long) as tier",
+        s"explode(sequence(0, ${JoinSalts - 1})) as salt")
+      .selectExpr("host", "tier", "cast(salt as long) as salt")
+    fact.join(dim, Seq("host", "salt"))
+      .groupBy("tier")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("sum_tokens"))
+  }
+
+  val saltedJoinSql: String =
+    """WITH f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 50 END AS host,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |d AS (SELECT unnest(range(0, 50)) AS host),
+      |dt AS (SELECT host, host % 4 AS tier FROM d)
+      |SELECT CAST(tier AS BIGINT) AS tier,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM f JOIN dt USING (host)
+      |GROUP BY tier""".stripMargin
+
   // ------------------------------------------------- Z-order data layout
 
   /** Morton/Z-order bit interleave of (host, slot) as an explicit
@@ -459,6 +509,7 @@ object RelationalOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
     "q_range_bounds" -> (rangeBounds(_, _)),
+    "q_salted_join" -> (saltedJoin(_, _)),
     "q_asof_join" -> (asofJoin(_, _)),
     "q_range_join" -> (rangeJoin(_, _)),
     "q_bucketed_join" -> (bucketedJoin(_, _)),
@@ -477,6 +528,7 @@ object RelationalOps {
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "q_range_bounds" -> rangeBoundsSql,
+    "q_salted_join" -> saltedJoinSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,

@@ -243,13 +243,60 @@ object SketchOps {
       |  CAST((min(CASE WHEN cum * 10 >= total * 9 THEN bucket END) + 1) * $QBucket AS BIGINT) AS p90_words_hi
       |FROM c GROUP BY source""".stripMargin
 
+  /** CMS MERGEABILITY under the gate — the property that makes sketches
+    * the right answer on a 1000-executor cluster: count-min counter
+    * tables are cell-wise ADDITIVE, so each executor (here: each corpus
+    * half, split on doc_id parity) sketches its shard independently and
+    * the coordinator merges by summing cells — no re-scan, no loss. The
+    * merged estimates are IDENTICAL (not approximately equal) to the
+    * single-pass sketch's, so the oracle is the same whole-corpus CMS
+    * the single-pass query uses: any cell the merge dropped, doubled,
+    * or misaligned shifts some term's min and fails the hash.
+    *
+    * Scale shape: two partial-agg'd counter builds of 192 cells each,
+    * one 192-row union+sum, broadcast back to the vocab join — the
+    * fan-in is constant-size regardless of corpus size.
+    */
+  def cmsMerge(spark: SparkSession, dir: String): DataFrame = {
+    val occ = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "explode(split(text, ' ')) as w")
+      .where("length(w) > 0")
+    def bucketed(df: DataFrame, carry: Seq[String]): DataFrame =
+      df.selectExpr(carry :+
+        (s"posexplode(transform(sequence(0, ${CmsD - 1}), " +
+          s"s -> cast(conv(substr(md5(cast(concat(w, '@', s) as binary)), 1, 8), 16, 10) as bigint) % $CmsW)) as (sz, b)"): _*)
+    // per-shard vocab counts (one scan, checkpointed), then two
+    // independent shard sketches merged by cell-wise addition
+    val vocabByHalf = occ.groupBy(expr("doc_id % 2").as("half"), col("w"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true)
+    def shardCounters(half: Int): DataFrame =
+      bucketed(vocabByHalf.where(s"half = $half"), Seq("n"))
+        .groupBy("sz", "b").agg(sum(col("n")).as("cnt"))
+    val merged = shardCounters(0).unionByName(shardCounters(1))
+      .groupBy("sz", "b").agg(sum(col("cnt")).as("cnt"))
+    val vocab = vocabByHalf.groupBy("w").agg(sum(col("n")).as("true_n"))
+    bucketed(vocab, Seq("w", "true_n"))
+      .join(broadcast(merged), Seq("sz", "b"))
+      .groupBy("w", "true_n")
+      .agg(min("cnt").cast("long").as("est_n"))
+      .selectExpr("w", "cast(true_n as long) as true_n", "est_n")
+  }
+
+  /** Merged-sketch estimates ≡ single-pass estimates (additivity), so
+    * the oracle is the whole-corpus sketch.
+    */
+  val cmsMergeSql: String = heavyHittersCmsSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_merge" -> (cmsMerge(_, _)),
     "q_distinct_sketch" -> (distinctSketch(_, _)),
     "q_heavy_hitters_cms" -> (heavyHittersCms(_, _)),
     "q_bloom_seen" -> (bloomSeen(_, _)),
     "q_length_quantiles" -> (lengthQuantiles(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_cms_merge" -> cmsMergeSql,
     "q_distinct_sketch" -> distinctSketchSql,
     "q_heavy_hitters_cms" -> heavyHittersCmsSql,
     "q_bloom_seen" -> bloomSeenSql,

@@ -252,4 +252,46 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window ["),
       "q_ann_pq regressed to a row_number window")
   }
+
+  test("salted join carries the salt in the join keys (hot key split across tasks)") {
+    val p = plan("q_salted_join")
+    // the whole point: the shuffle/broadcast key is (host, salt), so the
+    // planted megasite's rows spread over JoinSalts tasks instead of one
+    assert("host#\\d+L?, salt#".r.findFirstIn(p).isDefined,
+      "q_salted_join lost the salt from its join keys — the hot host funnels into one task again")
+  }
+
+  test("z-order layout stats are one partial-agg'd exchange over a broadcast count") {
+    val p = plan("q_zorder_layout")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "q_zorder_layout must shuffle only the (layout, file_id) stats keys")
+    assert(p.contains("partial_"),
+      "q_zorder_layout lost map-side partial aggregation of the file stats")
+  }
+
+  test("merged CMS reuses the checkpointed per-half vocab — no corpus re-scan") {
+    val p = plan("q_cms_merge")
+    assert("FileScan".r.findAllIn(p).isEmpty,
+      "q_cms_merge re-explodes the corpus for a shard sketch")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the merged 192-cell counter table must broadcast to the estimate side")
+  }
+
+  test("per-source windows stay per-source (train order, outliers, canonical clusters)") {
+    assert(plan("q_train_order").contains("], [source#"),
+      "q_train_order's rank window lost its source partitioning — global sort of the corpus")
+    assert(plan("q_robust_outliers").contains("], [source#"),
+      "q_robust_outliers' median windows lost their source partitioning")
+    assert(plan("q_rel_canonical").contains("], [canonical_url#"),
+      "q_rel_canonical's cluster count window lost its canonical-target partitioning")
+  }
+
+  test("range-bound sampling filters before its sample-sized global window") {
+    val p = plan("q_range_bounds")
+    // the md5-threshold filter must sit under the scan side (sample is
+    // drawn per-row, map-side); the single-partition window then runs
+    // over the SAMPLE only — acceptable because the sample is bounded
+    assert(p.contains("Filter") && p.contains("md5"),
+      "q_range_bounds lost its map-side sample filter")
+  }
 }
