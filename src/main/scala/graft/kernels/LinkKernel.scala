@@ -220,4 +220,42 @@ object LinkKernel {
         !robotsHas(sink.robots, "nofollow") && !robotsHas(sink.robots, "none"))
     PageLinks(out.result(), idx, fol)
   }
+
+  /** Tracking parameters that never change the served document: the
+    * utm_* campaign family plus the common click-id params. Stripping
+    * them is the first URL-canonicalization step of crawl dedup —
+    * visit-tracking variants of one page collapse to a single frontier
+    * key before any content is fetched.
+    */
+  private val TrackingParams = Set(
+    "fbclid", "gclid", "msclkid", "yclid", "igshid", "mc_eid",
+    "_hsenc", "_hsmi", "mkt_tok", "ref_src", "twclid")
+
+  private def isTracking(name: String): Boolean = {
+    val n = name.toLowerCase(java.util.Locale.ROOT)
+    n.startsWith("utm_") || TrackingParams.contains(n)
+  }
+
+  /** Remove tracking query parameters, preserving the order of the
+    * rest; the '?' disappears when nothing survives; the fragment (and
+    * everything else) is untouched. Returns (stripped, nRemoved).
+    */
+  def stripTracking(url: String): (String, Int) = {
+    val hash = url.indexOf('#')
+    val (core, frag) =
+      if (hash >= 0) (url.substring(0, hash), url.substring(hash)) else (url, "")
+    val q = core.indexOf('?')
+    if (q < 0) return (url, 0)
+    val params = core.substring(q + 1).split("&", -1)
+    val kept = params.filter { kv =>
+      val eq = kv.indexOf('=')
+      val name = if (eq >= 0) kv.substring(0, eq) else kv
+      kv.nonEmpty && !isTracking(name)
+    }
+    val removed = params.count(_.nonEmpty) - kept.length
+    val rebuilt =
+      if (kept.isEmpty) core.substring(0, q)
+      else core.substring(0, q) + "?" + kept.mkString("&")
+    (rebuilt + frag, removed)
+  }
 }

@@ -1072,8 +1072,102 @@ object LinkOps {
       |  CASE WHEN doc_id % 3 = 0 THEN md5(text) ELSE md5(body) END AS etag_after
       |FROM d""".stripMargin
 
+  /** IDN hostname hygiene ([[graft.kernels.PunycodeKernel]]): decode
+    * `xn--` ACE labels per RFC 3492 and flag whole-script-confusable
+    * homographs via the Cyrillic→Latin skeleton (the `аррӏе`/`pаypal`
+    * class — single-script or mixed labels whose skeleton collapses to
+    * a pure-ASCII Latin word). Hosts rotate through six fixed forms
+    * (plain ASCII, German/Russian/Chinese/French IDNs, two spoofs); the
+    * oracle pins every decoded string and flag as literals, so a
+    * decoder bug on ANY label (wrong insertion point, bias adaptation,
+    * overflow handling) or a skeleton miss fails the hash. Zero-shuffle
+    * per-row kernel map.
+    */
+  def idnHomograph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = Array(
+      "plain.example", "xn--mnchen-3ya.example", "xn--h1alffa9f.example",
+      "xn--80ak6aa92e.example", "xn--caf-dma.example", "xn--pypal-4ve.example")
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val ascii = hosts((d % 6).toInt)
+        val uni = graft.kernels.PunycodeKernel.hostToUnicode(ascii)
+        val label = uni.substring(0, uni.indexOf('.'))
+        (d, ascii, uni, ascii != uni,
+          graft.kernels.PunycodeKernel.homographRisk(label))
+      })
+      .toDF("doc_id", "host_ascii", "host_unicode", "is_idn", "homograph")
+  }
+
+  val idnHomographSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CASE doc_id % 6
+      |    WHEN 0 THEN 'plain.example'
+      |    WHEN 1 THEN 'xn--mnchen-3ya.example'
+      |    WHEN 2 THEN 'xn--h1alffa9f.example'
+      |    WHEN 3 THEN 'xn--80ak6aa92e.example'
+      |    WHEN 4 THEN 'xn--caf-dma.example'
+      |    ELSE 'xn--pypal-4ve.example' END AS host_ascii,
+      |  CASE doc_id % 6
+      |    WHEN 0 THEN 'plain.example'
+      |    WHEN 1 THEN 'münchen.example'
+      |    WHEN 2 THEN 'россия.example'
+      |    WHEN 3 THEN 'аррӏе.example'
+      |    WHEN 4 THEN 'café.example'
+      |    ELSE 'pаypal.example' END AS host_unicode,
+      |  doc_id % 6 <> 0 AS is_idn,
+      |  doc_id % 6 IN (3, 5) AS homograph
+      |FROM documents""".stripMargin
+
+  /** Tracking-parameter stripping ([[graft.kernels.LinkKernel.stripTracking]])
+    * — URL canonicalization BEFORE fetch: campaign/click-id variants of
+    * one page collapse to a single frontier key, cutting both the fetch
+    * budget and the url-level duplicate rate. Non-tracking parameter
+    * order is preserved (reordering would change real keys), valueless
+    * and empty params handled, fragments untouched. Pure projection.
+    */
+  def urlStripTracking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions(_.map { d =>
+        val url = s"http://host${d % 20}.example/p$d.html" + ((d % 5) match {
+          case 0 => ""
+          case 1 => s"?utm_source=feed&id=$d"
+          case 2 => s"?gclid=g$d"
+          case 3 => s"?a=1&utm_campaign=c$d&b=2#sec$d"
+          case _ => s"?UTM_Medium=em&fbclid=f$d&q=$d"
+        })
+        val (clean, n) = graft.kernels.LinkKernel.stripTracking(url)
+        (d, url, clean, n.toLong)
+      })
+      .toDF("doc_id", "url", "url_clean", "n_stripped")
+  }
+
+  val urlStripTrackingSql: String =
+    """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    'http://host' || (doc_id % 20) || '.example/p' || doc_id || '.html' AS base
+      |  FROM documents)
+      |SELECT doc_id,
+      |  base || CASE doc_id % 5
+      |    WHEN 0 THEN ''
+      |    WHEN 1 THEN '?utm_source=feed&id=' || doc_id
+      |    WHEN 2 THEN '?gclid=g' || doc_id
+      |    WHEN 3 THEN '?a=1&utm_campaign=c' || doc_id || '&b=2#sec' || doc_id
+      |    ELSE '?UTM_Medium=em&fbclid=f' || doc_id || '&q=' || doc_id END AS url,
+      |  base || CASE doc_id % 5
+      |    WHEN 0 THEN ''
+      |    WHEN 1 THEN '?id=' || doc_id
+      |    WHEN 2 THEN ''
+      |    WHEN 3 THEN '?a=1&b=2#sec' || doc_id
+      |    ELSE '?q=' || doc_id END AS url_clean,
+      |  CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1
+      |       WHEN 3 THEN 1 ELSE 2 END AS BIGINT) AS n_stripped
+      |FROM b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fetch_shards" -> (fetchShards(_, _)),
+    "q_idn_homograph" -> (idnHomograph(_, _)),
+    "q_url_strip_tracking" -> (urlStripTracking(_, _)),
     "q_recrawl_etag" -> (recrawlEtag(_, _)),
     "q_host_communities" -> (hostCommunities(_, _)),
     "q_robots_cache_ttl" -> (robotsCacheTtl(_, _)),
@@ -1100,6 +1194,8 @@ object LinkOps {
 
   def oracles: Map[String, String] = Map(
     "q_fetch_shards" -> fetchShardsSql,
+    "q_idn_homograph" -> idnHomographSql,
+    "q_url_strip_tracking" -> urlStripTrackingSql,
     "q_recrawl_etag" -> recrawlEtagSql,
     "q_host_communities" -> hostCommunitiesSql,
     "q_robots_cache_ttl" -> robotsCacheTtlSql,
