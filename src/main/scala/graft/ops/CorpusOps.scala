@@ -458,6 +458,66 @@ object CorpusOps {
       |  CAST(len(list_distinct(cv)) AS BIGINT) AS n_removed
       |FROM cov""".stripMargin
 
+  // --------------------------------------------------------- dataset card
+
+  /** Per-source dataset-card statistics — the datasheet table a corpus
+    * release ships (Gebru et al. 2021 "Datasheets for Datasets" made
+    * them standard practice): volume (docs/tokens/chars), language
+    * spread, short-doc fraction, and the exact-duplicate exposure
+    * (docs whose full text occurs more than once ANYWHERE in the
+    * corpus, attributed to each source that carries a copy). Every
+    * number a consumer needs before mixing the source into training.
+    *
+    * 100 TB shape: two shuffles — one partial-agg'd rollup keyed by
+    * source, and one md5-fingerprint groupBy for the corpus-wide dup
+    * set (16-byte keys, text never rides) semi-joined back. Averages
+    * ship as exact integer (sum, count) pairs plus one rounded display
+    * column, so the hash compare never meets a float sum.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "source", "lang",
+        "md5(cast(text as binary)) as fp",
+        "cast(size(split(text, ' ')) as long) as n_tokens",
+        "cast(length(text) as long) as n_chars")
+      .localCheckpoint(true)
+    val dupFps = d.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where("n > 1").select("fp")
+    val flagged = d.join(dupFps, Seq("fp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n_dup_docs"))
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("n_chars").cast("long").as("n_chars"),
+        countDistinct("lang").cast("long").as("n_langs"),
+        sum(expr("case when n_tokens < 50 then 1 else 0 end")).cast("long").as("n_short"))
+      .join(flagged, Seq("source"), "left")
+      .selectExpr("source", "n_docs", "n_tokens", "n_chars", "n_langs", "n_short",
+        "coalesce(n_dup_docs, 0L) as n_dup_docs",
+        "round(cast(n_tokens as double) / n_docs, 4) as tokens_per_doc")
+  }
+
+  val datasetCardSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+      |    md5(text) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |dup AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1),
+      |fl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+      |  FROM d WHERE fp IN (SELECT fp FROM dup) GROUP BY source),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      |  FROM d GROUP BY source)
+      |SELECT s.source, n_docs, n_tokens, n_chars, n_langs, n_short,
+      |  CAST(coalesce(fl.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+      |  round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS tokens_per_doc
+      |FROM s LEFT JOIN fl ON fl.source = s.source""".stripMargin
+
   // ------------------------------------------------------- NFC normalize
 
   /** Unicode NFC canonicalization via the native `nfc` expression
@@ -501,6 +561,7 @@ object CorpusOps {
     "q_cdc_chunks" -> (cdcChunks(_, _)),
     "q_exact_substr_cut" -> (exactSubstrCut(_, _)),
     "q_substr_dedup_50" -> (substrDedup50(_, _)),
+    "q_dataset_card" -> (datasetCard(_, _)),
     "q_host_line_dedup" -> (hostLineDedup(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -512,5 +573,6 @@ object CorpusOps {
     "q_cdc_chunks" -> cdcChunksSql,
     "q_exact_substr_cut" -> exactSubstrCutSql,
     "q_substr_dedup_50" -> substrDedup50Sql,
+    "q_dataset_card" -> datasetCardSql,
     "q_host_line_dedup" -> hostLineDedupSql)
 }

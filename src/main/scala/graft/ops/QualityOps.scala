@@ -333,17 +333,80 @@ object QualityOps {
       |  v.dev > 3 * a.mad AS outlier
       |FROM v JOIN a USING (source)""".stripMargin
 
+  // ---------------------------------------------- distribution drift
+
+  /** Per-source distribution drift vs the corpus — the monitoring gate
+    * that catches a bad crawl batch or a broken extractor BEFORE the
+    * corpus ships: KL(source ‖ corpus) over the token-length histogram
+    * (6 bands). A source whose length profile diverges from the
+    * corpus-wide reference is the classic symptom of truncated
+    * extractions, boilerplate leakage, or a spam influx.
+    *
+    * Exactness: every histogram cell is an integer count; each bucket's
+    * KL term is computed with the IDENTICAL formula text on both
+    * engines and quantized to integer micro-nats (round half-away-from-
+    * zero, matching both engines), so the per-source SUM is an
+    * order-free integer — no float addition-order hazard (the same
+    * micro-nat discipline as the DSIR/perplexity gates).
+    *
+    * 100 TB shape: one partial-agg'd shuffle to (source, band) counts;
+    * everything after is band-table-scale (≤ 6·|sources| rows) with the
+    * 6-row corpus reference broadcast into the join.
+    */
+  def distShift(spark: SparkSession, dir: String): DataFrame = {
+    val sb = docs(spark, dir)
+      .selectExpr("source",
+        "cast(least(size(split(text, ' ')) div 40, 5) as long) as band")
+      .groupBy("source", "band")
+      .agg(count(lit(1)).cast("long").as("n_sb"))
+      .localCheckpoint(true)
+    val corpus = sb.groupBy("band")
+      .agg(sum("n_sb").cast("long").as("n_cb"))
+      .withColumn("n_c", sum("n_cb").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).cast("long"))
+    val srcTot = sb.groupBy("source").agg(sum("n_sb").cast("long").as("n_s"))
+    sb.join(broadcast(corpus), Seq("band"))
+      .join(srcTot, Seq("source"))
+      .selectExpr("source", "n_s",
+        """cast(round(1000000.0D * (cast(n_sb as double) / n_s) *
+          |  ln((cast(n_sb as double) * n_c) / (cast(n_s as double) * n_cb))) as bigint) as term""".stripMargin)
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), sum("term").cast("long").as("kl_unats"))
+      .selectExpr("source", "cast(n_docs as long) as n_docs", "kl_unats",
+        "kl_unats > 20000 as drifted")
+  }
+
+  val distShiftSql: String =
+    """WITH sb AS (SELECT source,
+      |    least(len(string_split(text, ' ')) // 40, 5) AS band,
+      |    CAST(count(*) AS BIGINT) AS n_sb
+      |  FROM documents GROUP BY 1, 2),
+      |cb AS (SELECT band, CAST(sum(n_sb) AS BIGINT) AS n_cb,
+      |    CAST(sum(sum(n_sb)) OVER () AS BIGINT) AS n_c
+      |  FROM sb GROUP BY band),
+      |st AS (SELECT source, CAST(sum(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY source),
+      |t AS (SELECT sb.source, st.n_s,
+      |    CAST(round(1000000.0 * (CAST(n_sb AS DOUBLE) / n_s) *
+      |      ln((CAST(n_sb AS DOUBLE) * n_c) / (CAST(n_s AS DOUBLE) * n_cb))) AS BIGINT) AS term
+      |  FROM sb JOIN cb USING (band) JOIN st ON st.source = sb.source)
+      |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+      |  CAST(sum(term) AS BIGINT) AS kl_unats,
+      |  sum(term) > 20000 AS drifted
+      |FROM t GROUP BY source""".stripMargin
+
   // -------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate(_, _)),
     "q_blocklist_gate" -> (blocklistGate(_, _)),
     "q_robust_outliers" -> (robustOutliers(_, _)),
+    "q_dist_shift" -> (distShift(_, _)),
     "q_lm_perplexity" -> (lmPerplexity(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_blocklist_gate" -> blocklistGateSql,
     "q_robust_outliers" -> robustOutliersSql,
+    "q_dist_shift" -> distShiftSql,
     "q_lm_perplexity" -> lmPerplexitySql)
 }
