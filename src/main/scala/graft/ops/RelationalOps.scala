@@ -332,6 +332,55 @@ object RelationalOps {
       |  ON e.value >= b.lo AND e.value < b.hi
       |GROUP BY b.label""".stripMargin
 
+  // ---------------------------------------------------- star-schema top-k
+
+  /** TPC-H Q3 analog (shipping-priority): the canonical star-schema
+    * probe — selective dim filter (one market segment) reduced through
+    * TWO joins into the fact table, grouped per order, global top-10 by
+    * revenue. The plan this must produce at scale: customer (filtered,
+    * small) BROADCASTS into orders, the surviving orders join lineitem
+    * on the fact key, revenue partial-aggregates per order, and the
+    * top-10 runs as TakeOrderedAndProject (per-partition heads merged
+    * on the driver — never a global sort). Ties broken on
+    * (o_orderdate, l_orderkey) so the limit boundary is deterministic
+    * on both engines; per-order revenue sums span ≤7 lineitems, so
+    * round(·,2) absorbs addition order exactly as q1_agg does.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+      .selectExpr("l_orderkey", "unix_micros(cast(o_orderdate as timestamp)) as order_us",
+        "o_orderpriority", "revenue")
+  }
+
+  val q3ShippingSql: String =
+    """SELECT l.l_orderkey,
+      |  epoch_us(o.o_orderdate) AS order_us,
+      |  o.o_orderpriority,
+      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+      |LIMIT 10""".stripMargin
+
   // ------------------------------------------------------ salted skew join
 
   private val JoinSalts = 8
@@ -510,6 +559,7 @@ object RelationalOps {
     "q1_agg" -> (q1Agg(_, _)),
     "q_range_bounds" -> (rangeBounds(_, _)),
     "q_salted_join" -> (saltedJoin(_, _)),
+    "q_q3_shipping" -> (q3Shipping(_, _)),
     "q_asof_join" -> (asofJoin(_, _)),
     "q_range_join" -> (rangeJoin(_, _)),
     "q_bucketed_join" -> (bucketedJoin(_, _)),
@@ -529,6 +579,7 @@ object RelationalOps {
     "q1_agg" -> q1AggSql,
     "q_range_bounds" -> rangeBoundsSql,
     "q_salted_join" -> saltedJoinSql,
+    "q_q3_shipping" -> q3ShippingSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
     "q_bucketed_join" -> bucketedJoinSql,

@@ -288,8 +288,67 @@ object SketchOps {
     */
   val cmsMergeSql: String = heavyHittersCmsSql
 
+  /** Mergeable quantile summary: per-shard power-of-two histograms
+    * (bucket = bit-length of the token count — 30 cells cover any
+    * document) merged by cell-wise addition, then read at p50/p90/p99.
+    * This is the third mergeable-summary leg next to [[cmsMerge]]
+    * (frequencies) and the distinct sketch (cardinality): an exact
+    * global quantile needs a global sort, so a 1000-executor job ships
+    * per-executor histograms and answers from the merge — bounded
+    * error (the bucket's [2^(b−1), 2^b−1] range), constant fan-in. The
+    * corpus splits on doc_id parity; each half aggregates its own
+    * histogram and the merge is a union+sum — identical, not
+    * approximately equal, to the single-pass histogram, which is what
+    * the oracle computes. Quantile rule: smallest bucket whose running
+    * cumulative count reaches ceil(q·N), every comparison integral.
+    */
+  def quantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "cast(length(bin(size(split(text, ' ')))) as long) as bucket")
+      .localCheckpoint(true)
+    def half(h: Int): DataFrame =
+      d.where(s"doc_id % 2 = $h").groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n"))
+    val merged = half(0).unionByName(half(1))
+      .groupBy("bucket").agg(sum("n").cast("long").as("n"))
+    val cum = merged
+      .withColumn("cum", sum("n").over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("n_total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    spark.createDataFrame(Seq(Tuple1(50L), Tuple1(90L), Tuple1(99L))).toDF("q_pct")
+      .crossJoin(cum)
+      .where(expr("cum * 100 >= q_pct * n_total"))
+      .groupBy("q_pct")
+      .agg(min("bucket").as("bucket"), max("n_total").as("n_total"))
+      .selectExpr("q_pct", "bucket",
+        "cast(shiftleft(1L, cast(bucket - 1 as int)) as long) as lo",
+        "cast(shiftleft(1L, cast(bucket as int)) - 1 as long) as hi",
+        "cast(n_total as long) as n_total")
+  }
+
+  val quantileMergeSql: String =
+    """WITH d AS (SELECT CAST(length(bin(len(string_split(text, ' ')))) AS BIGINT) AS bucket
+      |  FROM documents),
+      |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY bucket),
+      |c AS (SELECT bucket, n,
+      |    sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n) OVER () AS n_total
+      |  FROM h),
+      |q AS (SELECT unnest([50, 90, 99]) AS q_pct)
+      |SELECT CAST(q_pct AS BIGINT) AS q_pct,
+      |  CAST(min(bucket) AS BIGINT) AS bucket,
+      |  CAST(2 ** (min(bucket) - 1) AS BIGINT) AS lo,
+      |  CAST(2 ** min(bucket) - 1 AS BIGINT) AS hi,
+      |  CAST(max(n_total) AS BIGINT) AS n_total
+      |FROM q JOIN c ON c.cum * 100 >= q.q_pct * c.n_total
+      |GROUP BY q_pct""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cms_merge" -> (cmsMerge(_, _)),
+    "q_quantile_merge" -> (quantileMerge(_, _)),
     "q_distinct_sketch" -> (distinctSketch(_, _)),
     "q_heavy_hitters_cms" -> (heavyHittersCms(_, _)),
     "q_bloom_seen" -> (bloomSeen(_, _)),
@@ -297,6 +356,7 @@ object SketchOps {
 
   def oracles: Map[String, String] = Map(
     "q_cms_merge" -> cmsMergeSql,
+    "q_quantile_merge" -> quantileMergeSql,
     "q_distinct_sketch" -> distinctSketchSql,
     "q_heavy_hitters_cms" -> heavyHittersCmsSql,
     "q_bloom_seen" -> bloomSeenSql,

@@ -286,6 +286,18 @@ class PlanShapeSpec extends SparkTestBase {
       "q_rel_canonical's cluster count window lost its canonical-target partitioning")
   }
 
+  test("Q3 star schema: pushed filters, broadcast joins, TakeOrdered — never a global sort") {
+    val p = plan("q_q3_shipping")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q_q3_shipping's top-10 must be TakeOrderedAndProject (per-partition heads), not a global Sort+Limit")
+    assert(p.contains("BroadcastHashJoin"),
+      "q_q3_shipping lost its broadcast joins")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      "the segment filter must reach the customer parquet scan")
+    assert("Sort \\[revenue".r.findFirstIn(p).isEmpty,
+      "a full Sort on revenue appeared — the limit stopped pushing into the shuffle")
+  }
+
   test("range-bound sampling filters before its sample-sized global window") {
     val p = plan("q_range_bounds")
     // the md5-threshold filter must sit under the scan side (sample is
