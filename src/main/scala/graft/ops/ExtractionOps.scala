@@ -82,6 +82,61 @@ object ExtractionOps {
       |  CASE WHEN doc_id % 4 = 1 THEN text || ' updated content' ELSE text END AS extracted_text
       |FROM documents""".stripMargin
 
+  /** ORACLE-GATED resumable-batch lineage — the full [[graft.pipeline.ExtractJob]]
+    * surface (day-partition pruning → extract → dynamic partition
+    * overwrite → per-day metrics → ledger commit) driven twice and
+    * graded by its LEDGER, the artifact a production restart trusts.
+    * Pages spread over four days; run 1 lands days 1–2, run 2 sees the
+    * whole table and must SKIP the committed days (a `require` pins
+    * daysSkipped == 2) and commit only days 3–4 under the NEXT snapshot
+    * id. The emitted rows are the ledger entries themselves: per-day
+    * row/char/error lineage plus the snapshot stamp — an engine that
+    * re-extracts committed days flips their snapshot to 2 (hash fail),
+    * one that drops work starves a day's rows, and a broken metrics agg
+    * breaks chars (the oracle recomputes them as exact text lengths,
+    * valid because extraction is byte-invertible on this corpus).
+    */
+  def extractJobLedger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    val baseMs = 1735689600000L // 2025-01-01T00:00:00Z
+    val pages = DocPages.docs(spark, dir).map { d =>
+      val html = graft.gen.PagesGen.htmlPage(Seq(d.text), None, d.doc_id)
+      graft.model.PageRow(s"doc://h/${d.doc_id}",
+        new java.sql.Timestamp(baseMs + (d.doc_id % 4) * dayMs),
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "", d.lang)
+    }.toDF()
+    val out = java.nio.file.Files.createTempDirectory("ej_out")
+    val led = java.nio.file.Files.createTempDirectory("ej_led")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+    try {
+      graft.pipeline.ExtractJob.run(spark,
+        pages.filter(col("warc_ts") < lit("2025-01-03")), out.toString, led.toString)
+      val r2 = graft.pipeline.ExtractJob.run(spark, pages, out.toString, led.toString)
+      require(r2.daysSkipped == 2,
+        s"resume must skip the 2 committed days, skipped ${r2.daysSkipped}")
+      graft.pipeline.Ledger.committed(led.toString).values.toSeq
+        .map(e => (e.partition.stripPrefix("p_day="), e.rows, e.chars, e.errors, e.snapshot))
+        .toDF("day", "rows", "chars", "errors", "snapshot")
+        .localCheckpoint(true) // detach from the temp dirs before cleanup
+    } finally {
+      rmTree(out); rmTree(led)
+    }
+  }
+
+  val extractJobLedgerSql: String =
+    """SELECT '2025-01-0' || (doc_id % 4 + 1) AS day,
+      |  CAST(count(*) AS BIGINT) AS rows,
+      |  CAST(sum(len(text)) AS BIGINT) AS chars,
+      |  CAST(0 AS BIGINT) AS errors,
+      |  CAST(CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END AS BIGINT) AS snapshot
+      |FROM documents GROUP BY 1, 5""".stripMargin
+
   /** HTML page with the text split into 40-word paragraphs; extraction
     * re-joins blocks with '\n'. The oracle reproduces the chunking in SQL
     * (keep the grouping formula in sync with DocPages.chunkWords).
@@ -665,6 +720,7 @@ object ExtractionOps {
     "q_extract_sql_expr" -> (extractSqlExpr(_, _)),
     "q_extract_html" -> (extractHtml(_, _)),
     "q_incremental_extract" -> (incrementalExtract(_, _)),
+    "q_extract_job_ledger" -> (extractJobLedger(_, _)),
     "q_extract_html_chunked" -> (extractHtmlChunked(_, _)),
     "q_extract_pdf" -> (extractPdf(_, _)),
     "q_extract_pdf_flate" -> (extractPdfFlate(_, _)),
@@ -697,6 +753,7 @@ object ExtractionOps {
     "q_extract_sql_expr" -> extractHtmlSql,
     "q_extract_html" -> extractHtmlSql,
     "q_incremental_extract" -> incrementalExtractSql,
+    "q_extract_job_ledger" -> extractJobLedgerSql,
     "q_extract_html_chunked" -> extractHtmlChunkedSql,
     "q_extract_pdf" -> extractPdfSql,
     "q_extract_pdf_flate" -> extractPdfSql,
