@@ -1005,12 +1005,7 @@ object LinkOps {
   }
 
   val hostCommunitiesSql: String =
-    """WITH p AS (SELECT doc_id AS d, 3 + doc_id % 5 AS n FROM documents),
-      |j AS (SELECT d, unnest(range(0, n)) AS j FROM p),
-      |e AS (SELECT 'host' || (d % 20) || '.example' AS src_host,
-      |             'h' || ((d * 7 + j) % 20) || '.example' AS dst_host,
-      |             CAST(count(*) AS BIGINT) AS n_links
-      |      FROM j WHERE (d + j) % 3 = 0 GROUP BY 1, 2),
+    s"""WITH e AS ($domainEdgesSql),
       |und AS (SELECT node, nbr, sum(w) AS w FROM (
       |    SELECT src_host AS node, dst_host AS nbr, n_links AS w FROM e
       |    UNION ALL

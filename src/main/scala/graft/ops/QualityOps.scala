@@ -291,6 +291,9 @@ object QualityOps {
     val d = docs(spark, dir)
       .selectExpr("cast(doc_id as long) as doc_id", "source",
         "cast(size(split(text, ' ')) as long) as n_tokens")
+      // four lineage branches (med window, dev join x2, mad window) —
+      // checkpoint so the scan+tokenize runs once, not four times
+      .localCheckpoint(true)
     val byLen = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
     val all = Window.partitionBy("source")
     val med = d
@@ -347,7 +350,13 @@ object QualityOps {
     * engines and quantized to integer micro-nats (round half-away-from-
     * zero, matching both engines), so the per-source SUM is an
     * order-free integer — no float addition-order hazard (the same
-    * micro-nat discipline as the DSIR/perplexity gates).
+    * micro-nat discipline as the DSIR/perplexity gates, and the same
+    * residual assumption: libm `log` agreeing bitwise between the JVM
+    * and DuckDB on this host class — ln is not IEEE-correctly-rounded,
+    * so a term landing within an ulp of a .5 micro-nat boundary could
+    * in principle flip by 1; the discipline confines the blast radius
+    * to ±1 on one source's sum, and the three-scale-factor gate has
+    * never observed it across this family).
     *
     * 100 TB shape: one partial-agg'd shuffle to (source, band) counts;
     * everything after is band-table-scale (≤ 6·|sources| rows) with the

@@ -391,10 +391,12 @@ object RelationalOps {
     * planted megasite); a plain shuffle join on host would put ~50% of
     * all rows in ONE reducer task, the classic straggler that stalls a
     * 1000-executor stage at the speed of one. Salting splits the hot
-    * key's rows across `JoinSalts` shuffle keys (salt = doc_id % 8,
-    * data-derived and uniform) and REPLICATES each dim row once per
-    * salt, so the join becomes equi on (host, salt) with every task
-    * bounded at ~1/8 of the hot key. The final rollup removes the salt;
+    * key's rows across `JoinSalts` shuffle keys (salt = (doc_id div 2)
+    * % 8 — doc_id % 8 would be PARITY-CORRELATED with the hot key,
+    * which selects even ids, and the megasite would land on only the 4
+    * even salts) and REPLICATES each dim row once per salt, so the join
+    * becomes equi on (host, salt) with every task bounded at ~1/8 of
+    * the hot key. The final rollup removes the salt;
     * the oracle is the UNSALTED join — any lost or doubled replication
     * breaks the counts exactly.
     *
@@ -406,7 +408,7 @@ object RelationalOps {
     val fact = t(spark, dir, "documents")
       .selectExpr("cast(doc_id as long) as doc_id",
         "cast(case when doc_id % 2 = 0 then 0 else doc_id % 50 end as long) as host",
-        s"cast(doc_id % $JoinSalts as long) as salt",
+        s"cast((doc_id div 2) % $JoinSalts as long) as salt",
         "cast(size(split(text, ' ')) as long) as n_tokens")
     val dim = spark.range(0, 50).toDF("host")
       .selectExpr("host", "cast(host % 4 as long) as tier",

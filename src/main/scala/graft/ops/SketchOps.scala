@@ -66,6 +66,16 @@ object SketchOps {
   private val CmsD = 3 // hash rows (salts)
   private val CmsW = 64 // buckets per row
 
+  /** Explode each row into its d CMS cells: fixed md5 salts make the
+    * bucket ids bit-identical in DuckDB. ONE definition feeds both the
+    * single-pass sketch and the shard-merge query — their shared oracle
+    * assumes the Scala sides hash identically.
+    */
+  private def cmsBucketed(df: DataFrame, carry: Seq[String]): DataFrame =
+    df.selectExpr(carry :+
+      (s"posexplode(transform(sequence(0, ${CmsD - 1}), " +
+        s"s -> cast(conv(substr(md5(cast(concat(w, '@', s) as binary)), 1, 8), 16, 10) as bigint) % $CmsW)) as (sz, b)"): _*)
+
   /** Count-min sketch frequency estimation (Cormode-Muthukrishnan): the
     * counter table is d×w = 192 cells NO MATTER the stream size — the
     * 100 TB answer to "how often does each term occur" when per-term
@@ -83,18 +93,14 @@ object SketchOps {
     val occ = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("explode(split(text, ' ')) as w")
       .where("length(w) > 0")
-    def bucketed(df: DataFrame, carry: Seq[String]): DataFrame =
-      df.selectExpr(carry :+
-        (s"posexplode(transform(sequence(0, ${CmsD - 1}), " +
-          s"s -> cast(conv(substr(md5(cast(concat(w, '@', s) as binary)), 1, 8), 16, 10) as bigint) % $CmsW)) as (sz, b)"): _*)
     // ONE scan: word counts first (checkpointed — vocab-sized), then the
     // counter table derives from the vocab (bucket count = sum of its
     // words' counts) instead of re-exploding the corpus a second time
     val vocab = occ.groupBy("w").agg(count(lit(1)).cast("long").as("true_n"))
       .localCheckpoint(true)
-    val counters = bucketed(vocab, Seq("true_n")).groupBy("sz", "b")
+    val counters = cmsBucketed(vocab, Seq("true_n")).groupBy("sz", "b")
       .agg(sum(col("true_n")).as("cnt"))
-    bucketed(vocab, Seq("w", "true_n"))
+    cmsBucketed(vocab, Seq("w", "true_n"))
       .join(broadcast(counters), Seq("sz", "b"))
       .groupBy("w", "true_n")
       .agg(min("cnt").cast("long").as("est_n"))
@@ -261,22 +267,18 @@ object SketchOps {
     val occ = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("cast(doc_id as long) as doc_id", "explode(split(text, ' ')) as w")
       .where("length(w) > 0")
-    def bucketed(df: DataFrame, carry: Seq[String]): DataFrame =
-      df.selectExpr(carry :+
-        (s"posexplode(transform(sequence(0, ${CmsD - 1}), " +
-          s"s -> cast(conv(substr(md5(cast(concat(w, '@', s) as binary)), 1, 8), 16, 10) as bigint) % $CmsW)) as (sz, b)"): _*)
     // per-shard vocab counts (one scan, checkpointed), then two
     // independent shard sketches merged by cell-wise addition
     val vocabByHalf = occ.groupBy(expr("doc_id % 2").as("half"), col("w"))
       .agg(count(lit(1)).cast("long").as("n"))
       .localCheckpoint(true)
     def shardCounters(half: Int): DataFrame =
-      bucketed(vocabByHalf.where(s"half = $half"), Seq("n"))
+      cmsBucketed(vocabByHalf.where(s"half = $half"), Seq("n"))
         .groupBy("sz", "b").agg(sum(col("n")).as("cnt"))
     val merged = shardCounters(0).unionByName(shardCounters(1))
       .groupBy("sz", "b").agg(sum(col("cnt")).as("cnt"))
     val vocab = vocabByHalf.groupBy("w").agg(sum(col("n")).as("true_n"))
-    bucketed(vocab, Seq("w", "true_n"))
+    cmsBucketed(vocab, Seq("w", "true_n"))
       .join(broadcast(merged), Seq("sz", "b"))
       .groupBy("w", "true_n")
       .agg(min("cnt").cast("long").as("est_n"))

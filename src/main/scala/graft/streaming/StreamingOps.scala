@@ -22,6 +22,33 @@ object StreamingOps {
     StructField("text", StringType),
     StructField("lang", StringType)))
 
+
+  /** Stage one micro-batch increment: write `df` as a single parquet
+    * file `name.parquet` under `destDir` (scratch under `stageRoot`),
+    * pin its mtime — the file source picks oldest-mtime first — and
+    * return the staged path. One shared implementation for every
+    * streaming probe; directory streams are CLOSED (a leaked
+    * `Files.list` handle per staged file adds up across a
+    * full-registry run).
+    */
+  private def stageSliceFile(df: DataFrame, stageRoot: java.nio.file.Path,
+      destDir: java.nio.file.Path, name: String, mtimeMs: Long): java.nio.file.Path = {
+    val tmp = stageRoot.resolve(s"tmp_$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    def withList[T](d: java.nio.file.Path)(f: java.util.stream.Stream[java.nio.file.Path] => T): T = {
+      val st = java.nio.file.Files.list(d)
+      try f(st) finally st.close()
+    }
+    val part = withList(tmp)(_.filter(_.toString.endsWith(".parquet")).findFirst().get())
+    val dest = destDir.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part, dest)
+    withList(tmp)(_.forEach(java.nio.file.Files.deleteIfExists(_)))
+    java.nio.file.Files.deleteIfExists(tmp)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    dest
+  }
+
   /** File-source stream of pages (Iceberg-snapshot stand-in: each new file
     * under `dir` is an increment).
     */
@@ -198,20 +225,8 @@ object StreamingOps {
     val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
     val stage = java.nio.file.Files.createTempDirectory("stream_sess_src")
     val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = stage.resolve(s"tmp_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dest = stage.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(tmp)
-      // file source takes oldest-mtime first: pin explicit increasing mtimes
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      staged += dest
-    }
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit =
+      staged += stageSliceFile(df, stage, stage, name, mtimeMs)
     val base = System.currentTimeMillis() - 3600 * 1000L
     try {
       (0 until nSlices).foreach { i =>
@@ -329,19 +344,8 @@ object StreamingOps {
     val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
     val stage = java.nio.file.Files.createTempDirectory("stream_slots_src")
     val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = stage.resolve(s"tmp_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dest = stage.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(tmp)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      staged += dest
-    }
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit =
+      staged += stageSliceFile(df, stage, stage, name, mtimeMs)
     val base = System.currentTimeMillis() - 3600 * 1000L
     try {
       (0 until nSlices).foreach { i =>
@@ -426,19 +430,8 @@ object StreamingOps {
     val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
     val stage = java.nio.file.Files.createTempDirectory("stream_dedup_src")
     val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = stage.resolve(s"tmp_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dest = stage.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(tmp)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      staged += dest
-    }
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit =
+      staged += stageSliceFile(df, stage, stage, name, mtimeMs)
     val base = System.currentTimeMillis() - 3600 * 1000L
     try {
       (0 until nSlices).foreach { i =>
@@ -500,19 +493,8 @@ object StreamingOps {
     val stage = java.nio.file.Files.createTempDirectory("stream_upsert_src")
     val tableDir = stage.resolve("table").toString
     val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = stage.resolve(s"tmp_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dest = stage.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(tmp)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      staged += dest
-    }
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit =
+      staged += stageSliceFile(df, stage, stage, name, mtimeMs)
     val base = System.currentTimeMillis() - 3600 * 1000L
     try {
       (0 until 5).foreach { k =>
@@ -592,19 +574,8 @@ object StreamingOps {
     val clicksDir = java.nio.file.Files.createDirectory(stage.resolve("clicks"))
     val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     def stageSlice(df: DataFrame, into: java.nio.file.Path, name: String,
-        mtimeMs: Long): Unit = {
-      val tmp = stage.resolve(s"tmp_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dest = into.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(tmp)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      staged += dest
-    }
+        mtimeMs: Long): Unit =
+      staged += stageSliceFile(df, stage, into, name, mtimeMs)
     val base = System.currentTimeMillis() - 3600 * 1000L
     try {
       (0 until nSlices).foreach { i =>
@@ -699,19 +670,8 @@ object StreamingOps {
       .distinct().orderBy("widx").as[Long].collect()
     val stage = java.nio.file.Files.createTempDirectory("stream_late_src")
     val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-      val tmp = stage.resolve(s"tmp_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dest = stage.resolve(s"$name.parquet")
-      java.nio.file.Files.move(part, dest)
-      java.nio.file.Files.list(tmp).forEach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(tmp)
-      java.nio.file.Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-      staged += dest
-    }
+    def stageSlice(df: DataFrame, name: String, mtimeMs: Long): Unit =
+      staged += stageSliceFile(df, stage, stage, name, mtimeMs)
     val base = System.currentTimeMillis() - 3600 * 1000L
     try {
       widxs.zipWithIndex.foreach { case (w, k) =>
