@@ -453,8 +453,60 @@ object ArticleOps {
       |  CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_in_cluster
       |FROM c""".stripMargin
 
+  /** UNDECLARED bitext candidate mining — the MT-data workhorse
+    * (WikiMatrix/CCMatrix/ParaCrawl all start here): most translated
+    * pages never declare hreflang, but multilingual sites follow a URL
+    * convention — the language lives in a path directory and the rest
+    * of the path is shared (`/en/news/p7.html` ↔ `/fr/news/p7.html`).
+    * The miner parses (host, lang-dir, residual path key) out of each
+    * crawl URL with one regex, self-joins on (host, path key), and
+    * emits cross-language pairs — the candidate set a downstream
+    * aligner scores. Pages pair by doc_id div 2 here; same-language
+    * "pairs" (en next to en) must be dropped, and the pair is
+    * canonically ordered (lang_a < lang_b) so the gate pins exactly one
+    * row per candidate.
+    *
+    * 100 TB shape: URL parsing is a zero-shuffle codegen projection;
+    * the self-join shuffles on the (host, path-key) pair key — group
+    * sizes are bounded by the site's language count (single digits), so
+    * the per-key pair expansion never blows up.
+    */
+  def bitextCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val urls = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        """concat('http://host', cast((doc_id div 2) % 20 as string),
+          |  '.example/', lang, '/news/p', cast(doc_id div 2 as string), '.html') as url""".stripMargin)
+      .selectExpr("doc_id", "url",
+        "regexp_extract(url, '^http://([^/]+)/', 1) as host",
+        "regexp_extract(url, '^http://[^/]+/([a-z]{2})/', 1) as lang_dir",
+        "regexp_extract(url, '^http://[^/]+/[a-z]{2}/(.+)$', 1) as path_key")
+    val a = urls.toDF("a_id", "url_a", "host", "lang_a", "path_key")
+    val b = urls.toDF("b_id", "url_b", "b_host", "lang_b", "b_path_key")
+    a.join(b, org.apache.spark.sql.functions.expr(
+        "host = b_host AND path_key = b_path_key AND lang_a < lang_b"))
+      .selectExpr("host", "path_key", "lang_a", "lang_b",
+        "a_id", "b_id", "url_a", "url_b")
+  }
+
+  val bitextCandidatesSql: String =
+    """WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    'http://host' || ((doc_id // 2) % 20) || '.example/' || lang ||
+      |      '/news/p' || (doc_id // 2) || '.html' AS url,
+      |    'host' || ((doc_id // 2) % 20) || '.example' AS host,
+      |    lang AS lang_dir,
+      |    'news/p' || (doc_id // 2) || '.html' AS path_key
+      |  FROM documents)
+      |SELECT a.host, a.path_key,
+      |  a.lang_dir AS lang_a, b.lang_dir AS lang_b,
+      |  a.doc_id AS a_id, b.doc_id AS b_id,
+      |  a.url AS url_a, b.url AS url_b
+      |FROM u a JOIN u b
+      |  ON a.host = b.host AND a.path_key = b.path_key
+      | AND a.lang_dir < b.lang_dir""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rel_canonical" -> (relCanonical(_, _)),
+    "q_bitext_candidates" -> (bitextCandidates(_, _)),
     "q_dom_skeleton" -> (domSkeleton(_, _)),
     "q_template_diversity" -> (templateDiversity(_, _)),
     "q_meta_refresh" -> (metaRefresh(_, _)),
@@ -471,6 +523,7 @@ object ArticleOps {
 
   def oracles: Map[String, String] = Map(
     "q_rel_canonical" -> relCanonicalSql,
+    "q_bitext_candidates" -> bitextCandidatesSql,
     "q_dom_skeleton" -> domSkeletonSql,
     "q_template_diversity" -> templateDiversitySql,
     "q_meta_refresh" -> metaRefreshSql,
