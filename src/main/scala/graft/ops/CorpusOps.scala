@@ -458,6 +458,73 @@ object CorpusOps {
       |  CAST(len(list_distinct(cv)) AS BIGINT) AS n_removed
       |FROM cov""".stripMargin
 
+  // --------------------------------------------------- compaction planning
+
+  /** First-fit-decreasing compaction PLAN — the bin-pack behind Iceberg
+    * `rewrite_data_files` / Delta `OPTIMIZE`: each partition's small
+    * files pack into the fewest target-size output bins (capacity 256
+    * here, sizes closed-form per file). The algorithm is inherently
+    * SEQUENTIAL per partition — each placement depends on every load so
+    * far — so the distributed shape is `flatMapGroups` keyed by
+    * partition: one ordered greedy pass per group, all partitions in
+    * parallel, never a driver loop (the same "sequential inside the
+    * compaction unit, parallel across units" structure real table
+    * maintenance runs). The oracle replays the identical greedy as a
+    * DuckDB recursive CTE carrying the bin-load list as state, so a
+    * different fit choice on ANY file (first-fit order, tie handling,
+    * new-bin numbering) fails the hash. [[graft.pipeline.TableFormat]]'s
+    * `compact` executes a simpler ceil-based split; this is the
+    * planner's answer for heterogeneous file sizes.
+    */
+  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 256L
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id % 8 as long) as p", "cast(doc_id as long) as fid",
+        "cast(100 + (doc_id * 37) % 200 as long) as sz")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (p, it) =>
+        val files = it.map { case (_, fid, sz) => (fid, sz) }.toArray
+          .sortBy { case (fid, sz) => (-sz, fid) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = Vector.newBuilder[(Long, Long, Long, Long)]
+        files.foreach { case (fid, sz) =>
+          val j = loads.indexWhere(_ + sz <= cap)
+          val bin = if (j < 0) { loads += sz; loads.length } else { loads(j) += sz; j + 1 }
+          out += ((p, fid, sz, bin.toLong))
+        }
+        out.result().iterator
+      }
+      .toDF("p", "fid", "sz", "bin")
+      .withColumn("n_bins",
+        max("bin").over(org.apache.spark.sql.expressions.Window.partitionBy("p"))
+          .cast("long"))
+  }
+
+  val compactPlanSql: String =
+    """WITH RECURSIVE items AS (
+      |  SELECT p, row_number() OVER (PARTITION BY p ORDER BY sz DESC, fid) AS rn, fid, sz
+      |  FROM (SELECT CAST(doc_id % 8 AS BIGINT) AS p, CAST(doc_id AS BIGINT) AS fid,
+      |          CAST(100 + (doc_id * 37) % 200 AS BIGINT) AS sz FROM documents)),
+      |ffd AS (
+      |  SELECT p, 0::BIGINT AS rn, []::BIGINT[] AS loads, []::BIGINT[] AS assign
+      |  FROM (SELECT DISTINCT p FROM items)
+      |  UNION ALL
+      |  SELECT i.p, i.rn,
+      |    CASE WHEN list_filter(range(1, len(f.loads) + 1), j -> f.loads[j] + i.sz <= 256)[1] IS NULL
+      |         THEN list_append(f.loads, i.sz)
+      |         ELSE list_transform(f.loads, (x, k) -> CASE WHEN k = list_filter(range(1, len(f.loads) + 1), j -> f.loads[j] + i.sz <= 256)[1] THEN x + i.sz ELSE x END) END,
+      |    list_append(f.assign, coalesce(list_filter(range(1, len(f.loads) + 1), j -> f.loads[j] + i.sz <= 256)[1], len(f.loads) + 1))
+      |  FROM ffd f JOIN items i ON i.p = f.p AND i.rn = f.rn + 1),
+      |fin AS (
+      |  SELECT p, loads, assign FROM ffd f
+      |  WHERE rn = (SELECT max(rn) FROM items i WHERE i.p = f.p))
+      |SELECT i.p, i.fid, i.sz,
+      |  CAST(fin.assign[CAST(i.rn AS INT)] AS BIGINT) AS bin,
+      |  CAST(len(fin.loads) AS BIGINT) AS n_bins
+      |FROM items i JOIN fin ON fin.p = i.p""".stripMargin
+
   // --------------------------------------------------------- dataset card
 
   /** Per-source dataset-card statistics — the datasheet table a corpus
@@ -562,6 +629,7 @@ object CorpusOps {
     "q_exact_substr_cut" -> (exactSubstrCut(_, _)),
     "q_substr_dedup_50" -> (substrDedup50(_, _)),
     "q_dataset_card" -> (datasetCard(_, _)),
+    "q_compact_plan" -> (compactPlan(_, _)),
     "q_host_line_dedup" -> (hostLineDedup(_, _)))
 
   def oracles: Map[String, String] = Map(
@@ -574,5 +642,6 @@ object CorpusOps {
     "q_exact_substr_cut" -> exactSubstrCutSql,
     "q_substr_dedup_50" -> substrDedup50Sql,
     "q_dataset_card" -> datasetCardSql,
+    "q_compact_plan" -> compactPlanSql,
     "q_host_line_dedup" -> hostLineDedupSql)
 }
