@@ -463,7 +463,9 @@ object CorpusOps {
   /** First-fit-decreasing compaction PLAN — the bin-pack behind Iceberg
     * `rewrite_data_files` / Delta `OPTIMIZE`: each partition's small
     * files pack into the fewest target-size output bins (capacity 256
-    * here, sizes closed-form per file). The algorithm is inherently
+    * here, sizes closed-form per file; a file LARGER than the capacity
+    * takes a singleton bin — real compaction leaves oversized files
+    * as-is rather than splitting them). The algorithm is inherently
     * SEQUENTIAL per partition — each placement depends on every load so
     * far — so the distributed shape is `flatMapGroups` keyed by
     * partition: one ordered greedy pass per group, all partitions in
