@@ -465,6 +465,77 @@ object StreamingOps {
     """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
       |FROM events""".stripMargin
 
+  /** ORACLE-GATED dedup-state EVICTION — the other half of the bounded-
+    * state contract [[streamDedup]] leaves untested: with
+    * `dropDuplicatesWithinWatermark` a key's state lives only inside
+    * the watermark horizon, so a re-occurrence far enough past it is
+    * RE-ADMITTED (emitted twice) — that is the price of state that
+    * doesn't grow with the stream's history, made visible as data.
+    * Keys (doc_id % 200) stream in four one-minute slices; every 7th
+    * key repeats INSIDE its slice (must be suppressed — state alive),
+    * and every 5th key of slice 0 repeats three slices later, two full
+    * slices beyond the 10 s delay horizon (must be re-admitted even
+    * under the one-trigger watermark lag the late-drop probe measured —
+    * eviction is due by batch 2's end, the replant arrives in batch 3).
+    * The result counts emissions per key: 2 for the replanted keys, 1
+    * everywhere else; a sink that suppresses forever (unbounded state)
+    * or re-admits in-horizon duplicates both fail the hash.
+    */
+  def streamDedupEvict(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val t0 = 1700000000000000L // fixed epoch base, microseconds
+    val spanUs = 60000000L // one-minute slices
+    val keys = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id % 200 as long) as k").distinct()
+      .as[Long].collect().sorted
+    val stage = java.nio.file.Files.createTempDirectory("stream_evict_src")
+    val staged = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    try {
+      (0 until 4).foreach { i =>
+        val onTime = keys.filter(_ / 50 == i).flatMap { k =>
+          val ts = t0 + i * spanUs + (k % 50) * 1000000L
+          // in-horizon duplicate (1 s later, same slice): suppressed
+          if (k % 7 == 1) Seq((k, ts), (k, ts + 1000000L)) else Seq((k, ts))
+        }
+        val replants =
+          if (i == 3) keys.filter(k => k < 50 && k % 5 == 0)
+            .map(k => (k, t0 + 3 * spanUs + (k % 50) * 1000000L))
+          else Array.empty[(Long, Long)]
+        staged += stageSliceFile(
+          (onTime ++ replants).toSeq.toDF("user_id", "ts_us")
+            .selectExpr("user_id", "timestamp_micros(ts_us) as ts"),
+          stage, stage, f"evict-$i%03d", base + i * 10000L)
+      }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType)))
+      val deduped = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark("user_id")
+      val name = s"stream_evict_${System.nanoTime()}"
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_emitted"))
+        .localCheckpoint(true)
+    } finally {
+      staged.foreach(java.nio.file.Files.deleteIfExists(_))
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
+  val streamDedupEvictSql: String =
+    """SELECT CAST(k AS BIGINT) AS user_id,
+      |  CAST(CASE WHEN k < 50 AND k % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_emitted
+      |FROM (SELECT DISTINCT doc_id % 200 AS k FROM documents)""".stripMargin
+
   // ------------------------------------ streaming MERGE sink (foreachBatch)
 
   /** ORACLE-GATED streaming upsert sink — the exactly-once leg every
@@ -732,6 +803,7 @@ object StreamingOps {
     "q_stream_late" -> (streamLate(_, _)),
     "q_stream_upsert" -> (streamUpsert(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
+    "q_stream_dedup_evict" -> (streamDedupEvict(_, _)),
     "q_stream_host_slots" -> (streamHostSlots(_, _)),
     "q_stream_hourly" -> (streamHourlyEvents(_, _)),
     "q_stream_sessionize" -> (streamSessionize(_, _)))
@@ -741,6 +813,7 @@ object StreamingOps {
     "q_stream_late" -> streamLateSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_dedup_evict" -> streamDedupEvictSql,
     "q_stream_host_slots" -> streamHostSlotsSql,
     "q_stream_hourly" -> streamHourlyEventsSql,
     "q_stream_sessionize" -> streamSessionizeSql)
