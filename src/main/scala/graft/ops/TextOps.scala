@@ -781,8 +781,68 @@ object TextOps {
       |  round(0.39 * (CAST(n_words_i AS DOUBLE) / n_sentences_i) + 11.8 * (CAST(n_syll_i AS DOUBLE) / n_words_i) - 15.59, 4) AS fk_grade
       |FROM c""".stripMargin
 
+  // ------------------------------------------------------ collocations
+
+  /** PMI-scored bigram collocations (Church & Hanks 1990; the phrase
+    * detection step word2vec/GloVe pipelines run before training:
+    * "new_york" as one token): for adjacent word pairs occurring ≥ 5
+    * times, pmi = ln(N·c(ab) / (c(a)·c(b))) — positive when the pair
+    * sticks together more than its parts' frequencies predict.
+    * Quantized to integer micro-nats with the same round-half-away rule
+    * as the KL/DSIR/perplexity gates so the comparison is exact.
+    *
+    * 100 TB shape: bigram and unigram counts are partial-agg'd
+    * shuffles on the token keys (counts only, text never rides); the
+    * corpus token total is a one-row broadcast; the two unigram joins
+    * key on vocabulary-sized tables. The ≥5 support filter runs BEFORE
+    * the joins, so the joined candidate set is the collocation head,
+    * not the long tail.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .selectExpr("split(text, ' ') as ws")
+      .localCheckpoint(true)
+    val uni = words.selectExpr("explode(ws) as w")
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val n = uni.agg(sum("c").cast("long").as("n_total"))
+    val bi = words
+      .selectExpr(
+        """explode(case when size(ws) >= 2
+          |  then transform(sequence(1, size(ws) - 1),
+          |         i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))
+          |  else cast(array() as array<struct<w1: string, w2: string>>) end) as b""".stripMargin)
+      .selectExpr("b.w1 as w1", "b.w2 as w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).cast("long").as("c_ab"))
+      .where("c_ab >= 5")
+    bi.join(uni.toDF("w1", "c_a"), Seq("w1"))
+      .join(uni.toDF("w2", "c_b"), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .selectExpr("w1", "w2", "c_ab",
+        """cast(round(1000000.0D * ln((cast(c_ab as double) * n_total)
+          |  / (cast(c_a as double) * c_b))) as bigint) as pmi_unats""".stripMargin)
+  }
+
+  val pmiCollocationsSql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+      |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+      |  WHERE len(ws) >= 2),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM bi GROUP BY w1, w2 HAVING count(*) >= 5)
+      |SELECT bc.w1, bc.w2, bc.c_ab,
+      |  CAST(round(1000000.0 * ln((CAST(bc.c_ab AS DOUBLE) * n.n_total)
+      |    / (CAST(a.c AS DOUBLE) * b.c))) AS BIGINT) AS pmi_unats
+      |FROM bc JOIN uni a ON a.w = bc.w1
+      |        JOIN uni b ON b.w = bc.w2
+      |        CROSS JOIN n""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_readability" -> (readability(_, _)),
+    "q_pmi_collocations" -> (pmiCollocations(_, _)),
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
     "q_dedup_key" -> (dedupKeyQ(_, _)),
@@ -805,6 +865,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "q_readability" -> readabilitySql,
+    "q_pmi_collocations" -> pmiCollocationsSql,
     "q_corpus_clean" -> corpusCleanSql,
     "q_mojibake_repair" -> mojibakeRepairSql,
     "q_dedup_key" -> dedupKeySql,
