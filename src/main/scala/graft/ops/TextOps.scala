@@ -840,9 +840,79 @@ object TextOps {
       |        JOIN uni b ON b.w = bc.w2
       |        CROSS JOIN n""".stripMargin
 
+  // -------------------------------------------------------- wordpiece
+
+  /** Real subword TOKENIZATION under the gate
+    * ([[graft.kernels.WordPieceKernel]]): BERT's greedy
+    * longest-match-first WordPiece with a fixed literal vocabulary —
+    * word-initial entries vs `##` continuations, `[UNK]` on any
+    * unmatchable position. Emits per document the piece count AND the
+    * full space-joined piece string, so a single wrong split anywhere
+    * in the corpus fails the hash. The oracle replays the identical
+    * greedy as a DuckDB recursive CTE per DISTINCT word (longest match
+    * via ORDER BY len DESC LIMIT 1 over the literal vocab) and
+    * reassembles documents in word order — the same
+    * sequential-algorithm-as-recursive-CTE discipline as the FFD
+    * compaction plan.
+    *
+    * 100 TB shape: segmentation runs per distinct word (a
+    * dictionary-encode + broadcast-sized vocabulary dim on the real
+    * web), the per-doc map is a narrow kernel pass, and the piece
+    * counts feed the token-budget/packing operators downstream.
+    */
+  def wordpieceTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "split(text, ' ') as ws")
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.map { case (d, ws) =>
+        val pieces = ws.filter(_.nonEmpty)
+          .flatMap(graft.kernels.WordPieceKernel.segment)
+        (d, pieces.length.toLong, pieces.mkString(" "))
+      })
+      .toDF("doc_id", "n_pieces", "piece_str")
+  }
+
+  val wordpieceTokensSql: String = {
+    def lits(vs: Set[String]): String =
+      vs.toSeq.sorted.map(v => s"'$v'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+      |tok AS (SELECT doc_id, ord, w FROM (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |         generate_subscripts(ws, 1) AS ord, unnest(ws) AS w
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      |  WHERE w <> ''),
+      |words AS (SELECT DISTINCT w FROM tok),
+      |seg AS (
+      |  SELECT w, 1::BIGINT AS pos, []::VARCHAR[] AS pieces, false AS dead FROM words
+      |  UNION ALL
+      |  SELECT s.w,
+      |    CASE WHEN m.v IS NULL THEN len(s.w) + 1 ELSE s.pos + len(m.v) END,
+      |    CASE WHEN m.v IS NULL THEN ['[UNK]']
+      |         WHEN s.pos = 1 THEN list_append(s.pieces, m.v)
+      |         ELSE list_append(s.pieces, '##' || m.v) END,
+      |    m.v IS NULL
+      |  FROM seg s LEFT JOIN LATERAL (
+      |    SELECT v FROM (
+      |      SELECT unnest(${lits(graft.kernels.WordPieceKernel.Base)}) AS v WHERE s.pos = 1
+      |      UNION ALL
+      |      SELECT unnest(${lits(graft.kernels.WordPieceKernel.Cont)}) AS v WHERE s.pos > 1)
+      |    WHERE substr(s.w, CAST(s.pos AS INT), len(v)) = v
+      |    ORDER BY len(v) DESC, v LIMIT 1) m ON true
+      |  WHERE s.pos <= len(s.w) AND NOT s.dead),
+      |fin AS (SELECT w, pieces FROM seg WHERE pos > len(w)),
+      |wp AS (SELECT t.doc_id, t.ord, array_to_string(f.pieces, ' ') AS ps,
+      |    len(f.pieces) AS np
+      |  FROM tok t JOIN fin f USING (w))
+      |SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+      |  string_agg(ps, ' ' ORDER BY ord) AS piece_str
+      |FROM wp GROUP BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_readability" -> (readability(_, _)),
     "q_pmi_collocations" -> (pmiCollocations(_, _)),
+    "q_wordpiece_tokens" -> (wordpieceTokens(_, _)),
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
     "q_dedup_key" -> (dedupKeyQ(_, _)),
@@ -866,6 +936,7 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "q_readability" -> readabilitySql,
     "q_pmi_collocations" -> pmiCollocationsSql,
+    "q_wordpiece_tokens" -> wordpieceTokensSql,
     "q_corpus_clean" -> corpusCleanSql,
     "q_mojibake_repair" -> mojibakeRepairSql,
     "q_dedup_key" -> dedupKeySql,
