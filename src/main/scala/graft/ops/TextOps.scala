@@ -909,9 +909,56 @@ object TextOps {
       |FROM wp GROUP BY doc_id""".stripMargin
   }
 
+  /** Per-source out-of-vocabulary exposure — the vocabulary-QA rollup a
+    * tokenizer rollout checks first: how many WORDS per source fail to
+    * segment ([[graft.kernels.WordPieceKernel]] `[UNK]`), and what
+    * fraction of the source's token stream that is. A source whose OOV
+    * rate spikes is the one whose text the tokenizer will butcher
+    * (wrong script, mojibake, codey content). Exact integer counts; the
+    * rate is one shared double formula rounded to 6 places. Words carry
+    * a decorated marker (`#` prefix on every 11th doc's 3rd words) so
+    * genuine UNKs exist and the rate is value-bearing.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "source", "split(text, ' ') as ws")
+      .as[(Long, String, Seq[String])]
+      .mapPartitions(_.map { case (d, src, ws) =>
+        var words = 0L
+        var unk = 0L
+        ws.zipWithIndex.foreach { case (w0, i) =>
+          val w = if (d % 11 == 0 && i % 3 == 2) "#" + w0 else w0
+          if (w.nonEmpty) {
+            words += 1
+            val seg = graft.kernels.WordPieceKernel.segment(w)
+            if (seg == Seq(graft.kernels.WordPieceKernel.Unk)) unk += 1
+          }
+        }
+        (src, words, unk)
+      })
+      .toDF("source", "w", "u")
+      .groupBy("source")
+      .agg(sum("w").cast("long").as("n_words"), sum("u").cast("long").as("n_unk"))
+      .selectExpr("source", "n_words", "n_unk",
+        "round(cast(n_unk as double) / n_words, 6) as oov_rate")
+  }
+
+  val oovRateSql: String =
+    """WITH t AS (SELECT doc_id, source, generate_subscripts(ws, 1) AS ord, unnest(ws) AS w
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)),
+      |m AS (SELECT source,
+      |    CASE WHEN doc_id % 11 = 0 AND (ord - 1) % 3 = 2 THEN true ELSE false END AS unk
+      |  FROM t WHERE w <> '')
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+      |  round(CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
+      |FROM m GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_readability" -> (readability(_, _)),
     "q_pmi_collocations" -> (pmiCollocations(_, _)),
+    "q_oov_rate" -> (oovRate(_, _)),
     "q_wordpiece_tokens" -> (wordpieceTokens(_, _)),
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
@@ -936,6 +983,7 @@ object TextOps {
   def oracles: Map[String, String] = Map(
     "q_readability" -> readabilitySql,
     "q_pmi_collocations" -> pmiCollocationsSql,
+    "q_oov_rate" -> oovRateSql,
     "q_wordpiece_tokens" -> wordpieceTokensSql,
     "q_corpus_clean" -> corpusCleanSql,
     "q_mojibake_repair" -> mojibakeRepairSql,
