@@ -49,6 +49,20 @@ object StreamingOps {
     dest
   }
 
+  /** Recursive temp-tree delete for the staging/checkpoint scratch a
+    * streaming probe creates (deleteIfExists on a non-empty directory is
+    * a silent no-op — the checkpoint/table trees would otherwise pile up
+    * in the JVM tmpdir across full-registry runs).
+    */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.deleteIfExists(_))
+      finally st.close()
+    }
+  }
+
   /** File-source stream of pages (Iceberg-snapshot stand-in: each new file
     * under `dir` is an increment).
     */
@@ -284,8 +298,7 @@ object StreamingOps {
       spark.table(name).filter(col("user_id") >= 0)
         .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
     } finally {
-      staged.foreach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(stage)
+      rmTree(stage)
     }
   }
 
@@ -386,8 +399,7 @@ object StreamingOps {
       spark.table(name)
         .select(col("host_id"), col("event_id"), col("slot"), col("sched_us"))
     } finally {
-      staged.foreach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(stage)
+      rmTree(stage)
     }
   }
 
@@ -456,8 +468,7 @@ object StreamingOps {
       q.awaitTermination()
       spark.table(name)
     } finally {
-      staged.foreach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(stage)
+      rmTree(stage)
     }
   }
 
@@ -526,8 +537,7 @@ object StreamingOps {
         .agg(count(lit(1)).cast("long").as("n_emitted"))
         .localCheckpoint(true)
     } finally {
-      staged.foreach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(stage)
+      rmTree(stage)
     }
   }
 
@@ -595,7 +605,7 @@ object StreamingOps {
           "cast(day as string) as day")
         .localCheckpoint(true) // detach from the temp dirs before cleanup
     } finally {
-      staged.foreach(java.nio.file.Files.deleteIfExists(_))
+      rmTree(stage) // staged files + checkpoint + merged table scratch
     }
   }
 
@@ -680,10 +690,7 @@ object StreamingOps {
       q.awaitTermination()
       spark.table(name).localCheckpoint(true)
     } finally {
-      staged.foreach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(viewsDir)
-      java.nio.file.Files.deleteIfExists(clicksDir)
-      java.nio.file.Files.deleteIfExists(stage)
+      rmTree(stage) // views/ clicks/ staged files and scratch together
     }
   }
 
@@ -786,8 +793,7 @@ object StreamingOps {
         .selectExpr(s"unix_micros(window.start) div ${spanUs}L as widx", "n")
         .localCheckpoint(true)
     } finally {
-      staged.foreach(java.nio.file.Files.deleteIfExists(_))
-      java.nio.file.Files.deleteIfExists(stage)
+      rmTree(stage)
     }
   }
 
