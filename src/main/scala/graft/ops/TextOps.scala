@@ -865,10 +865,17 @@ object TextOps {
     docs(spark, dir)
       .selectExpr("cast(doc_id as long) as doc_id", "split(text, ' ') as ws")
       .as[(Long, Seq[String])]
-      .mapPartitions(_.map { case (d, ws) =>
-        val pieces = ws.filter(_.nonEmpty)
-          .flatMap(graft.kernels.WordPieceKernel.segment)
-        (d, pieces.length.toLong, pieces.mkString(" "))
+      .mapPartitions(_.flatMap { case (d, ws) =>
+        val words = ws.filter(_.nonEmpty)
+        // a doc whose text splits to ONLY empty tokens contributes no
+        // rows — mirrors the oracle's `WHERE w <> ''` + GROUP BY, which
+        // drops such a doc entirely (r4 ADVICE: the old code emitted a
+        // (doc_id, 0, '') row the oracle never produces)
+        if (words.isEmpty) Iterator.empty
+        else {
+          val pieces = words.flatMap(graft.kernels.WordPieceKernel.segment)
+          Iterator.single((d, pieces.length.toLong, pieces.mkString(" ")))
+        }
       })
       .toDF("doc_id", "n_pieces", "piece_str")
   }
@@ -927,9 +934,16 @@ object TextOps {
       .mapPartitions(_.map { case (d, src, ws) =>
         var words = 0L
         var unk = 0L
+        // the nonEmpty filter runs on the RAW token, BEFORE the '#'
+        // decoration — matching the oracle's `WHERE w <> ''` on the raw
+        // token (r4 ADVICE: decorating first would turn an empty token
+        // at a decorated position into a counted word). The closed-form
+        // oracle additionally assumes undecorated words never segment
+        // to [UNK] — true because the generator emits single-space-
+        // separated pure a-z text and WordPieceKernel.Base covers a-z.
         ws.zipWithIndex.foreach { case (w0, i) =>
-          val w = if (d % 11 == 0 && i % 3 == 2) "#" + w0 else w0
-          if (w.nonEmpty) {
+          if (w0.nonEmpty) {
+            val w = if (d % 11 == 0 && i % 3 == 2) "#" + w0 else w0
             words += 1
             val seg = graft.kernels.WordPieceKernel.segment(w)
             if (seg == Seq(graft.kernels.WordPieceKernel.Unk)) unk += 1

@@ -708,14 +708,18 @@ object StreamingOps {
     * the other oracle-gated runs never exercise (their slices arrive in
     * order, so nothing is ever late). Here the events table is staged
     * as one file per tumbling window, in window order, and every file
-    * k ≥ 3 ALSO carries duplicate copies of window k−3's
+    * k ≥ 4 ALSO carries duplicate copies of window k−4's
     * `user_id % 10 == 7` rows at their ORIGINAL event times — rows
-    * three windows late. Three, not one: the late-row filter inside a
-    * micro-batch evaluates against the watermark planned one trigger
-    * earlier (measured here — a row exactly one watermark-update late
-    * still merges into its window's open state before eviction), so the
-    * plants sit firmly beyond even the lagged watermark and MUST be
-    * dropped. The per-window counts must then equal the plain batch
+    * FOUR windows late. VERSION-BEHAVIOR PIN (Spark 4.1, measured):
+    * the late-row filter inside micro-batch k evaluates against the
+    * watermark PLANNED ONE TRIGGER EARLIER than the one the batch's
+    * progress line reports — a row exactly one watermark-update late
+    * still merges into its window's open state before eviction, so
+    * plants must be ≥ 2 windows late to be dropped at all. Four, not
+    * two: the extra two windows of slack mean a future Spark planning
+    * change that lags the effective watermark by one MORE trigger
+    * degrades to unused slack instead of leaking plants into open
+    * state (a red row on the per-window hash). The per-window counts must then equal the plain batch
     * counts over the ORIGINAL table: an engine that leaks late rows
     * inflates a window (hash fail), one that over-drops starves one. A
     * far-future sentinel row finalizes the last real windows (append
@@ -740,10 +744,11 @@ object StreamingOps {
       val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
       (r.getLong(0), r.getLong(1))
     }
-    // whole-second tumbling span, ~4 windows over the table (Spark's
+    // whole-second tumbling span, ~8 windows over the table (Spark's
     // window() aligns to the epoch, so the oracle's ts_us div span is
-    // exact only for whole-second spans)
-    val spanUs = (((maxUs - minUs) / 4 + 1) / 1000000L + 1L) * 1000000L
+    // exact only for whole-second spans); 8, not 4, so plants four
+    // windows late still fire from several distinct slices
+    val spanUs = (((maxUs - minUs) / 8 + 1) / 1000000L + 1L) * 1000000L
     val widxs = ev.selectExpr(s"ts_us div ${spanUs}L as widx")
       .distinct().orderBy("widx").as[Long].collect()
     val stage = java.nio.file.Files.createTempDirectory("stream_late_src")
@@ -755,9 +760,9 @@ object StreamingOps {
       widxs.zipWithIndex.foreach { case (w, k) =>
         val onTime = ev.filter(s"ts_us div ${spanUs}L = ${w}L").select("user_id", "ts")
         val slice =
-          if (k >= 3)
+          if (k >= 4)
             onTime.unionByName(
-              ev.filter(s"ts_us div ${spanUs}L = ${widxs(k - 3)}L and user_id % 10 = 7")
+              ev.filter(s"ts_us div ${spanUs}L = ${widxs(k - 4)}L and user_id % 10 = 7")
                 .select("user_id", "ts"))
           else onTime
         stageSlice(slice, f"late-$k%03d", base + k * 10000L)
@@ -787,7 +792,7 @@ object StreamingOps {
       // planted-copy count is what the per-window hash compare pins)
       val dropped = q.recentProgress.iterator.flatMap(_.stateOperators)
         .map(_.numRowsDroppedByWatermark).sum
-      require(widxs.length < 4 || dropped > 0,
+      require(widxs.length < 5 || dropped > 0,
         "late plants present but numRowsDroppedByWatermark stayed 0 — watermark drop path never engaged")
       spark.table(name)
         .selectExpr(s"unix_micros(window.start) div ${spanUs}L as widx", "n")
@@ -799,7 +804,7 @@ object StreamingOps {
 
   val streamLateSql: String =
     """WITH p AS (SELECT epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
-      |b AS (SELECT ts_us, (SELECT ((max(ts_us) - min(ts_us)) // 4 + 1) // 1000000 + 1 FROM p) * 1000000 AS span
+      |b AS (SELECT ts_us, (SELECT ((max(ts_us) - min(ts_us)) // 8 + 1) // 1000000 + 1 FROM p) * 1000000 AS span
       |  FROM p)
       |SELECT CAST(ts_us // span AS BIGINT) AS widx, CAST(count(*) AS BIGINT) AS n
       |FROM b GROUP BY 1""".stripMargin
