@@ -518,22 +518,37 @@ object RelationalOps {
     * a sort-based write actually computes before shuffling 10^12 rows:
     * a GLOBAL sort key histogram is unaffordable, so the partitioner
     * draws a sample, sorts THAT, and reads the k−1 split points off the
-    * sample's quantile ranks. The sample here is deterministic
-    * hash-threshold (md5(doc_id) below a fixed prefix, ~1/16 of rows)
+    * sample's quantile ranks. The sample is the FIXED-SIZE set of the
+    * 256 rows with the smallest md5 draw ([[graft.functions.MinK]],
+    * the deterministic analog of a size-k reservoir) — deterministic,
     * so both engines draw the SAME sample and the boundaries are exact
     * integers under the gate.
     *
-    * 100 TB shape: the only global window runs over the SAMPLE
-    * (rate-bounded, ~n/16 here; a production job caps it with a second
-    * threshold), never the corpus — the same contract as Spark's
-    * RangePartitioner reservoir. Boundary count 8 ⇒ 7 split rows out.
+    * 100 TB shape (r4 ask #3): the earlier rate-bounded (~n/16) sample
+    * GREW with the corpus, so the single-partition boundary window
+    * scaled O(n) — at 10^12 rows that reducer dies. MinK plans as a
+    * two-phase aggregate whose partial buffers are capped at k: the
+    * exchange carries ≤ k rows per map partition and the sort/window
+    * that reads off the split points sees EXACTLY ≤ 256 rows no matter
+    * the corpus size — the same contract as Spark's RangePartitioner
+    * reservoir (fixed sampleSizePerPartition). Pinned in PlanShapeSpec.
+    * The (n_tokens, doc_id) payload rides the candidate id packed as
+    * n_tokens·2^32 + doc_id (the pack IS the boundary sort order; ids
+    * here are < 2^32 — a production sketch carries a struct payload).
+    * Boundary count 8 ⇒ 7 split rows out.
     */
   def rangeBounds(spark: SparkSession, dir: String): DataFrame = {
     val parts = 8
+    val k = 256
     val sample = t(spark, dir, "documents")
-      .selectExpr("cast(doc_id as long) as doc_id",
-        "cast(size(split(text, ' ')) as long) as n_tokens")
-      .where("substring(md5(cast(concat('rb#', cast(doc_id as string)) as binary)), 1, 1) = '0'")
+      .selectExpr(
+        "md5(cast(concat('rb#', cast(doc_id as string)) as binary)) as h",
+        "cast(size(split(text, ' ')) as long) * 4294967296L + cast(doc_id as long) as packed")
+      .groupBy()
+      .agg(graft.functions.MinK.mink(k)(col("h"), col("packed")).as("picks"))
+      .select(explode(col("picks")).as("c"))
+      .selectExpr("c.id div 4294967296L as n_tokens",
+        "c.id % 4294967296L as doc_id")
     sample
       .withColumn("rn", row_number().over(
         Window.partitionBy().orderBy("n_tokens", "doc_id")))
@@ -547,7 +562,7 @@ object RelationalOps {
     """WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents
-      |  WHERE substr(md5('rb#' || doc_id), 1, 1) = '0'),
+      |  ORDER BY md5('rb#' || doc_id) LIMIT 256),
       |r AS (SELECT n_tokens,
       |    row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
       |    count(*) OVER () AS ns

@@ -108,6 +108,25 @@ class PlanShapeSpec extends SparkTestBase {
       "q_sample_fixed_k regressed to a row_number window per group")
   }
 
+  test("range-bound sample is count-bounded: the boundary window reads ≤ k rows") {
+    // r4 ask #3: the rate-bounded (~n/16) sample grew with the corpus and
+    // fed a single-partition window. The MinK rewrite caps the window
+    // input at the fixed sample size regardless of corpus size.
+    val p = plan("q_range_bounds")
+    assert(p.contains("partial_minkagg"),
+      "q_range_bounds lost the map-side bounded min-k sample (the exchange would carry the corpus)")
+    // the only window must sit ABOVE the bounded aggregate's explode —
+    // i.e. no Window may consume a FileScan-side projection directly
+    val winIdx = p.indexOf("Window [")
+    val aggIdx = p.indexOf("minkagg")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      "q_range_bounds boundary window must consume the MinK sample (window above the aggregate in the plan tree)")
+    // and the input actually is ≤ k rows: evaluate the sample stage alone
+    val rows = SparkEntry.queries("q_range_bounds")(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("sample_size") <= 256L),
+      "sample_size leaked past the fixed k=256 cap")
+  }
+
   test("token-budget mix joins the 20-row totals by broadcast") {
     assert(plan("q_token_budget_mix").contains("BroadcastHashJoin"),
       "q_token_budget_mix must broadcast per-source totals, not shuffle the corpus")
@@ -298,12 +317,4 @@ class PlanShapeSpec extends SparkTestBase {
       "a full Sort on revenue appeared — the limit stopped pushing into the shuffle")
   }
 
-  test("range-bound sampling filters before its sample-sized global window") {
-    val p = plan("q_range_bounds")
-    // the md5-threshold filter must sit under the scan side (sample is
-    // drawn per-row, map-side); the single-partition window then runs
-    // over the SAMPLE only — acceptable because the sample is bounded
-    assert(p.contains("Filter") && p.contains("md5"),
-      "q_range_bounds lost its map-side sample filter")
-  }
 }
