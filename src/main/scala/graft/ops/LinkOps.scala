@@ -1067,6 +1067,96 @@ object LinkOps {
       |  CASE WHEN doc_id % 3 = 0 THEN md5(text) ELSE md5(body) END AS etag_after
       |FROM d""".stripMargin
 
+  /** Recrawl content-delta scoring (r4 ask #4): join CONSECUTIVE
+    * revisions per url (lag window inside the url key — the narrow
+    * per-key state a revision log has) and score each pair with the
+    * real difflib-parity similarity ([[graft.kernels.FuzzyKernels]]
+    * `ratio`, CPython-identical incl. half-even `int(round(100r))`).
+    * The score feeds the re-extraction priority column next to
+    * [[recrawlEtag]]'s transfer ledger: `skip` at 100 (byte-identical —
+    * the 304 path), `reextract` for minor edits (boilerplate/template
+    * churn; the extractor re-runs but the fetch is cheap), `refetch`
+    * below 70 (content rewrite — full fetch + render budget).
+    *
+    * Fixture: three synthetic revisions per url, closed-form in doc_id
+    * — identical / marker-append / marker-prepend / whole-replacement,
+    * the markers drawn from alphabets disjoint from the pure a-z+space
+    * corpus so every matching-block total is closed-form (M = |prev| or
+    * 0). Revision bodies cap at 155+5 chars, safely under difflib's
+    * 200-char autojunk threshold (autojunk would junk popular chars and
+    * break the closed form — the builder-memory caveat). All non-exact
+    * denominators are odd, so the half-even rounding never meets a tie
+    * and the oracle's pure-integer round formula is exact.
+    *
+    * 100 TB shape: the lag window partitions by url key (bounded
+    * per-key revision history), the scorer is a narrow per-row kernel
+    * map — no global state, same exchange as any url-keyed stage.
+    */
+  def revisionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val revs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "substring(text, 1, 150) as base")
+      .as[(Long, String)]
+      .flatMap { case (id, base) =>
+        val v2 = (id % 4) match {
+          case 0 => base             // unchanged re-serve
+          case 1 => base + " ####"   // append (footer churn)
+          case 2 => "#### " + base   // prepend (banner churn)
+          case _ => "########"       // whole-content replacement
+        }
+        val v3 = ((id / 4) % 3) match {
+          case 0 => v2
+          case 1 => v2 + " @@@@"
+          case _ => "@@@@ " + v2
+        }
+        Iterator((id, 1L, base), (id, 2L, v2), (id, 3L, v3))
+      }
+      .toDF("doc_id", "rev_no", "body")
+    val w = Window.partitionBy("doc_id").orderBy("rev_no")
+    revs
+      .withColumn("prev_body", org.apache.spark.sql.functions.lag("body", 1).over(w))
+      .where("prev_body is not null")
+      .selectExpr("doc_id", "rev_no", "prev_body", "body")
+      .as[(Long, Long, String, String)]
+      .mapPartitions(_.map { case (id, rev, prev, body) =>
+        (id, rev, graft.kernels.FuzzyKernels.ratio(prev, body).toLong)
+      })
+      .toDF("doc_id", "rev_no", "ratio_pct")
+      .selectExpr("doc_id", "rev_no", "ratio_pct",
+        """case when ratio_pct = 100 then 'skip'
+          |     when ratio_pct >= 70 then 'reextract'
+          |     else 'refetch' end as priority""".stripMargin)
+  }
+
+  val revisionRatioSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(least(length(text), 150) AS BIGINT) AS l FROM documents),
+      |p AS (
+      |  SELECT doc_id, 2::BIGINT AS rev_no,
+      |    CASE WHEN doc_id % 4 = 3 THEN 0 ELSE l END AS m,
+      |    l AS la,
+      |    CASE doc_id % 4 WHEN 0 THEN l WHEN 3 THEN 8 ELSE l + 5 END AS lb
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 3::BIGINT, len2, len2,
+      |    CASE WHEN (doc_id // 4) % 3 = 0 THEN len2 ELSE len2 + 5 END
+      |  FROM (SELECT doc_id,
+      |      CASE doc_id % 4 WHEN 0 THEN l WHEN 3 THEN 8 ELSE l + 5 END AS len2
+      |    FROM d)),
+      |r AS (SELECT doc_id, rev_no,
+      |    CASE WHEN 2 * ((200 * m) % (la + lb)) > (la + lb)
+      |           THEN (200 * m) // (la + lb) + 1
+      |         WHEN 2 * ((200 * m) % (la + lb)) = (la + lb)
+      |           THEN (200 * m) // (la + lb) + ((200 * m) // (la + lb)) % 2
+      |         ELSE (200 * m) // (la + lb) END AS ratio_pct
+      |  FROM p)
+      |SELECT doc_id, rev_no, CAST(ratio_pct AS BIGINT) AS ratio_pct,
+      |  CASE WHEN ratio_pct = 100 THEN 'skip'
+      |       WHEN ratio_pct >= 70 THEN 'reextract'
+      |       ELSE 'refetch' END AS priority
+      |FROM r""".stripMargin
+
   /** IDN hostname hygiene ([[graft.kernels.PunycodeKernel]]): decode
     * `xn--` ACE labels per RFC 3492 and flag whole-script-confusable
     * homographs via the Cyrillic→Latin skeleton (the `аррӏе`/`pаypal`
@@ -1164,6 +1254,7 @@ object LinkOps {
     "q_idn_homograph" -> (idnHomograph(_, _)),
     "q_url_strip_tracking" -> (urlStripTracking(_, _)),
     "q_recrawl_etag" -> (recrawlEtag(_, _)),
+    "q_revision_ratio" -> (revisionRatio(_, _)),
     "q_host_communities" -> (hostCommunities(_, _)),
     "q_robots_cache_ttl" -> (robotsCacheTtl(_, _)),
     "q_outlinks" -> (outlinks(_, _)),
@@ -1192,6 +1283,7 @@ object LinkOps {
     "q_idn_homograph" -> idnHomographSql,
     "q_url_strip_tracking" -> urlStripTrackingSql,
     "q_recrawl_etag" -> recrawlEtagSql,
+    "q_revision_ratio" -> revisionRatioSql,
     "q_host_communities" -> hostCommunitiesSql,
     "q_robots_cache_ttl" -> robotsCacheTtlSql,
     "q_outlinks" -> outlinksSql,

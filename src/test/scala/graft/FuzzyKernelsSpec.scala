@@ -78,4 +78,36 @@ class FuzzyKernelsSpec extends AnyFunSuite {
     assert(fullProcess("DAMMAM SCAN CENTER - DAMMAM") === "dammam scan center   dammam")
     assert(fullProcess("  (MedGulf)!  ") === "medgulf")
   }
+
+  test("revision-ratio closed form: marker edits give M = |prev| (or 0) under the REAL matcher") {
+    // q_revision_ratio's oracle assumes the matching-block total for the
+    // four synthetic edit classes is closed-form. Pin that against the
+    // real difflib-parity matcher on adversarial bases — including heavy
+    // internal repetition, the case where a stray long internal match
+    // could beat the designed prefix/suffix block if the closed form
+    // were wrong.
+    def halfEven(m: Long, den: Long): Long = {
+      val q = 200 * m / den; val r = 200 * m % den
+      if (2 * r > den) q + 1 else if (2 * r == den) q + q % 2 else q
+    }
+    val bases = Seq(
+      "scan sort key join",
+      "aaa aaa aaa aaa aaa aaa aaa aaa",               // max repetition
+      "ab ab ab ab ab ab ab ab ab ab ab ab ab ab ab",  // periodic
+      ("scan sort " * 14).trim,                        // 139 chars, near cap
+      "q")
+    bases.foreach { b =>
+      val l = b.length.toLong
+      assert(ratio(b, b) === 100)
+      assert(ratio(b, b + " ####") === halfEven(l, 2 * l + 5).toInt, s"append on <$b>")
+      assert(ratio(b, "#### " + b) === halfEven(l, 2 * l + 5).toInt, s"prepend on <$b>")
+      assert(ratio(b, "########") === 0, s"replace on <$b>")
+      // second-round edits on already-marked bodies ('@' alphabet)
+      val v2 = b + " ####"
+      assert(ratio(v2, v2 + " @@@@") === halfEven(v2.length.toLong, 2L * v2.length + 5).toInt)
+      assert(ratio(v2, "@@@@ " + v2) === halfEven(v2.length.toLong, 2L * v2.length + 5).toInt)
+      val v2r = "########"
+      assert(ratio(v2r, v2r + " @@@@") === halfEven(8, 21).toInt)
+    }
+  }
 }
