@@ -348,7 +348,128 @@ object SketchOps {
       |FROM q JOIN c ON c.cum * 100 >= q.q_pct * c.n_total
       |GROUP BY q_pct""".stripMargin
 
+  /** KLL-family quantile sketch under the gate (r4 ask #5 — the upgrade
+    * from [[quantileMerge]]'s power-of-two histogram, whose error is the
+    * bucket width, to a sketch with a TUNABLE provable rank bound):
+    * [[graft.kernels.KllKernel]] — deterministic keep-odd-ranks
+    * compactors, capacity c=32 (ε ≈ 2/c), integer-exact throughout.
+    * The corpus splits on doc_id parity; each half builds its sketch,
+    * the halves merge (concatenate + re-cascade), and a single-pass
+    * sketch builds alongside. Per (path, percentile) the output carries
+    * the estimate, the EXACT compaction-tracked rank bound B, the true
+    * ranks of the estimate, and `within_bound` = (true(≤e) ≥ r−B AND
+    * true(<e) ≤ r−1) — the provable one-sided KLL guarantee, gated on
+    * BOTH paths. The merge invariant that is exactly preserved is total
+    * weight (`n_total` ≡ n on both paths — compaction is
+    * weight-preserving); the estimates themselves may differ between
+    * paths by design and both must stay inside the bound. The oracle
+    * replays all three cascades (half0, half1, merged) plus the
+    * single-pass one as unrolled MATERIALIZED CTE steps — one potential
+    * compaction per level, the kernel's exact rule — and recomputes B
+    * from the replay states.
+    *
+    * Scale shape: per-shard sketch build + constant-size merge fan-in,
+    * like [[cmsMerge]]; a production job builds per-partition sketches
+    * with streaming inserts — the deterministic 2-shard split is the
+    * oracle-replayable stand-in, and merge cost is O(c·levels)
+    * regardless of corpus size.
+    */
+  def kllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.kernels.KllKernel
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "cast(n_chars as long) as v")
+      .as[(Long, Long)]
+    // per-shard sketch build: one task per deterministic shard
+    val shards = base
+      .groupByKey { case (d, _) => (d % 2).toInt }
+      .mapGroups { (h, it) =>
+        val s = KllKernel.build(it.map(_._2))
+        (h, KllKernel.toPairs(s), s.bound)
+      }
+      .collect()
+      .sortBy(_._1)
+      .map { case (_, pairs, b) => KllKernel.fromPairs(pairs, b) }
+    val merged = shards.reduce(KllKernel.merge)
+    val single = {
+      val s = base.groupByKey(_ => 0)
+        .mapGroups((_, it) => { val sk = KllKernel.build(it.map(_._2)); (KllKernel.toPairs(sk), sk.bound) })
+        .collect().head
+      KllKernel.fromPairs(s._1, s._2)
+    }
+    val n = merged.totalWeight // weight-preserving ⇒ exactly the row count
+    require(single.totalWeight == n, "compaction lost weight")
+    val qs = Seq(10L, 50L, 90L, 99L)
+    val ests = for {
+      (path, sk) <- Seq("merged" -> merged, "single" -> single)
+      q <- qs
+    } yield {
+      val r = (q * n + 99) / 100
+      (path, q, KllKernel.estimate(sk, r), r, sk.bound)
+    }
+    // exact true ranks of the (≤8 distinct) estimates in one corpus pass
+    val distinctEsts = ests.map(_._3).distinct.sorted
+    val aggs = distinctEsts.flatMap(e => Seq(
+      sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"le_$e"),
+      sum(when(col("v") < e, 1L).otherwise(0L)).as(s"lt_$e")))
+    val row = base.toDF("doc_id", "v").agg(aggs.head, aggs.tail: _*).head()
+    val out = ests.map { case (path, q, e, r, b) =>
+      val le = row.getAs[Long](s"le_$e")
+      val lt = row.getAs[Long](s"lt_$e")
+      (path, q, e, n, b, le, lt, le >= r - b && lt <= r - 1)
+    }
+    out.toDF("path", "q_pct", "est_v", "n_total", "rank_bound",
+      "true_rank_le", "true_rank_lt", "within_bound")
+  }
+
+  val kllQuantilesSql: String = {
+    import graft.kernels.KllKernel.{C, LMax}
+    def cascadeCtes(name: String, init: String): String = {
+      val head = s"${name}_0 AS MATERIALIZED ($init)"
+      val steps = (0 until LMax).map { k =>
+        s"""${name}_${k + 1} AS MATERIALIZED (
+          |  SELECT v, CASE WHEN lvl = $k AND m > $C AND rn <= m - m % 2 THEN lvl + 1 ELSE lvl END AS lvl
+          |  FROM (SELECT v, lvl, row_number() OVER (PARTITION BY lvl ORDER BY v) AS rn,
+          |               count(*) OVER (PARTITION BY lvl) AS m FROM ${name}_$k)
+          |  WHERE lvl <> $k OR m <= $C OR rn > m - m % 2 OR rn % 2 = 1)""".stripMargin
+      }
+      (head +: steps).mkString(",\n")
+    }
+    def bExpr(name: String): String =
+      (0 until LMax).map { k =>
+        s"(CASE WHEN (SELECT count(*) FROM ${name}_$k WHERE lvl = $k) > $C THEN ${1L << k} ELSE 0 END)"
+      }.mkString(" + ")
+    s"""WITH base AS MATERIALIZED (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |${cascadeCtes("h0", "SELECT v, 0 AS lvl FROM base WHERE doc_id % 2 = 0")},
+      |${cascadeCtes("h1", "SELECT v, 0 AS lvl FROM base WHERE doc_id % 2 = 1")},
+      |${cascadeCtes("mg", s"SELECT v, lvl FROM h0_$LMax UNION ALL SELECT v, lvl FROM h1_$LMax")},
+      |${cascadeCtes("sg", "SELECT v, 0 AS lvl FROM base")},
+      |bounds AS MATERIALIZED (
+      |  SELECT 'merged' AS path, (${bExpr("h0")}) + (${bExpr("h1")}) + (${bExpr("mg")}) AS b
+      |  UNION ALL SELECT 'single', (${bExpr("sg")})),
+      |sk AS (SELECT 'merged' AS path, v, CAST(sum(1::BIGINT << lvl) AS BIGINT) AS w FROM mg_$LMax GROUP BY v
+      |  UNION ALL SELECT 'single', v, CAST(sum(1::BIGINT << lvl) AS BIGINT) AS w FROM sg_$LMax GROUP BY v),
+      |cumw AS (SELECT path, v, sum(w) OVER (PARTITION BY path ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw FROM sk),
+      |n AS (SELECT count(*) AS n_total FROM base),
+      |q AS (SELECT unnest([10, 50, 90, 99]) AS q_pct),
+      |tgt AS (SELECT path, q_pct, (q_pct * n_total + 99) // 100 AS r, n_total
+      |  FROM q CROSS JOIN n CROSS JOIN (SELECT DISTINCT path FROM sk)),
+      |e AS (SELECT t.path, t.q_pct, t.r, t.n_total, min(c.v) AS est_v
+      |  FROM tgt t JOIN cumw c ON c.path = t.path AND c.cw >= t.r GROUP BY 1, 2, 3, 4),
+      |tr AS (SELECT e.path, e.q_pct, e.r, e.n_total, e.est_v,
+      |    (SELECT count(*) FROM base WHERE v <= e.est_v) AS true_le,
+      |    (SELECT count(*) FROM base WHERE v < e.est_v) AS true_lt
+      |  FROM e)
+      |SELECT tr.path, CAST(tr.q_pct AS BIGINT) AS q_pct, CAST(tr.est_v AS BIGINT) AS est_v,
+      |  CAST(tr.n_total AS BIGINT) AS n_total, CAST(b.b AS BIGINT) AS rank_bound,
+      |  CAST(tr.true_le AS BIGINT) AS true_rank_le, CAST(tr.true_lt AS BIGINT) AS true_rank_lt,
+      |  (tr.true_le >= tr.r - b.b AND tr.true_lt <= tr.r - 1) AS within_bound
+      |FROM tr JOIN bounds b ON b.path = tr.path""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kll_quantiles" -> (kllQuantiles(_, _)),
     "q_cms_merge" -> (cmsMerge(_, _)),
     "q_quantile_merge" -> (quantileMerge(_, _)),
     "q_distinct_sketch" -> (distinctSketch(_, _)),
@@ -357,6 +478,7 @@ object SketchOps {
     "q_length_quantiles" -> (lengthQuantiles(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_kll_quantiles" -> kllQuantilesSql,
     "q_cms_merge" -> cmsMergeSql,
     "q_quantile_merge" -> quantileMergeSql,
     "q_distinct_sketch" -> distinctSketchSql,
