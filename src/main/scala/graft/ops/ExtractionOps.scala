@@ -711,7 +711,154 @@ object ExtractionOps {
       |  CAST(coalesce(c.canonical_id, b.doc_id) AS BIGINT) AS canonical_id
       |FROM b LEFT JOIN c USING (fp)""".stripMargin
 
+  /** THE COMPOSED CORPUS-BUILD PIPELINE under one gate (r4 ask #6):
+    * fetch gate → extract → exact dedup → near dedup → quality gate →
+    * temperature mix → shard assignment, chained in a single query so
+    * stage-BOUNDARY drift (schema, ordering, survivor sets) fails the
+    * hash — each leg is already green standalone; this gates their
+    * composition.
+    *
+    * Legs (every one the standalone query's exact mechanism):
+    *  1. fetch gate: the REAL robots/meta compliance verdict
+    *     ([[graft.kernels.LinkKernel]] over the link fixtures — the
+    *     `q_robots_gate` rotation: every 7th url is non-indexable and
+    *     never reaches the fetcher);
+    *  2. extract: TWO captures per admitted url (a recrawl) through the
+    *     REAL extraction kernel — capture 1 re-serves byte-identical
+    *     content (doc_id%3=0), appends ' rev2' (%3=1, same 10-token
+    *     prefix), or prepends new leading content (%3=2, genuinely new);
+    *  3. exact dedup on md5 of the EXTRACTED bytes, min-(doc_id,capture)
+    *     keeper via partial-agg'd min_by (kills the %3=0 re-serves);
+    *  4. near dedup on the first-10-token prefix key (kills the %3=1
+    *     revisions; the %3=2 captures shift the prefix and survive);
+    *  5. quality gate: 20 ≤ n_tokens ≤ 2000 (map-side filter);
+    *  6. temperature mix: α=1/2 quotas per source×length-band component,
+    *     largest-remainder rounding to exactly B=1000 (`q_mix_temperature`);
+    *  7. shard assignment: 512-token prefix-sum packing WITHIN each
+    *     component (`q_token_shards`' two-phase scan degenerates to a
+    *     component-partitioned window here — every component packs in
+    *     parallel, no global ordered window).
+    *
+    * 100 TB shape: gate+extract are narrow kernel maps; the two dedups
+    * are partial-agg'd groupBys on 16-byte digests; the mix windows run
+    * over the COMPONENT table; the packing window partitions by
+    * component. The only corpus-wide exchanges are the two digest
+    * groupBys and the component join — nothing sorts globally.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ts0 = new java.sql.Timestamp(1735689600000L)
+    // leg 1: fetch gate (real compliance kernel)
+    val admitted = DocPages.docs(spark, dir).filter { d =>
+      graft.kernels.LinkKernel.extract(
+        graft.gen.LinkGen.pageHtml(d.doc_id), graft.gen.LinkGen.pageUrl(d.doc_id)).indexable
+    }
+    // leg 2: two captures per url through the real extractor; capture
+    // rides the url's trailing id as doc_id*2+capture
+    val pages = admitted.flatMap { d =>
+      Seq(0L, 1L).map { cap =>
+        val body =
+          if (cap == 0L) d.text
+          else (d.doc_id % 3) match {
+            case 0 => d.text
+            case 1 => d.text + " rev2"
+            case _ => "zz " + d.text
+          }
+        graft.model.PageRow(s"doc://pp/${d.doc_id * 2 + cap}", ts0,
+          graft.gen.PagesGen.htmlPage(Seq(body), None, d.doc_id).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8), "", d.lang)
+      }
+    }
+    val meta = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "source")
+    val ext = extracted(spark, pages)
+      .selectExpr("doc_id div 2 as doc_id", "doc_id % 2 as capture", "extracted_text")
+      .join(meta, Seq("doc_id")) // url-keyed metadata join, standard shape
+      .selectExpr("doc_id", "capture", "source",
+        "md5(cast(extracted_text as binary)) as fp",
+        "md5(cast(array_join(slice(split(extracted_text, ' '), 1, 10), ' ') as binary)) as nk",
+        "cast(size(split(extracted_text, ' ')) as long) as n_tokens",
+        "doc_id * 2 + capture as k")
+    // legs 3+4: exact then near dedup, min-key keeper, partial-agg'd
+    def keepMin(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key))
+        .agg(min_by(struct(df.columns.map(col): _*), col("k")).as("r"))
+        .select(col("r.*"))
+    val deduped = keepMin(keepMin(ext, "fp"), "nk")
+    // leg 5: quality gate
+    val survivors = deduped.where("n_tokens between 20 and 2000")
+      .selectExpr("doc_id", "capture", "source", "n_tokens",
+        "concat(source, '#', cast(least(n_tokens div 40, 5) as string)) as component")
+      .localCheckpoint(true) // feeds both the mix stats and the packing
+    // leg 6: temperature quotas over the component table
+    val b = 1000L
+    val quotas = survivors.groupBy("component")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .selectExpr("component", "n_docs",
+        "cast(floor(sqrt(cast(n_docs as double) * 1000000.0D)) as bigint) as w")
+      .withColumn("tw", sum("w").over(Window.partitionBy()))
+      .selectExpr("component", "n_docs", "w",
+        s"($b * w) div tw as base", s"($b * w) % tw as rem")
+      .withColumn("deficit", lit(b) - sum("base").over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy().orderBy(desc("rem"), asc("component"))))
+      .selectExpr("component",
+        "cast(base + (case when rk <= deficit then 1 else 0 end) as long) as quota")
+    // leg 7: 512-token shard packing within each component
+    survivors
+      .withColumn("pre", coalesce(
+        sum("n_tokens").over(
+          Window.partitionBy("component").orderBy("doc_id", "capture")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(quotas), Seq("component"))
+      .selectExpr("doc_id", "capture", "source", "component", "n_tokens",
+        "quota", "cast(pre div 512 as long) as shard_id")
+  }
+
+  val corpusPipelineSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |caps AS (
+      |  SELECT doc_id, source, 0::BIGINT AS capture, text AS et FROM d
+      |  UNION ALL
+      |  SELECT doc_id, source, 1::BIGINT,
+      |    CASE doc_id % 3 WHEN 0 THEN text WHEN 1 THEN text || ' rev2'
+      |         ELSE 'zz ' || text END
+      |  FROM d),
+      |ex AS (SELECT doc_id, capture, source,
+      |    md5(et) AS fp,
+      |    md5(array_to_string(list_slice(string_split(et, ' '), 1, 10), ' ')) AS nk,
+      |    CAST(len(string_split(et, ' ')) AS BIGINT) AS n_tokens,
+      |    doc_id * 2 + capture AS k
+      |  FROM caps),
+      |e1 AS (SELECT * FROM (SELECT *, min(k) OVER (PARTITION BY fp) AS k1 FROM ex)
+      |  WHERE k = k1),
+      |e2 AS (SELECT * FROM (SELECT *, min(k) OVER (PARTITION BY nk) AS k2 FROM e1)
+      |  WHERE k = k2),
+      |surv AS (SELECT doc_id, capture, source, n_tokens,
+      |    source || '#' || least(n_tokens // 40, 5) AS component
+      |  FROM e2 WHERE n_tokens BETWEEN 20 AND 2000),
+      |cstat AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs FROM surv GROUP BY 1),
+      |wt AS (SELECT component, n_docs,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+      |  FROM cstat),
+      |q AS (SELECT component, n_docs, w,
+      |    (1000 * w) // sum(w) OVER () AS base,
+      |    (1000 * w) % sum(w) OVER () AS rem
+      |  FROM wt),
+      |quot AS (SELECT component,
+      |    CAST(base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, component)
+      |        <= 1000 - sum(base) OVER () THEN 1 ELSE 0 END) AS BIGINT) AS quota
+      |  FROM q)
+      |SELECT s.doc_id, s.capture, s.source, s.component, s.n_tokens, quot.quota,
+      |  CAST(coalesce(sum(s.n_tokens) OVER (PARTITION BY s.component
+      |      ORDER BY s.doc_id, s.capture ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) // 512 AS BIGINT) AS shard_id
+      |FROM surv s JOIN quot USING (component)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_pipeline" -> (corpusPipeline(_, _)),
     "q_crawl_to_corpus" -> (crawlToCorpus(_, _)),
     "q_extract_error_census" -> (extractErrorCensus(_, _)),
     "q_extract_doc_struct" -> (extractDocStruct(_, _)),
@@ -745,6 +892,7 @@ object ExtractionOps {
     "q_wet_roundtrip" -> (wetRoundtrip(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_pipeline" -> corpusPipelineSql,
     "q_crawl_to_corpus" -> crawlToCorpusSql,
     "q_extract_error_census" -> extractErrorCensusSql,
     "q_extract_doc_struct" -> extractDocStructSql,
