@@ -109,8 +109,20 @@ object Bench {
     val results =
       if (scalingOnly) Seq.empty
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // Streaming queries stage real files, spin up micro-batch
+        // engines and poll triggers — wall time swings 2-4x with host
+        // load (r4 recorded q_stream_join at 57.9 s vs a 14-27 s
+        // in-session band). Min-of-2 inside the loop, the same
+        // hardening the expression path and scaling rounds already
+        // have; batch queries stay single-shot (their variance is
+        // small against the total).
+        val runs = if (name.startsWith("q_stream")) 2 else 1
+        try { name -> (1 to runs).map(_ => once()).min }
         catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -64,4 +64,44 @@ class PunycodeKernelSpec extends AnyFunSuite {
     assert(PunycodeKernel.decode("a-z").isEmpty ||
       PunycodeKernel.decode("a-z").nonEmpty)
   }
+
+  test("totality fuzz: random xn-- labels decode to Some or None, never throw") {
+    // r4 ask #8: the doc promises malformed ACE labels return None
+    // rather than throwing; fuzz STRUCTURED xn-- shapes (the earlier
+    // fuzz used printable garbage): punycode-alphabet bodies, random
+    // hyphen placement, mixed case, and extreme delta tails.
+    val rnd = new scala.util.Random(20260819L)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    (1 to 5000).foreach { i =>
+      val bodyLen = rnd.nextInt(20)
+      val sb = new StringBuilder
+      (0 until bodyLen).foreach { _ =>
+        val c = alpha(rnd.nextInt(alpha.length))
+        sb.append(if (rnd.nextBoolean()) c.toUpper else c)
+        if (rnd.nextInt(5) == 0) sb.append('-')
+      }
+      val label = sb.toString
+      val out = PunycodeKernel.decode(label) // Some or None; a throw fails the test
+      out.foreach { s =>
+        // structural sanity on successful decodes (exactness is covered
+        // by the RFC fixtures): every basic code point before the last
+        // delimiter must survive into the output, case-folded
+        assert(s != null) // Some("") is valid: empty deltas over empty basic
+        val basic = label.lastIndexOf('-') match {
+          case -1 => ""
+          case ix => label.substring(0, ix)
+        }
+        basic.filter(_ != '-').foreach { c =>
+          assert(s.toLowerCase.indexOf(c.toLower) >= 0,
+            s"basic char $c of <$label> lost in decode <$s>")
+        }
+      }
+      PunycodeKernel.hostToUnicode(s"xn--$label.example") // must not throw either
+    }
+    // extreme delta tails (overflow guards)
+    Seq("a-" + "9" * 30, "-" + "z" * 40, "ab--" + "m" * 25).foreach { l =>
+      PunycodeKernel.decode(l)
+      PunycodeKernel.hostToUnicode(s"xn--$l.example")
+    }
+  }
 }
