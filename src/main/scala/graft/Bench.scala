@@ -217,7 +217,7 @@ object Bench {
     // bench_out.json and the earlier stdout line.
     val headline = Set("q1_agg", "q_extract_html", "q_extract_pdf",
       "q_extract_sql_expr", "q_dedup_minhash_lsh", "q_ann_lsh",
-      "q_corpus_clean", "q_service_table")
+      "q_corpus_clean", "q_service_table", "q_corpus_pipeline", "q_bpe_train")
     val qsCompact = results.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
