@@ -701,7 +701,67 @@ object DedupOps {
        |  CAST(doc_id AS BIGINT) IN (SELECT doc_id FROM cand) AS near_dup_candidate
        |FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
+  /** Dedup-aware split hygiene: near-duplicate pairs that STRADDLE a
+    * train/val/test hash split are test-set leakage a naive
+    * hash-by-doc-id split cannot see (the reason dedup-then-split — or
+    * split-by-dup-GROUP — is the published practice; Lee et al. 2022
+    * measure exactly this contamination channel). The corpus gains a
+    * revision twin for every 5th doc (near-dup by construction, own
+    * doc_id ⇒ independent split draw); docs group by the 10-token
+    * prefix dup key, every in-group pair is classified by its two
+    * splits, and the rollup counts pairs per split-combination —
+    * `train-test` / `train-val` rows ARE the leakage. Split is a pure
+    * md5 draw (14/16 train, 1/16 val, 1/16 test); everything is
+    * deterministic in both engines.
+    *
+    * 100 TB shape: one equi-self-join on the 16-byte dup key (group
+    * sizes are near-dup family sizes — bounded), one partial-agg'd
+    * rollup; no global structure. A production job would use the
+    * MinHash-LSH families from [[dedupMinhashLsh]] as the grouping —
+    * the prefix key keeps the oracle exact here.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    val corpus = d0.unionByName(
+      d0.where("doc_id % 5 = 0")
+        .selectExpr("doc_id + 10000000 as doc_id", "concat(text, ' rev2') as text"))
+    val keyed = corpus.selectExpr(
+      "doc_id",
+      "md5(cast(array_join(slice(split(text, ' '), 1, 10), ' ') as binary)) as dup_key",
+      """case when substring(md5(cast(concat('sp#', cast(doc_id as string)) as binary)), 1, 1) = 'f' then 'test'
+        |     when substring(md5(cast(concat('sp#', cast(doc_id as string)) as binary)), 1, 1) = 'e' then 'val'
+        |     else 'train' end as split""".stripMargin)
+      .localCheckpoint(true) // one scan feeds both sides of the self-join
+    keyed.alias("a")
+      .join(keyed.alias("b"),
+        expr("a.dup_key = b.dup_key and a.doc_id < b.doc_id"))
+      .selectExpr(
+        """case when a.split <= b.split then concat(a.split, '-', b.split)
+          |     else concat(b.split, '-', a.split) end as pair_type""".stripMargin)
+      .groupBy("pair_type")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS BIGINT) + 10000000, text || ' rev2'
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |k AS (SELECT doc_id,
+      |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS dup_key,
+      |    CASE WHEN substr(md5('sp#' || doc_id), 1, 1) = 'f' THEN 'test'
+      |         WHEN substr(md5('sp#' || doc_id), 1, 1) = 'e' THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM c)
+      |SELECT CASE WHEN a.split <= b.split THEN a.split || '-' || b.split
+      |            ELSE b.split || '-' || a.split END AS pair_type,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM k a JOIN k b ON a.dup_key = b.dup_key AND a.doc_id < b.doc_id
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> (splitLeakage(_, _)),
     "q_dedup_exact" -> (exact(_, _)),
     "q_dedup_keep_newest" -> (keepNewest(_, _)),
     "q_dedup_jaccard" -> (jaccard(_, _)),
@@ -718,6 +778,7 @@ object DedupOps {
     "q_dedup_incremental" -> (dedupIncremental(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_split_leakage" -> splitLeakageSql,
     "q_dedup_exact" -> exactSql,
     "q_dedup_keep_newest" -> keepNewestSql,
     "q_dedup_jaccard" -> jaccardSql,

@@ -702,6 +702,103 @@ object StreamingOps {
       | AND a.event_type = 'view' AND b.event_type = 'click'
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
 
+  /** ORACLE-GATED stream-stream LEFT OUTER interval join — the state
+    * semantics [[streamJoin]]'s inner join never exercises: an unmatched
+    * left row emits its null-padded result only when the watermark
+    * closes its join window and the state operator EVICTS it. A leak
+    * (row emitted while still open → possible duplicate on a late
+    * match) or an over-eager eviction (match missed) both break the
+    * per-row hash against the batch LEFT JOIN oracle.
+    *
+    * Same slicing and watermark argument as the inner join, plus THREE
+    * far-future sentinel slices per side (distinct negative user ids and
+    * non-overlapping times, so sentinels never match anything): the
+    * null-padded emissions fire in the batch AFTER the watermark passes
+    * a view's window, and the watermark itself is planned one trigger
+    * behind (the measured lag `streamLate` pins) — three extra triggers
+    * guarantee every real view's state is evicted and emitted before
+    * AvailableNow terminates. Sentinels are filtered from the output;
+    * `click_us` is coalesced to −1 on both engines so the hash compare
+    * never sees an engine-specific NULL repr.
+    *
+    * 100 TB shape: identical to the inner join — state is the
+    * watermark-delay working set per side; the outer padding adds no
+    * state, only an eviction-time emission.
+    */
+  def streamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("cast(user_id as long) as user_id", "event_type",
+        "cast(ts as timestamp) as ts",
+        "unix_micros(cast(ts as timestamp)) as ts_us")
+    val (minUs, maxUs) = {
+      val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nSlices = 4
+    val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
+    val stage = java.nio.file.Files.createTempDirectory("stream_ljoin_src")
+    val viewsDir = java.nio.file.Files.createDirectory(stage.resolve("views"))
+    val clicksDir = java.nio.file.Files.createDirectory(stage.resolve("clicks"))
+    def stageSlice(df: DataFrame, into: java.nio.file.Path, name: String,
+        mtimeMs: Long): Unit = { stageSliceFile(df, stage, into, name, mtimeMs); () }
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    try {
+      (0 until nSlices).foreach { i =>
+        val lo = minUs + i * spanUs
+        val hi = if (i == nSlices - 1) Long.MaxValue else lo + spanUs
+        val slice = ev.filter(col("ts_us") >= lo && col("ts_us") < hi)
+        stageSlice(slice.filter("event_type = 'view'").select("user_id", "ts"),
+          viewsDir, f"views-$i%03d", base + i * 10000L)
+        stageSlice(slice.filter("event_type = 'click'").select("user_id", "ts"),
+          clicksDir, f"clicks-$i%03d", base + i * 10000L)
+      }
+      // sentinel slices: push the watermark far past every real window,
+      // one extra trigger at a time (eviction emission lags the data)
+      (0 until 3).foreach { s =>
+        val t = new java.sql.Timestamp((maxUs + (s + 4).toLong * 7200L * 1000000L) / 1000L)
+        stageSlice(Seq((-1L - s, t)).toDF("user_id", "ts"),
+          viewsDir, f"views-${nSlices + s}%03d", base + (nSlices + s) * 10000L)
+        stageSlice(Seq((-101L - s, t)).toDF("user_id", "ts"),
+          clicksDir, f"clicks-${nSlices + s}%03d", base + (nSlices + s) * 10000L)
+      }
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType)))
+      def side(d: java.nio.file.Path, uid: String, tsc: String): DataFrame =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(d.toString)
+          .withColumnRenamed("user_id", uid).withColumnRenamed("ts", tsc)
+          .withWatermark(tsc, "1 hour")
+      val joined = side(viewsDir, "user_id", "v_ts")
+        .join(side(clicksDir, "c_user", "c_ts"),
+          expr("user_id = c_user AND c_ts >= v_ts AND " +
+            "c_ts <= v_ts + interval 30 minutes"),
+          "leftOuter")
+        .selectExpr("user_id", "unix_micros(v_ts) as view_us",
+          "coalesce(unix_micros(c_ts), -1L) as click_us")
+      val name = s"stream_ljoin_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).where("user_id >= 0").localCheckpoint(true)
+    } finally {
+      rmTree(stage)
+    }
+  }
+
+  val streamLeftJoinSql: String =
+    """SELECT CAST(a.user_id AS BIGINT) AS user_id,
+      |  epoch_us(a.ts) AS view_us,
+      |  CAST(coalesce(epoch_us(b.ts), -1) AS BIGINT) AS click_us
+      |FROM (SELECT * FROM events WHERE event_type = 'view') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+
   // ------------------------------------ watermark late-data drop accounting
 
   /** ORACLE-GATED watermark DROP semantics — the one streaming contract
@@ -811,6 +908,7 @@ object StreamingOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_join" -> (streamJoin(_, _)),
+    "q_stream_left_join" -> (streamLeftJoin(_, _)),
     "q_stream_late" -> (streamLate(_, _)),
     "q_stream_upsert" -> (streamUpsert(_, _)),
     "q_stream_dedup" -> (streamDedup(_, _)),
@@ -821,6 +919,7 @@ object StreamingOps {
 
   def oracles: Map[String, String] = Map(
     "q_stream_join" -> streamJoinSql,
+    "q_stream_left_join" -> streamLeftJoinSql,
     "q_stream_late" -> streamLateSql,
     "q_stream_upsert" -> streamUpsertSql,
     "q_stream_dedup" -> streamDedupSql,
