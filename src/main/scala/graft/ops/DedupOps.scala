@@ -760,8 +760,130 @@ object DedupOps {
       |FROM k a JOIN k b ON a.dup_key = b.dup_key AND a.doc_id < b.doc_id
       |GROUP BY 1""".stripMargin
 
+  /** The FIX for [[splitLeakage]]: split by dup GROUP, not by doc — the
+    * whole near-dup family draws ONE md5 split from its dup key, so a
+    * straddle pair is structurally impossible (both members carry the
+    * group's split). Output is the per-split rollup a split audit reads:
+    * doc count, group count, and how many docs MOVED relative to the
+    * naive per-doc draw (the churn cost of group-consistent splitting —
+    * expected (1 − 1/16·14/16-ish) of twinned docs, and 0 leakage).
+    *
+    * Same corpus construction as [[splitLeakage]] (rev-twin every 5th
+    * doc) so the two queries read as before/after of one decision.
+    *
+    * 100 TB shape: pure projections plus one partial-agg'd rollup on a
+    * 3-value key; the group split needs no join — it is a hash OF the
+    * dup key, already on the row. No global structure.
+    */
+  def splitByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "text")
+    val corpus = d0.unionByName(
+      d0.where("doc_id % 5 = 0")
+        .selectExpr("doc_id + 10000000 as doc_id", "concat(text, ' rev2') as text"))
+    corpus.selectExpr(
+      "doc_id",
+      "md5(cast(array_join(slice(split(text, ' '), 1, 10), ' ') as binary)) as dup_key",
+      """case when substring(md5(cast(concat('sp#', cast(doc_id as string)) as binary)), 1, 1) = 'f' then 'test'
+        |     when substring(md5(cast(concat('sp#', cast(doc_id as string)) as binary)), 1, 1) = 'e' then 'val'
+        |     else 'train' end as doc_split""".stripMargin)
+      .selectExpr("doc_id", "dup_key", "doc_split",
+        """case when substring(md5(cast(concat('gs#', dup_key) as binary)), 1, 1) = 'f' then 'test'
+          |     when substring(md5(cast(concat('gs#', dup_key) as binary)), 1, 1) = 'e' then 'val'
+          |     else 'train' end as split""".stripMargin)
+      .groupBy("split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("dup_key")).cast("long").as("n_groups"),
+        sum(when(col("doc_split") =!= col("split"), 1L).otherwise(0L))
+          .cast("long").as("n_reassigned"))
+  }
+
+  val splitByGroupSql: String =
+    """WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS BIGINT) + 10000000, text || ' rev2'
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |k AS (SELECT doc_id,
+      |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS dup_key,
+      |    CASE WHEN substr(md5('sp#' || doc_id), 1, 1) = 'f' THEN 'test'
+      |         WHEN substr(md5('sp#' || doc_id), 1, 1) = 'e' THEN 'val'
+      |         ELSE 'train' END AS doc_split
+      |  FROM c),
+      |g AS (SELECT doc_id, dup_key, doc_split,
+      |    CASE WHEN substr(md5('gs#' || dup_key), 1, 1) = 'f' THEN 'test'
+      |         WHEN substr(md5('gs#' || dup_key), 1, 1) = 'e' THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM k)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT dup_key) AS BIGINT) AS n_groups,
+      |  CAST(sum(CASE WHEN doc_split <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_reassigned
+      |FROM g GROUP BY split""".stripMargin
+
+  /** FUZZY decontamination — [[QualityOps.decontaminate]]'s exact-13-gram
+    * test misses an eval document that was lightly edited before leaking
+    * into the corpus; the published mitigation (GPT-3 appendix C,
+    * Llama/Gopher cards) is near-dup matching between corpus and eval
+    * sets. Here: MinHash bands (the exact [[minhashLsh]] signature
+    * pipeline) of every corpus doc vs the bands of a synthesized eval
+    * set (every 97th doc with an appended suffix — a perturbed leak);
+    * any shared (band, key) flags the corpus doc, `n_hit_bands` grades
+    * match strength (4 = signature-identical).
+    *
+    * 100 TB shape: the eval side is genuinely small (benchmarks are
+    * thousands of docs, not billions) — its distinct band set is a
+    * broadcast-scale table, so the flag join is a map-side hash probe;
+    * the corpus side is the same one-pass native `minhash_bands`
+    * projection the LSH dedup path uses. No corpus self-join at all.
+    */
+  def decontamFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHashBands.register(spark)
+    val d = docs(spark, dir).selectExpr("cast(doc_id as long) as doc_id", "text")
+    val evalBands = d.where("doc_id % 97 = 0")
+      .selectExpr("concat(text, ' heldout eval copy') as text")
+      .selectExpr("minhash_bands(text) as bands")
+      .select(posexplode(col("bands")).as(Seq("band_no", "bkey")))
+      .distinct()
+    d.selectExpr("doc_id", "minhash_bands(text) as bands")
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_no", "bkey")))
+      .join(evalBands, Seq("band_no", "bkey"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hit_bands"))
+  }
+
+  /** [[lshLongFormSql]] parameterized over source relation + CTE prefix,
+    * so one oracle can band two tables (corpus and eval) side by side.
+    */
+  private def lshLongFormSqlOver(src: String, p: String): String = {
+    val sigs = (1 to K).map(i => s"min(md5(s || '#$i')) AS h$i").mkString(", ")
+    val bandDefs = (0 until Bands).map(b => s"h${2 * b + 1} || h${2 * b + 2} AS b$b").mkString(", ")
+    val unpivot = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band_no, b$b AS bkey FROM ${p}bands")
+      .mkString("\n  UNION ALL ")
+    s"""${p}w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws FROM $src),
+       |${p}t AS (SELECT doc_id, generate_subscripts(ws, 1) AS ord, unnest(ws) AS wd FROM ${p}w),
+       |${p}sh AS (SELECT DISTINCT a.doc_id, a.wd || ' ' || b.wd || ' ' || c.wd AS s
+       |  FROM ${p}t a JOIN ${p}t b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       |           JOIN ${p}t c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+       |${p}sig AS (SELECT doc_id, $sigs FROM ${p}sh GROUP BY doc_id),
+       |${p}bands AS (SELECT doc_id, $bandDefs FROM ${p}sig),
+       |${p}lf AS ($unpivot)""".stripMargin
+  }
+
+  val decontamFuzzySql: String =
+    s"""WITH ev AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    text || ' heldout eval copy' AS text
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |${lshLongFormSqlOver("documents", "c_")},
+       |${lshLongFormSqlOver("ev", "e_")},
+       |eb AS (SELECT DISTINCT band_no, bkey FROM e_lf)
+       |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_hit_bands
+       |FROM c_lf l JOIN eb USING (band_no, bkey)
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_leakage" -> (splitLeakage(_, _)),
+    "q_split_by_group" -> (splitByGroup(_, _)),
+    "q_decontam_fuzzy" -> (decontamFuzzy(_, _)),
     "q_dedup_exact" -> (exact(_, _)),
     "q_dedup_keep_newest" -> (keepNewest(_, _)),
     "q_dedup_jaccard" -> (jaccard(_, _)),
@@ -779,6 +901,8 @@ object DedupOps {
 
   def oracles: Map[String, String] = Map(
     "q_split_leakage" -> splitLeakageSql,
+    "q_split_by_group" -> splitByGroupSql,
+    "q_decontam_fuzzy" -> decontamFuzzySql,
     "q_dedup_exact" -> exactSql,
     "q_dedup_keep_newest" -> keepNewestSql,
     "q_dedup_jaccard" -> jaccardSql,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, posexplode}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, posexplode, sum, when}
 
 /** Relevance scoring over the corpus — the retrieval/model-gate stages
   * of a training-data pipeline (public recipes: BM25 retrieval for
@@ -106,6 +106,98 @@ object RankOps {
       |SELECT doc_id, hsum - 128 * n_words AS score_num, n_words,
       |  hsum > 128 * n_words AS pass
       |FROM s""".stripMargin
+
+  /** Shared input for classifier-evaluation queries: each doc's hashed
+    * classifier score (the [[qualityClassifier]] sum, kept as exact
+    * integers) quantized to 16 fixed bins — bin = hsum div (16·n_words),
+    * i.e. ⌊score·16⌋ over score = hsum/(256·n_words) ∈ [0,1) — plus a
+    * deterministic gold label: stopword density ≥ 1/16 (the heuristic
+    * gate a fasttext-style filter is typically evaluated against).
+    * Fixed-precision quantization is what makes every downstream
+    * evaluation constant-size: the per-bin table has ≤16 rows at ANY
+    * corpus scale, so ranking windows over it are free.
+    */
+  private def scoredLabeled(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "aggregate(split(text, ' '), 0L, (a, w) -> a + " +
+          "cast(conv(substring(md5(cast(w as binary)), 1, 2), 16, 10) as long)) as hsum",
+        "cast(size(split(text, ' ')) as long) as n_words",
+        "cast(size(filter(split(text, ' '), w -> w = 'the' or w = 'a')) as long) as n_stop")
+      .selectExpr("doc_id", "hsum div (16 * n_words) as bin",
+        "n_stop * 16 >= n_words as label")
+
+  private val scoredLabeledSql: String =
+    """s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      w -> ('0x' || substr(md5(w), 1, 2))::INT)) AS BIGINT) AS hsum,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |g AS (SELECT doc_id, hsum // (16 * n_words) AS bin,
+      |    n_stop * 16 >= n_words AS label FROM s),
+      |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+      |  FROM g GROUP BY bin)""".stripMargin
+
+  /** Classifier reliability diagram (calibration bins): per score bin,
+    * the doc count, gold-positive count, and exact integer positive rate
+    * in ppm — the table a threshold choice is read off of before gating
+    * a corpus on the classifier. One partial-agg'd shuffle on a ≤16-value
+    * key; the ppm is floor division so both engines agree bit-for-bit.
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame =
+    scoredLabeled(spark, dir)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).cast("long").as("n_pos"))
+      .selectExpr("bin", "n", "n_pos", "(n_pos * 1000000L) div n as pos_ppm")
+
+  val calibrationBinsSql: String =
+    s"""WITH $scoredLabeledSql
+       |SELECT CAST(bin AS BIGINT) AS bin, n, np AS n_pos,
+       |  CAST((np * 1000000) // n AS BIGINT) AS pos_ppm
+       |FROM b""".stripMargin
+
+  /** Exact Mann–Whitney AUC of the quality classifier against the gold
+    * gate, over the 16-bin quantized score (within-bin pairs count as
+    * ties at weight ½ — the standard fixed-precision-score AUC).
+    * u2 = 2·U = Σ_bins n_pos(b)·(2·cumNeg(<b) + n_neg(b)), all integer;
+    * auc_ppm = ⌊u2·5·10⁵ / (n_pos·n_neg)⌋. The pair sum never
+    * materializes pairs: it needs only per-bin counts and a running
+    * negative total — a window over the ≤16-row bin table, then one
+    * global one-row reduce. At 10^12 docs the only sized structure is
+    * the 16-row distribution.
+    */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = scoredLabeled(spark, dir)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(when(col("label"), 1L).otherwise(0L)).as("np"))
+      .selectExpr("bin", "np", "n - np as nn")
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    b.select(col("np"), col("nn"),
+        coalesce(sum(col("nn")).over(w), lit(0L)).as("cum_nn"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(expr("np * (2 * cum_nn + nn)")).as("u2"))
+      .selectExpr("cast(n_pos as long) as n_pos", "cast(n_neg as long) as n_neg",
+        "cast(u2 as long) as u2",
+        "cast((u2 * 500000L) div (n_pos * n_neg) as long) as auc_ppm")
+  }
+
+  val qualityAucSql: String =
+    s"""WITH $scoredLabeledSql,
+       |c AS (SELECT np, n - np AS nn,
+       |    COALESCE(sum(n - np) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+       |  FROM b)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |  CAST(sum(nn) AS BIGINT) AS n_neg,
+       |  CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+       |  CAST((sum(np * (2 * cum_nn + nn)) * 500000)
+       |    // (sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+       |FROM c""".stripMargin
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of the two retrieval
     * paths this library ships: BM25 lexical top-10 and dense cosine
@@ -251,6 +343,8 @@ object RankOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (bm25TopK(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
+    "q_calibration_bins" -> (calibrationBins(_, _)),
+    "q_quality_auc" -> (qualityAuc(_, _)),
     "q_dsir_select" -> (dsirSelect(_, _)),
     "q_rrf_fusion" -> (rrfFusion(_, _)),
     "q_inverted_index" -> (invertedIndex(_, _)))
@@ -258,6 +352,8 @@ object RankOps {
   def oracles: Map[String, String] = Map(
     "q_bm25_topk" -> bm25TopKSql,
     "q_quality_classifier" -> qualityClassifierSql,
+    "q_calibration_bins" -> calibrationBinsSql,
+    "q_quality_auc" -> qualityAucSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rrf_fusion" -> rrfFusionSql,
     "q_inverted_index" -> invertedIndexSql)
