@@ -348,7 +348,79 @@ object SampleOps {
       |        0) // $ShardTokens AS BIGINT) AS shard_id
       |FROM documents""".stripMargin
 
+  /** Example packing into fixed 2048-token training sequences —
+    * the batch-prep step between shard assignment and the data loader
+    * (T5-style no-split packing: a doc that doesn't fit the remainder
+    * opens a new sequence; the tail of each sequence is padding). Docs
+    * pack in doc_id order within their shard, so the layout is
+    * deterministic and resumable. Output: each doc's (sequence, offset)
+    * placement plus the shard's sequence count — exactly the index a
+    * loader needs to mmap a packed shard.
+    *
+    * Packing is inherently SEQUENTIAL per shard (each placement depends
+    * on the running fill), so the distributed shape is the
+    * [[CorpusOps.compactPlan]] one: `flatMapGroups` keyed by shard —
+    * one ordered greedy pass per group, all shards in parallel, never a
+    * driver loop. The oracle replays the identical greedy as a DuckDB
+    * recursive CTE carrying (seq, fill) as state, so any divergence in
+    * fit choice or offset arithmetic fails the hash. Docs longer than
+    * the capacity are truncated to it (`n_trunc` keeps the loss
+    * observable) — the no-split policy a packer applies to outliers.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 2048L
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id % 8 as long) as shard", "cast(doc_id as long) as doc_id",
+        "cast(size(split(text, ' ')) as long) as nt")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val ds = it.map { case (_, id, nt) => (id, nt) }.toArray.sortBy(_._1)
+        var seq = 1L; var fill = 0L
+        val out = Vector.newBuilder[(Long, Long, Long, Long, Long, Long)]
+        ds.foreach { case (id, nt) =>
+          val t = math.min(nt, cap)
+          if (fill + t > cap) { seq += 1; fill = 0L }
+          out += ((shard, id, t, nt - t, seq, fill))
+          fill += t
+        }
+        out.result().iterator
+      }
+      .toDF("shard", "doc_id", "n_tok", "n_trunc", "seq_no", "off")
+      .withColumn("n_seqs",
+        org.apache.spark.sql.functions.max("seq_no")
+          .over(Window.partitionBy("shard")).cast("long"))
+  }
+
+  val seqPackSql: String =
+    """WITH RECURSIVE items AS (
+      |  SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn,
+      |    doc_id, least(nt, 2048) AS t, nt - least(nt, 2048) AS n_trunc
+      |  FROM (SELECT CAST(doc_id % 8 AS BIGINT) AS shard, CAST(doc_id AS BIGINT) AS doc_id,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents)),
+      |pk AS (
+      |  SELECT shard, 0::BIGINT AS rn, 1::BIGINT AS seq, 0::BIGINT AS fill,
+      |    []::BIGINT[] AS aseq, []::BIGINT[] AS aoff
+      |  FROM (SELECT DISTINCT shard FROM items)
+      |  UNION ALL
+      |  SELECT i.shard, i.rn,
+      |    CASE WHEN p.fill + i.t > 2048 THEN p.seq + 1 ELSE p.seq END,
+      |    CASE WHEN p.fill + i.t > 2048 THEN i.t ELSE p.fill + i.t END,
+      |    list_append(p.aseq, CASE WHEN p.fill + i.t > 2048 THEN p.seq + 1 ELSE p.seq END),
+      |    list_append(p.aoff, CASE WHEN p.fill + i.t > 2048 THEN 0 ELSE p.fill END)
+      |  FROM pk p JOIN items i ON i.shard = p.shard AND i.rn = p.rn + 1),
+      |fin AS (
+      |  SELECT shard, seq AS n_seqs, aseq, aoff FROM pk p
+      |  WHERE rn = (SELECT max(rn) FROM items i WHERE i.shard = p.shard))
+      |SELECT i.shard, i.doc_id, i.t AS n_tok, i.n_trunc,
+      |  CAST(fin.aseq[CAST(i.rn AS INT)] AS BIGINT) AS seq_no,
+      |  CAST(fin.aoff[CAST(i.rn AS INT)] AS BIGINT) AS off,
+      |  CAST(fin.n_seqs AS BIGINT) AS n_seqs
+      |FROM items i JOIN fin ON fin.shard = i.shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pack" -> (seqPack(_, _)),
     "q_token_shards" -> (tokenShards(_, _)),
     "q_sample_stratified" -> (sampleStratified(_, _)),
     "q_sample_fixed_k" -> (sampleFixedK(_, _)),
@@ -358,6 +430,7 @@ object SampleOps {
     "q_token_budget_mix" -> (tokenBudgetMix(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_seq_pack" -> seqPackSql,
     "q_token_shards" -> tokenShardsSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_fixed_k" -> sampleFixedKSql,
