@@ -305,6 +305,57 @@ class PlanShapeSpec extends SparkTestBase {
       "q_rel_canonical's cluster count window lost its canonical-target partitioning")
   }
 
+  test("split hygiene: leakage audit self-joins once; group split needs NO join") {
+    // q_split_leakage measures the problem (dup-key self-join, checkpointed
+    // key table so the scan+hash lineage runs once); q_split_by_group IS
+    // the fix — the group split is a hash OF a column already on the row,
+    // so any Join in its plan means the cheap fix regressed to the audit's
+    // shape
+    val leak = plan("q_split_leakage")
+    assert(leak.contains("ExistingRDD"),
+      "q_split_leakage lost the checkpointed keyed table (double scan+hash)")
+    val fix = plan("q_split_by_group")
+    assert(!fix.contains("Join"),
+      "q_split_by_group must not join — the group split is derived in-row from the dup key")
+    // exactly the two keyed agg exchanges countDistinct expands to —
+    // (split, dup_key) pre-distinct, then the 3-value split rollup;
+    // both partial-agg'd, neither carries text
+    assert("Exchange hashpartitioning".r.findAllIn(fix).size <= 2,
+      "q_split_by_group grew extra shuffles beyond the countDistinct pair")
+  }
+
+  test("fuzzy decontamination broadcasts the eval band set, never self-joins the corpus") {
+    val p = plan("q_decontam_fuzzy")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "q_decontam_fuzzy must broadcast the (small) eval band table into the corpus band scan")
+    assert(!p.contains("Window ["),
+      "q_decontam_fuzzy must not sort the corpus — hit counting is a partial-agg'd groupBy")
+  }
+
+  test("classifier evaluation reduces through the 16-bin table, never row-level windows") {
+    // calibration: one partial-agg'd shuffle on the ≤16-value bin key
+    val cal = plan("q_calibration_bins")
+    assert(!cal.contains("Window ["), "q_calibration_bins needs no window at all")
+    assert("Exchange hashpartitioning".r.findAllIn(cal).size === 1 && cal.contains("partial_"),
+      "q_calibration_bins must partial-agg the bin rollup in one exchange")
+    // AUC: the only window consumes the binned aggregate (≤16 rows), so it
+    // must sit ABOVE the bin HashAggregate in the plan tree
+    val auc = plan("q_quality_auc")
+    val winIdx = auc.indexOf("Window [")
+    assert(winIdx >= 0 && auc.indexOf("HashAggregate", winIdx) >= 0,
+      "q_quality_auc's cumulative window must consume the 16-row bin aggregate, not doc rows")
+    assert("Exchange hashpartitioning".r.findAllIn(auc).size === 1,
+      "q_quality_auc must shuffle only the bin rollup key")
+  }
+
+  test("sequence packing is sequential per shard, parallel across shards") {
+    val p = plan("q_seq_pack")
+    assert(p.contains("MapGroups"),
+      "q_seq_pack must run the greedy pass as flatMapGroups per shard")
+    assert(p.contains("], [shard#"),
+      "q_seq_pack's n_seqs window lost its per-shard partitioning — global sort of the pack table")
+  }
+
   test("Q3 star schema: pushed filters, broadcast joins, TakeOrdered — never a global sort") {
     val p = plan("q_q3_shipping")
     assert(p.contains("TakeOrderedAndProject"),
