@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, posexplode, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit, min, posexplode, sum, when}
 
 /** Relevance scoring over the corpus — the retrieval/model-gate stages
   * of a training-data pipeline (public recipes: BM25 retrieval for
@@ -199,6 +199,64 @@ object RankOps {
        |    // (sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
        |FROM c""".stripMargin
 
+  /** Per-domain quality quota — keep each source's best documents up to
+    * a token budget (the FineWeb/RefinedWeb-style domain balancing step:
+    * quality-rank within domain, cut at the budget). The naive shape is
+    * a running token sum over score-ordered docs PER DOMAIN — a hot
+    * domain with 10^9 pages funnels through one task. This is the
+    * scale shape instead: quantize the classifier score to the same 16
+    * fixed bins [[calibrationBins]] uses, partial-agg (source, bin)
+    * token/doc totals, run the cumulative pass over the ≤16-row per-
+    * source histogram, and keep whole bins while the running total fits
+    * the budget (bin-granular cut — the boundary bin is dropped, and
+    * `thr_bin` makes the granularity observable). Every window input is
+    * 16 rows per source at ANY corpus scale; the doc-level decision a
+    * production job applies is then a broadcast threshold filter.
+    */
+  def domainQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 20000L
+    val h = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source",
+        "aggregate(split(text, ' '), 0L, (a, w) -> a + " +
+          "cast(conv(substring(md5(cast(w as binary)), 1, 2), 16, 10) as long)) as hsum",
+        "cast(size(split(text, ' ')) as long) as nt")
+      .selectExpr("source", "hsum div (16 * nt) as bin", "nt")
+      .groupBy("source", "bin")
+      .agg(sum(col("nt")).as("bt"), count(lit(1)).as("bd"))
+    val wCum = Window.partitionBy("source").orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("source")
+    h.select(col("source"), col("bin"), col("bt"), col("bd"),
+        sum(col("bt")).over(wCum).as("cum"), sum(col("bt")).over(wTot).as("tot"))
+      .where(col("cum") <= budget)
+      .groupBy("source")
+      .agg(min(col("bin")).cast("long").as("thr_bin"),
+        sum(col("bd")).cast("long").as("n_kept_docs"),
+        sum(col("bt")).cast("long").as("n_kept_tokens"),
+        min(col("tot")).cast("long").as("n_total_tokens"))
+  }
+
+  val domainQuotaSql: String =
+    """WITH s AS (SELECT source,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      w -> ('0x' || substr(md5(w), 1, 2))::INT)) AS BIGINT) AS hsum,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |h AS (SELECT source, hsum // (16 * nt) AS bin,
+      |    CAST(sum(nt) AS BIGINT) AS bt, CAST(count(*) AS BIGINT) AS bd
+      |  FROM s GROUP BY 1, 2),
+      |c AS (SELECT source, bin, bt, bd,
+      |    sum(bt) OVER (PARTITION BY source ORDER BY bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(bt) OVER (PARTITION BY source) AS tot
+      |  FROM h)
+      |SELECT source, CAST(min(bin) AS BIGINT) AS thr_bin,
+      |  CAST(sum(bd) AS BIGINT) AS n_kept_docs,
+      |  CAST(sum(bt) AS BIGINT) AS n_kept_tokens,
+      |  CAST(min(tot) AS BIGINT) AS n_total_tokens
+      |FROM c WHERE cum <= 20000 GROUP BY source""".stripMargin
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of the two retrieval
     * paths this library ships: BM25 lexical top-10 and dense cosine
     * top-5 (query vector 0) — the standard hybrid-retrieval combiner,
@@ -345,6 +403,7 @@ object RankOps {
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_calibration_bins" -> (calibrationBins(_, _)),
     "q_quality_auc" -> (qualityAuc(_, _)),
+    "q_domain_quota" -> (domainQuota(_, _)),
     "q_dsir_select" -> (dsirSelect(_, _)),
     "q_rrf_fusion" -> (rrfFusion(_, _)),
     "q_inverted_index" -> (invertedIndex(_, _)))
@@ -354,6 +413,7 @@ object RankOps {
     "q_quality_classifier" -> qualityClassifierSql,
     "q_calibration_bins" -> calibrationBinsSql,
     "q_quality_auc" -> qualityAucSql,
+    "q_domain_quota" -> domainQuotaSql,
     "q_dsir_select" -> dsirSelectSql,
     "q_rrf_fusion" -> rrfFusionSql,
     "q_inverted_index" -> invertedIndexSql)

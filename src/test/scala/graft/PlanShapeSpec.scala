@@ -303,6 +303,14 @@ class PlanShapeSpec extends SparkTestBase {
       "q_robust_outliers' median windows lost their source partitioning")
     assert(plan("q_rel_canonical").contains("], [canonical_url#"),
       "q_rel_canonical's cluster count window lost its canonical-target partitioning")
+    // domain quota: both cumulative windows run over the per-source
+    // 16-bin histogram, partitioned by source — and the doc-level rows
+    // never reach a window (the histogram groupBy sits below)
+    val dq = plan("q_domain_quota")
+    assert(dq.contains("], [source#"),
+      "q_domain_quota's budget windows lost their source partitioning")
+    assert("Exchange hashpartitioning".r.findAllIn(dq).size <= 2 && dq.contains("partial_"),
+      "q_domain_quota must reduce docs to (source,bin) partial-agg'd histograms before any window")
   }
 
   test("split hygiene: leakage audit self-joins once; group split needs NO join") {
