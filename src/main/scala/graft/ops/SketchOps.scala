@@ -468,7 +468,74 @@ object SketchOps {
       |FROM tr JOIN bounds b ON b.path = tr.path""".stripMargin
   }
 
+  /** HyperLogLog register table (Flajolet et al. 2007) over the corpus'
+    * distinct text fingerprints — THE mergeable distinct-count
+    * structure at 10^12 rows: 64 fixed registers, register j holding
+    * max over items of rho (1-based position of the first 1-bit in the
+    * item's hash suffix). Everything is exact integer hex arithmetic on
+    * the shared lowercase-md5, so the oracle replays it bit-for-bit:
+    * reg = first hash byte mod 64, rho from the 56-bit suffix via
+    * leading-zero count (regexp on '^0*' + a nibble CASE — identical
+    * text both engines). The merge law (register-wise max) is exposed
+    * AS DATA: per register, the doc_id-parity half-sketches and their
+    * max, with `merge_ok` comparing against the single-pass register —
+    * the same shipped invariant [[cmsMerge]] and [[quantileMerge]]
+    * carry. `est_term` = 2^(32−min(rho,32)) is the exact integer
+    * numerator of the raw harmonic estimate (Σ terms / 64² scaling and
+    * bias correction are driver-side float work on 64 rows).
+    *
+    * 100 TB shape: one partial-agg'd shuffle on a 64-value key; the
+    * map side reduces every partition to ≤64 (reg, rho) rows before the
+    * exchange — text and hashes never ride. Adding a grouping column
+    * (source, shard) makes it the per-stratum cardinality table.
+    */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("md5(cast(text as binary)) as h", "cast(doc_id % 2 as int) as half")
+      .selectExpr(
+        "cast(conv(substring(h, 1, 2), 16, 10) as long) % 64 as reg",
+        "substring(h, 3, 14) as sub", "half")
+      .selectExpr("reg", "half",
+        "length(regexp_extract(sub, '^0*', 0)) as nz", "sub")
+      .selectExpr("reg", "half",
+        """cast(case when nz = length(sub) then 4 * length(sub) + 1
+          |  else 4 * nz + (case when substring(sub, nz + 1, 1) = '1' then 3
+          |                      when substring(sub, nz + 1, 1) in ('2', '3') then 2
+          |                      when substring(sub, nz + 1, 1) in ('4', '5', '6', '7') then 1
+          |                      else 0 end) + 1 end as long) as rho""".stripMargin)
+      .groupBy("reg")
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        max(col("rho")).as("rho_max"),
+        coalesce(max(when(col("half") === 0, col("rho"))), lit(0L)).as("rho_even"),
+        coalesce(max(when(col("half") === 1, col("rho"))), lit(0L)).as("rho_odd"))
+      .selectExpr("reg", "n_items", "rho_max", "rho_even", "rho_odd",
+        "greatest(rho_even, rho_odd) = rho_max as merge_ok",
+        "shiftleft(1L, cast(32 - least(rho_max, 32L) as int)) as est_term")
+
+  val hllRegistersSql: String =
+    """WITH i AS (SELECT md5(text) AS h, CAST(doc_id % 2 AS INT) AS half FROM documents),
+      |p AS (SELECT CAST(('0x' || substr(h, 1, 2))::INT % 64 AS BIGINT) AS reg,
+      |    substr(h, 3, 14) AS sub, half FROM i),
+      |z AS (SELECT reg, half, len(regexp_extract(sub, '^0*')) AS nz, sub FROM p),
+      |r AS (SELECT reg, half,
+      |    CAST(CASE WHEN nz = len(sub) THEN 4 * len(sub) + 1
+      |      ELSE 4 * nz + (CASE WHEN substr(sub, nz + 1, 1) = '1' THEN 3
+      |                          WHEN substr(sub, nz + 1, 1) IN ('2', '3') THEN 2
+      |                          WHEN substr(sub, nz + 1, 1) IN ('4', '5', '6', '7') THEN 1
+      |                          ELSE 0 END) + 1 END AS BIGINT) AS rho
+      |  FROM z),
+      |a AS (SELECT reg, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(max(rho) AS BIGINT) AS rho_max,
+      |    CAST(coalesce(max(CASE WHEN half = 0 THEN rho END), 0) AS BIGINT) AS rho_even,
+      |    CAST(coalesce(max(CASE WHEN half = 1 THEN rho END), 0) AS BIGINT) AS rho_odd
+      |  FROM r GROUP BY reg)
+      |SELECT reg, n_items, rho_max, rho_even, rho_odd,
+      |  greatest(rho_even, rho_odd) = rho_max AS merge_ok,
+      |  CAST(1::BIGINT << CAST(32 - least(rho_max, 32) AS INT) AS BIGINT) AS est_term
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_registers" -> (hllRegisters(_, _)),
     "q_kll_quantiles" -> (kllQuantiles(_, _)),
     "q_cms_merge" -> (cmsMerge(_, _)),
     "q_quantile_merge" -> (quantileMerge(_, _)),
@@ -478,6 +545,7 @@ object SketchOps {
     "q_length_quantiles" -> (lengthQuantiles(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_hll_registers" -> hllRegistersSql,
     "q_kll_quantiles" -> kllQuantilesSql,
     "q_cms_merge" -> cmsMergeSql,
     "q_quantile_merge" -> quantileMergeSql,
