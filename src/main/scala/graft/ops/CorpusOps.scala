@@ -619,9 +619,55 @@ object CorpusOps {
       |  CAST(length(nfc_normalize(replace(text, 'e', 'e' || chr(769)))) AS BIGINT) AS n_chars_norm
       |FROM documents""".stripMargin
 
+  /** Effective (dedup-discounted) token counts per source — the number
+    * mixing weights should actually be computed over: exact-duplicate
+    * copies beyond the keeper contribute no new training signal, so a
+    * source whose volume is half mirror-copies is half its apparent
+    * size. Keeper = min doc_id per full-text fingerprint (the
+    * [[DedupOps.exact]] rule); every non-keeper copy's tokens are
+    * counted as duplicated and subtracted. Feeding `n_effective_tokens`
+    * into [[SampleOps.tokenBudgetMix]] instead of raw totals is the
+    * documented CCNet/RefinedWeb practice.
+    *
+    * 100 TB shape: identical to [[datasetCard]]'s dup leg — one 16-byte
+    * fingerprint shuffle (map-side partial min), one join-back on fp,
+    * one per-source rollup; text never rides an exchange.
+    */
+  def effectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "source",
+        "md5(cast(text as binary)) as fp",
+        "cast(size(split(text, ' ')) as long) as nt")
+      .localCheckpoint(true) // one scan+hash feeds both agg and join-back
+    val keep = d.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+    d.join(keep, Seq("fp"))
+      .selectExpr("source", "nt", "doc_id = keeper as is_keeper")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"),
+        sum(when(!col("is_keeper"), 1L).otherwise(0L)).cast("long").as("n_dup_docs"),
+        sum(when(!col("is_keeper"), col("nt")).otherwise(0L)).cast("long").as("n_dup_tokens"))
+      .selectExpr("source", "n_docs", "n_tokens", "n_dup_docs", "n_dup_tokens",
+        "n_tokens - n_dup_tokens as n_effective_tokens")
+  }
+
+  val effectiveTokensSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, md5(text) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      |k AS (SELECT fp, min(doc_id) AS keeper FROM d GROUP BY fp),
+      |j AS (SELECT d.source, d.nt, d.doc_id = k.keeper AS is_keeper
+      |  FROM d JOIN k USING (fp))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(CASE WHEN is_keeper THEN 0 ELSE nt END) AS BIGINT) AS n_dup_tokens,
+      |  CAST(sum(nt) - sum(CASE WHEN is_keeper THEN 0 ELSE nt END) AS BIGINT) AS n_effective_tokens
+      |FROM j GROUP BY source""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_effective_tokens" -> (effectiveTokens(_, _)),
     "q_para_dedup" -> (paraDedup(_, _)),
     "q_ngram_dup_rate" -> (ngramDupRate(_, _)),
     "q_chunk_windows" -> (chunkWindows(_, _)),
@@ -635,6 +681,7 @@ object CorpusOps {
     "q_host_line_dedup" -> (hostLineDedup(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_effective_tokens" -> effectiveTokensSql,
     "q_para_dedup" -> paraDedupSql,
     "q_ngram_dup_rate" -> ngramDupRateSql,
     "q_chunk_windows" -> chunkWindowsSql,

@@ -419,8 +419,80 @@ object SampleOps {
       |  CAST(fin.n_seqs AS BIGINT) AS n_seqs
       |FROM items i JOIN fin ON fin.shard = i.shard""".stripMargin
 
+  /** Per-shard provenance card — the release-side ledger row every
+    * packed training shard ships with: doc/token totals, how many
+    * sources feed it, and the majority source (deterministic argmax:
+    * tokens DESC, source ASC). Uses [[tokenShards]]' exact shard
+    * assignment with `source` carried THROUGH the two-phase prefix —
+    * provenance rides the existing pipeline instead of a second
+    * corpus join on doc_id.
+    *
+    * 100 TB shape: the doc-level windows stay partitioned by prefix
+    * bucket (inherited from tokenShards); the provenance windows run
+    * over the (shard × source) rollup — bounded by sources-per-shard,
+    * never doc rows.
+    */
+  def shardProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "cast(doc_id as long) as doc_id", "source",
+        "cast(size(split(text, ' ')) as long) as n_tokens",
+        s"cast(doc_id div $PackBucketWidth as long) as bkt")
+    val bucketSums = d.groupBy("bkt").agg(sum("n_tokens").as("bt"))
+    val bucketOffsets = bucketSums.select(
+      col("bkt"),
+      coalesce(
+        sum("bt").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("off"))
+    val sharded = d.join(broadcast(bucketOffsets), Seq("bkt"))
+      .withColumn("pre",
+        coalesce(
+          sum("n_tokens").over(
+            Window.partitionBy("bkt").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .selectExpr("source", "n_tokens",
+        s"cast((off + pre) div $ShardTokens as long) as shard_id")
+    val bySrc = sharded.groupBy("shard_id", "source")
+      .agg(sum("n_tokens").as("st"), count(lit(1)).as("sd"))
+    val wTop = Window.partitionBy("shard_id").orderBy(desc("st"), asc("source"))
+    val wSh = Window.partitionBy("shard_id")
+    bySrc.select(col("shard_id"), col("source"), col("st"),
+        row_number().over(wTop).as("rn"),
+        sum("st").over(wSh).as("tt"), sum("sd").over(wSh).as("td"),
+        count(lit(1)).over(wSh).as("ns"))
+      .where(col("rn") === 1)
+      .selectExpr("shard_id", "cast(td as long) as n_docs",
+        "cast(tt as long) as n_tokens", "cast(ns as long) as n_sources",
+        "source as top_source", "cast(st as long) as top_source_tokens")
+  }
+
+  val shardProvenanceSql: String =
+    s"""WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      |sh AS (SELECT source, nt,
+      |    CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // $ShardTokens AS BIGINT) AS shard_id
+      |  FROM s),
+      |g AS (SELECT shard_id, source, CAST(sum(nt) AS BIGINT) AS st,
+      |    CAST(count(*) AS BIGINT) AS sd
+      |  FROM sh GROUP BY 1, 2),
+      |r AS (SELECT shard_id, source, st,
+      |    row_number() OVER (PARTITION BY shard_id ORDER BY st DESC, source) AS rn,
+      |    sum(st) OVER (PARTITION BY shard_id) AS tt,
+      |    sum(sd) OVER (PARTITION BY shard_id) AS td,
+      |    count(*) OVER (PARTITION BY shard_id) AS ns
+      |  FROM g)
+      |SELECT shard_id, CAST(td AS BIGINT) AS n_docs, CAST(tt AS BIGINT) AS n_tokens,
+      |  CAST(ns AS BIGINT) AS n_sources, source AS top_source,
+      |  st AS top_source_tokens
+      |FROM r WHERE rn = 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pack" -> (seqPack(_, _)),
+    "q_shard_provenance" -> (shardProvenance(_, _)),
     "q_token_shards" -> (tokenShards(_, _)),
     "q_sample_stratified" -> (sampleStratified(_, _)),
     "q_sample_fixed_k" -> (sampleFixedK(_, _)),
@@ -431,6 +503,7 @@ object SampleOps {
 
   def oracles: Map[String, String] = Map(
     "q_seq_pack" -> seqPackSql,
+    "q_shard_provenance" -> shardProvenanceSql,
     "q_token_shards" -> tokenShardsSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_sample_fixed_k" -> sampleFixedKSql,
