@@ -664,10 +664,59 @@ object CorpusOps {
       |  CAST(sum(nt) - sum(CASE WHEN is_keeper THEN 0 ELSE nt END) AS BIGINT) AS n_effective_tokens
       |FROM j GROUP BY source""".stripMargin
 
+  /** Template-spam exposure per source — the host-level view of
+    * boilerplate duplication (chum boxes, tag pages, mirror templates):
+    * a doc is "templated" when its 10-token prefix key is shared by ≥5
+    * docs corpus-wide. Every doc with doc_id%13<3 gets a planted nav
+    * boilerplate prefix (the template), so family membership is
+    * deterministic in both engines; naturally-unique docs stay out.
+    * Output per source: doc count, templated count, and the exact ppm
+    * ratio — the number a crawler uses to demote template-farm hosts.
+    *
+    * 100 TB shape: one 16-byte prefix-key shuffle (partial-agg'd family
+    * count), a semi-join-shaped join-back on the same key, one source
+    * rollup. Prefix keys spread template families across tasks exactly
+    * like [[DedupOps.splitLeakage]]'s dup keys.
+    */
+  def templateSpam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "source",
+        """case when doc_id % 13 < 3
+          |  then concat('site nav home about contact login search terms privacy cookie ', text)
+          |  else text end as t""".stripMargin)
+      .selectExpr("doc_id", "source",
+        "md5(cast(array_join(slice(split(t, ' '), 1, 10), ' ') as binary)) as pk")
+      .localCheckpoint(true) // one scan feeds family counts and join-back
+    val fam = d.groupBy("pk").agg(count(lit(1)).as("fn"))
+    d.join(fam, Seq("pk"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("fn") >= 5, 1L).otherwise(0L)).cast("long").as("n_template_docs"))
+      .selectExpr("source", "n_docs", "n_template_docs",
+        "(n_template_docs * 1000000L) div n_docs as template_ppm")
+  }
+
+  val templateSpamSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+      |    CASE WHEN doc_id % 13 < 3
+      |      THEN 'site nav home about contact login search terms privacy cookie ' || text
+      |      ELSE text END AS t
+      |  FROM documents),
+      |k AS (SELECT doc_id, source,
+      |    md5(array_to_string(list_slice(string_split(t, ' '), 1, 10), ' ')) AS pk
+      |  FROM d),
+      |f AS (SELECT pk, CAST(count(*) AS BIGINT) AS fn FROM k GROUP BY pk)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN f.fn >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_template_docs,
+      |  CAST((sum(CASE WHEN f.fn >= 5 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS template_ppm
+      |FROM k JOIN f USING (pk) GROUP BY source""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_effective_tokens" -> (effectiveTokens(_, _)),
+    "q_template_spam" -> (templateSpam(_, _)),
     "q_para_dedup" -> (paraDedup(_, _)),
     "q_ngram_dup_rate" -> (ngramDupRate(_, _)),
     "q_chunk_windows" -> (chunkWindows(_, _)),
@@ -682,6 +731,7 @@ object CorpusOps {
 
   def oracles: Map[String, String] = Map(
     "q_effective_tokens" -> effectiveTokensSql,
+    "q_template_spam" -> templateSpamSql,
     "q_para_dedup" -> paraDedupSql,
     "q_ngram_dup_rate" -> ngramDupRateSql,
     "q_chunk_windows" -> chunkWindowsSql,

@@ -622,6 +622,56 @@ object TextOps {
       |  'testfiss no. ' || lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g'))) AS dedup_key
       |FROM documents""".stripMargin
 
+  /** What canonical-key folding BUYS the dedup pass, measured: the
+    * corpus gains an uppercased twin for every 7th doc (a case-variant
+    * mirror — the most common real near-miss exact dedup can't see),
+    * then both dedup keys run side by side — raw md5(text) vs
+    * md5([[graft.kernels.UnicodeKernel.dedupKey]](text)). Output is the
+    * one-row audit: docs removed by raw exact dedup, docs removed under
+    * the folded key, and the gain. The folded key collapses each twin
+    * onto its source (NFKC+casefold turns the uppercase copy back into
+    * the original), so `gain_docs` ≥ the planted twin count; natural
+    * exact dups count under both keys.
+    *
+    * 100 TB shape: two 16-byte-key partial-agg'd shuffles (one per key
+    * flavor) over in-row hashes; text never rides.
+    */
+  def normGain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d0 = docs(spark, dir).selectExpr("cast(doc_id as long) as doc_id", "text")
+    val corpus = d0.unionByName(
+      d0.where("doc_id % 7 = 0")
+        .selectExpr("doc_id + 20000000 as doc_id", "upper(text) as text"))
+    val keyed = corpus.as[(Long, String)]
+      .mapPartitions(_.map { case (_, t) =>
+        (t, graft.kernels.UnicodeKernel.dedupKey(t))
+      })
+      .toDF("t", "fk")
+      .selectExpr("md5(cast(t as binary)) as raw_fp",
+        "md5(cast(fk as binary)) as fold_fp")
+      .localCheckpoint(true) // one scan+fold feeds both rollups
+    def removed(key: String) = keyed.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n - 1")).cast("long").as("removed"))
+    removed("raw_fp").selectExpr("removed as raw_dup_docs")
+      .crossJoin(removed("fold_fp").selectExpr("removed as fold_dup_docs"))
+      .selectExpr("raw_dup_docs", "fold_dup_docs",
+        "fold_dup_docs - raw_dup_docs as gain_docs")
+  }
+
+  val normGainSql: String =
+    """WITH c AS (SELECT text FROM documents
+      |  UNION ALL SELECT upper(text) FROM documents WHERE doc_id % 7 = 0),
+      |k AS (SELECT md5(text) AS raw_fp,
+      |    md5(lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS fold_fp
+      |  FROM c),
+      |r AS (SELECT CAST(sum(n - 1) AS BIGINT) AS raw_dup_docs
+      |  FROM (SELECT count(*) AS n FROM k GROUP BY raw_fp)),
+      |f AS (SELECT CAST(sum(n - 1) AS BIGINT) AS fold_dup_docs
+      |  FROM (SELECT count(*) AS n FROM k GROUP BY fold_fp))
+      |SELECT r.raw_dup_docs, f.fold_dup_docs,
+      |  f.fold_dup_docs - r.raw_dup_docs AS gain_docs
+      |FROM r CROSS JOIN f""".stripMargin
+
   /** Script-mix profile + homoglyph signal
     * ([[graft.kernels.UnicodeKernel.scriptMix]]): per-doc letter counts
     * by script and the count of words whose letters span ≥2 confusable
@@ -1186,6 +1236,7 @@ object TextOps {
     "q_corpus_clean" -> (corpusClean(_, _)),
     "q_mojibake_repair" -> (mojibakeRepair(_, _)),
     "q_dedup_key" -> (dedupKeyQ(_, _)),
+    "q_norm_gain" -> (normGain(_, _)),
     "q_script_mix" -> (scriptMixQ(_, _)),
     "q_c4_line_filter" -> (c4LineFilterQ(_, _)),
     "q_type_token_ratio" -> (typeTokenRatio(_, _)),
@@ -1214,6 +1265,7 @@ object TextOps {
     "q_corpus_clean" -> corpusCleanSql,
     "q_mojibake_repair" -> mojibakeRepairSql,
     "q_dedup_key" -> dedupKeySql,
+    "q_norm_gain" -> normGainSql,
     "q_script_mix" -> scriptMixSql,
     "q_c4_line_filter" -> c4LineFilterSql,
     "q_type_token_ratio" -> typeTokenRatioSql,
