@@ -398,8 +398,59 @@ object RankOps {
       |    x -> CAST(x AS VARCHAR)), ',') AS postings_head
       |FROM f GROUP BY term""".stripMargin
 
+  /** Per-document TF-IDF keywords — the classic per-doc descriptor the
+    * corpus tooling hangs off retrieval (dataset-card term clouds,
+    * cluster labeling, topic drift audits): top-3 terms per document by
+    * `tf * ln(N / df)`, ties broken lexically. Rounded-6 score is the
+    * ORDERING key on both engines, so rank ties resolve identically.
+    *
+    * 100 TB shape: per-doc (term, tf) pairs are computed IN-ROW
+    * (distinct + count over the token array — text never shuffles);
+    * the document-frequency table is vocabulary-sized and broadcast
+    * back; corpus N is a one-row broadcast. The only wide exchange is
+    * the per-doc top-3 window, partitioned by doc_id (bounded
+    * partitions: a doc's distinct-term count).
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id", "split(text, ' ') as ws")
+      .selectExpr("doc_id",
+        """explode(transform(array_distinct(filter(ws, x -> x <> '')),
+          |  w -> struct(w as w, cast(size(filter(ws, x -> x = w)) as long) as tf))) as t""".stripMargin)
+      .selectExpr("doc_id", "t.w as term", "t.tf as tf")
+      .localCheckpoint(true)
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val n = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(expr("cast(count(*) as long) as n"))
+    val scored = tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(n))
+      .selectExpr("doc_id", "term", "tf", "df",
+        "round(cast(tf as double) * ln(cast(n as double) / cast(df as double)), 6) as score")
+    scored
+      .withColumn("rk", expr(
+        "cast(row_number() over (partition by doc_id order by score desc, term) as bigint)"))
+      .where("rk <= 3")
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+      |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM d, LATERAL unnest(ws) AS t(w) GROUP BY 1, 2),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |s AS (SELECT doc_id, term, tf, df,
+      |    round(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+      |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM s)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
+      |FROM r WHERE rk <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (bm25TopK(_, _)),
+    "q_tfidf_keywords" -> (tfidfKeywords(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_calibration_bins" -> (calibrationBins(_, _)),
     "q_quality_auc" -> (qualityAuc(_, _)),
@@ -410,6 +461,7 @@ object RankOps {
 
   def oracles: Map[String, String] = Map(
     "q_bm25_topk" -> bm25TopKSql,
+    "q_tfidf_keywords" -> tfidfKeywordsSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_calibration_bins" -> calibrationBinsSql,
     "q_quality_auc" -> qualityAucSql,
