@@ -65,14 +65,18 @@ object TextOps {
     "ru" -> Seq("и", "в", "не", "на", "что", "с", "это", "как", "по", "но"),
     "ar" -> Seq("في", "من", "على", "أن", "إلى", "هذا", "التي", "كان", "مع", "عن"))
 
-  private def hitsExpr(ws: Seq[String]): String = {
+  private def hitsExpr(ws: Seq[String]): String = hitsExprOn("text", ws)
+
+  private def hitsSqlExpr(ws: Seq[String]): String = hitsSqlExprOn("text", ws)
+
+  private def hitsExprOn(c: String, ws: Seq[String]): String = {
     val arr = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
-    s"size(filter(array_distinct(split(text, ' ')), w -> array_contains($arr, w)))"
+    s"size(filter(array_distinct(split($c, ' ')), w -> array_contains($arr, w)))"
   }
 
-  private def hitsSqlExpr(ws: Seq[String]): String = {
+  private def hitsSqlExprOn(c: String, ws: Seq[String]): String = {
     val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter(list_distinct(string_split(text, ' ')), w -> list_contains($arr, w)))"
+    s"len(list_filter(list_distinct(string_split($c, ' ')), w -> list_contains($arr, w)))"
   }
 
   /** n-gram/marker-word language ID heuristic: most marker hits wins,
@@ -100,6 +104,75 @@ object TextOps {
        |SELECT doc_id, ${best.mkString(", ")},
        |  CASE $caseChain ELSE 'und' END AS lang_pred
        |FROM h""".stripMargin
+  }
+
+  // ------------------------------------------------ declared-vs-detected
+
+  /** Planted marker prefix for [[langAgreement]]: every doc whose
+    * declared `lang` has a word-marker profile gets 5 markers of that
+    * language prepended (a correct declaration); every 4th doc instead
+    * gets a ROTATED wrong-language prefix (en→fr, de→en, fr→es, es→de —
+    * a mislabel plant). Declared-zh docs keep their raw Latin text on
+    * the correct branch (no zh word markers exist — the realistic
+    * "declared CJK, Latin body" shape the CJK path handles) and get an
+    * en prefix on the mislabel branch. Shared literal between the Spark
+    * and DuckDB sides so both engines score identical strings.
+    */
+  private val LangPrefixCase: String =
+    """case when doc_id % 4 = 0 then
+      |  case lang when 'en' then 'le la les des est'
+      |            when 'de' then 'the and of to in'
+      |            when 'fr' then 'el los las una por'
+      |            when 'es' then 'der die das und nicht'
+      |            else 'the and of to in' end
+      |else
+      |  case lang when 'en' then 'the and of to in'
+      |            when 'de' then 'der die das und nicht'
+      |            when 'fr' then 'le la les des est'
+      |            when 'es' then 'el los las una por'
+      |            else '' end
+      |end""".stripMargin
+
+  /** Declared-language vs detected-language agreement — the CCNet-style
+    * audit a corpus pipeline runs before trusting the page's own `lang`
+    * tag (Wenzek et al. 2020 keep docs where the LID agrees with the
+    * declared language): a confusion matrix of (declared, predicted)
+    * with exact doc counts and the agreement verdict per cell. The
+    * mislabel plants (see [[LangPrefixCase]]) make disagreement rows
+    * value-bearing at every SF.
+    *
+    * 100 TB shape: scoring is a pure in-row projection over the 21
+    * marker profiles (text never shuffles); the only exchange is the
+    * confusion-cell rollup — at most |langs|² tiny rows after map-side
+    * partial agg.
+    */
+  def langAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val hits = Markers.map { case (l, ws) => s"cast(${hitsExprOn("txt", ws)} as long) as hits_$l" }
+    val best = Markers.map { case (l, _) => s"hits_$l" }
+    val caseChain = Markers.map { case (l, _) =>
+      s"when hits_$l = greatest(${best.mkString(", ")}) and hits_$l > 0 then '$l'"
+    }.mkString(" ")
+    docs(spark, dir)
+      .selectExpr("lang", s"concat($LangPrefixCase, ' ', text) as txt")
+      .selectExpr(Seq("lang") ++ hits: _*)
+      .selectExpr("lang", s"case $caseChain else 'und' end as lang_pred")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .selectExpr("lang", "lang_pred", "n_docs", "lang = lang_pred as agree")
+  }
+
+  val langAgreementSql: String = {
+    val hits = Markers.map { case (l, ws) => s"${hitsSqlExprOn("txt", ws)} AS hits_$l" }
+    val best = Markers.map { case (l, _) => s"hits_$l" }
+    val caseChain = Markers.map { case (l, _) =>
+      s"WHEN hits_$l = greatest(${best.mkString(", ")}) AND hits_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT lang, concat($LangPrefixCase, ' ', text) AS txt FROM documents),
+       |h AS (SELECT lang, ${hits.mkString(", ")} FROM t),
+       |p AS (SELECT lang, CASE $caseChain ELSE 'und' END AS lang_pred FROM h)
+       |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       |  lang = lang_pred AS agree
+       |FROM p GROUP BY lang, lang_pred""".stripMargin
   }
 
   // ----------------------------------------------------- CJK language id
@@ -1242,6 +1315,7 @@ object TextOps {
     "q_type_token_ratio" -> (typeTokenRatio(_, _)),
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
+    "q_lang_agreement" -> (langAgreement(_, _)),
     "q_lang_id_cjk" -> (langIdCjk(_, _)),
     "q_quality" -> (quality(_, _)),
     "q_gopher_quality" -> (gopherQuality(_, _)),
@@ -1271,6 +1345,7 @@ object TextOps {
     "q_type_token_ratio" -> typeTokenRatioSql,
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
+    "q_lang_agreement" -> langAgreementSql,
     "q_lang_id_cjk" -> langIdCjkSql,
     "q_quality" -> qualitySql,
     "q_gopher_quality" -> gopherQualitySql,
