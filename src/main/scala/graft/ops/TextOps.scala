@@ -1298,9 +1298,70 @@ object TextOps {
       |FROM m GROUP BY source""".stripMargin
   }
 
+  /** Tokenizer fertility per source — the compression-ratio QA metric a
+    * tokenizer rollout reports next to OOV (chars per emitted piece;
+    * fertility ≈ pieces per word): sources whose text the learned BPE
+    * compresses poorly (low chars/piece) pay more sequence length per
+    * byte of training signal and distort the token-budget mix. Exact
+    * integer char/word/piece totals per source under the SAME learned
+    * merge table as [[bpeApply]]; the two ratios are shared rounded
+    * formulas.
+    *
+    * 100 TB shape: identical to [[oovRateBpe]] — the merge table is a
+    * tiny broadcast model artifact, the per-doc pass is narrow kernel
+    * work, and the only exchange is the per-source integer rollup.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = wordFreq(spark, dir).as[(String, Long)].collect().toSeq
+    val merges = graft.kernels.BpeKernel.train(wf).map(m => (m.lhs, m.rhs))
+    val bc = spark.sparkContext.broadcast(merges)
+    docs(spark, dir)
+      .selectExpr("source", "split(text, ' ') as ws")
+      .as[(String, Seq[String])]
+      .mapPartitions(_.map { case (src, ws) =>
+        var chars = 0L
+        var words = 0L
+        var pieces = 0L
+        ws.foreach { w =>
+          if (w.nonEmpty) {
+            chars += w.length
+            words += 1
+            pieces += graft.kernels.BpeKernel.segment(w, bc.value).length
+          }
+        }
+        (src, chars, words, pieces)
+      })
+      .toDF("source", "c", "w", "p")
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_chars"), sum("w").cast("long").as("n_words"),
+        sum("p").cast("long").as("n_pieces"))
+      .selectExpr("source", "n_chars", "n_words", "n_pieces",
+        "round(cast(n_chars as double) / n_pieces, 6) as chars_per_piece",
+        "round(cast(n_pieces as double) / n_words, 6) as pieces_per_word")
+  }
+
+  val tokenFertilitySql: String = {
+    val n = graft.kernels.BpeKernel.Rounds
+    s"""WITH $bpeTrainCtes,
+      |tok AS (SELECT source, w FROM (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |m AS (SELECT t.source, len(t.w) AS nc, len(string_split(s.seg, ' ')) AS np
+      |  FROM tok t JOIN seg_$n s USING (w)),
+      |g AS (SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
+      |    CAST(count(*) AS BIGINT) AS n_words, CAST(sum(np) AS BIGINT) AS n_pieces
+      |  FROM m GROUP BY source)
+      |SELECT source, n_chars, n_words, n_pieces,
+      |  round(CAST(n_chars AS DOUBLE) / n_pieces, 6) AS chars_per_piece,
+      |  round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS pieces_per_word
+      |FROM g""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> (bpeTrain(_, _)),
     "q_bpe_apply" -> (bpeApply(_, _)),
+    "q_token_fertility" -> (tokenFertility(_, _)),
     "q_oov_rate_bpe" -> (oovRateBpe(_, _)),
     "q_readability" -> (readability(_, _)),
     "q_pmi_collocations" -> (pmiCollocations(_, _)),
@@ -1334,6 +1395,7 @@ object TextOps {
     "q_oov_rate" -> oovRateSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_apply" -> bpeApplySql,
+    "q_token_fertility" -> tokenFertilitySql,
     "q_oov_rate_bpe" -> oovRateBpeSql,
     "q_wordpiece_tokens" -> wordpieceTokensSql,
     "q_corpus_clean" -> corpusCleanSql,
