@@ -71,6 +71,95 @@ object DedupOps {
       |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jac
       |FROM p WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5""".stripMargin
 
+  // ---------------------------------------------------- shingle containment
+
+  /** Posting-list cap for [[shingleContainment]]'s candidate stage —
+    * same role as [[DefaultBucketCap]]: a shingle shared by more than
+    * this many documents is boilerplate (it would emit df² candidate
+    * pairs) and is excluded from candidate GENERATION (never from the
+    * exact verify — the intersection is computed over the full shingle
+    * sets of every surviving pair). Far above any test-SF posting list,
+    * so oracle rows are unchanged at test scale.
+    */
+  val ContainmentDfCap = 1000
+
+  /** Broder containment dedup (Broder 1997's second resemblance
+    * measure): C = |S(A)∩S(B)| / min(|S(A)|,|S(B)|) over distinct
+    * 3-word shingles — the detector for SUBSET duplication (a quote
+    * page, a scrape wrapped in new chrome) that symmetric Jaccard
+    * misses: a verbatim 8-word quote inside a 60-word donor scores
+    * containment ≈ 0.75 but Jaccard ≈ 0.10. Quote plants (every 37th
+    * doc donates its first 8 words + 2 new words as a derived doc)
+    * make the high-containment band value-bearing at every SF.
+    *
+    * 100 TB shape: candidates come from an inverted shingle index
+    * (explode → df-capped self-equi-join on the shingle key — the
+    * df cap bounds the per-posting pair fanout, [[ContainmentDfCap]]),
+    * then the EXACT intersection runs only on surviving pairs via an
+    * equi-join back to the per-doc distinct-shingle arrays. Raw text
+    * never shuffles — shingle strings and bounded arrays do.
+    */
+  def shingleContainment(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "split(text, ' ') as ws")
+    val quotes = base.where("doc_id % 37 = 0 and size(ws) >= 12")
+      .selectExpr("doc_id + 1000000 as doc_id",
+        "concat(slice(ws, 1, 8), array('quoted', 'passage')) as ws")
+    val sh = base.unionByName(quotes)
+      .selectExpr("doc_id",
+        """array_distinct(case when size(ws) >= 3
+          |  then transform(sequence(1, size(ws) - 2),
+          |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
+          |  else cast(array() as array<string>) end) as sh""".stripMargin)
+      .localCheckpoint(true)
+    val long = sh.selectExpr("doc_id", "explode(sh) as g")
+    val keep = long.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(s"df <= $ContainmentDfCap").select("g")
+    val lf = long.join(keep, Seq("g"))
+    val cand = lf.toDF("g", "a_id")
+      .join(lf.toDF("g", "b_id"), Seq("g"))
+      .where("a_id < b_id")
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sh.toDF("a_id", "a_sh"), Seq("a_id"))
+      .join(sh.toDF("b_id", "b_sh"), Seq("b_id"))
+      .selectExpr("a_id", "b_id",
+        "cast(size(array_intersect(a_sh, b_sh)) as long) as inter",
+        "cast(least(size(a_sh), size(b_sh)) as long) as n_small",
+        "cast(size(a_sh) + size(b_sh) as long) as n_sum")
+      .selectExpr("a_id", "b_id", "inter", "n_small",
+        "round(cast(inter as double) / n_small, 6) as containment",
+        "round(cast(inter as double) / (n_sum - inter), 6) as jaccard")
+      .where("containment >= 0.6")
+      .select("a_id", "b_id", "inter", "n_small", "containment", "jaccard")
+  }
+
+  val shingleContainmentSql: String =
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |quotes AS (SELECT doc_id + 1000000 AS doc_id,
+      |    list_concat(ws[1:8], ['quoted', 'passage']) AS ws
+      |  FROM base WHERE doc_id % 37 = 0 AND len(ws) >= 12),
+      |au AS (SELECT * FROM base UNION ALL SELECT * FROM quotes),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+      |    ELSE [] END) AS sh FROM au),
+      |lg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |keep AS (SELECT g FROM lg GROUP BY g HAVING count(*) <= $ContainmentDfCap),
+      |lf AS (SELECT lg.doc_id, lg.g FROM lg JOIN keep USING (g)),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM lf a JOIN lf b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |v AS (SELECT c.a_id, c.b_id,
+      |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS BIGINT) AS inter,
+      |    CAST(least(len(sa.sh), len(sb.sh)) AS BIGINT) AS n_small,
+      |    CAST(len(sa.sh) + len(sb.sh) AS BIGINT) AS n_sum
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id)
+      |SELECT a_id, b_id, inter, n_small,
+      |  round(CAST(inter AS DOUBLE) / n_small, 6) AS containment,
+      |  round(CAST(inter AS DOUBLE) / (n_sum - inter), 6) AS jaccard
+      |FROM v WHERE round(CAST(inter AS DOUBLE) / n_small, 6) >= 0.6""".stripMargin
+
   // ----------------------------------------------------------- minhash lsh
 
   private val K = 8 // minhash functions
@@ -887,6 +976,7 @@ object DedupOps {
     "q_dedup_exact" -> (exact(_, _)),
     "q_dedup_keep_newest" -> (keepNewest(_, _)),
     "q_dedup_jaccard" -> (jaccard(_, _)),
+    "q_shingle_containment" -> (shingleContainment(_, _)),
     "q_dedup_minhash_lsh" -> (minhashLsh(_, _)),
     "q_lsh_bucket_stats" -> (lshBucketStats(_, _)),
     "q_dedup_simhash" -> (simhash(_, _)),
@@ -906,6 +996,7 @@ object DedupOps {
     "q_dedup_exact" -> exactSql,
     "q_dedup_keep_newest" -> keepNewestSql,
     "q_dedup_jaccard" -> jaccardSql,
+    "q_shingle_containment" -> shingleContainmentSql,
     "q_dedup_minhash_lsh" -> minhashLshSql,
     "q_lsh_bucket_stats" -> lshBucketStatsSql,
     "q_dedup_simhash" -> simhashSql,
