@@ -71,6 +71,81 @@ object DedupOps {
       |SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jac
       |FROM p WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5""".stripMargin
 
+  // --------------------------------------------------------- dedup funnel
+
+  /** URL→content dedup funnel — the release-ledger rollup a crawl
+    * pipeline reports per snapshot: how many candidates survive each
+    * normalization tier, in pipeline order: raw url → fragment strip →
+    * tracking-param strip → full canonicalization (case + default-port
+    * + trailing-slash fold) → content digest among the canon keepers
+    * (url dedup first, content dedup among its survivors — each tier
+    * count is monotonically non-increasing). URLs are planted
+    * deterministically per doc (case/slash/utm/fragment variants over
+    * a shared entity key) so every tier strictly bites at every SF.
+    *
+    * 100 TB shape: each tier is one distinct-count over a narrow
+    * derived key (text never rides; the digest tier moves only the
+    * keeper rows); the keeper pick is a (canon_url → min doc_id)
+    * partial-agg'd shuffle — the same shape as [[exact]].
+    */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val u = docs(spark, dir)
+      .selectExpr("cast(doc_id as long) as doc_id", "text",
+        """concat(case when doc_id % 2 = 0 then 'HTTPS://Host-' else 'https://host-' end,
+          |  cast(doc_id % 25 as string),
+          |  case when doc_id % 2 = 0 then '.Example.com' else '.example.com' end,
+          |  '/p/', cast(doc_id % 25 as string),
+          |  case when doc_id % 3 = 0 then '/' else '' end,
+          |  '?utm_term=t', cast(doc_id % 4 as string),
+          |  '#v', cast(doc_id as string)) as raw_url""".stripMargin)
+      .selectExpr("doc_id", "text", "raw_url",
+        "regexp_replace(raw_url, '#.*$', '') as nofrag")
+      .selectExpr("doc_id", "text", "raw_url", "nofrag",
+        "regexp_replace(regexp_replace(nofrag, 'utm_[^&#]*&', ''), '[?&]utm_[^&#]*$', '') as notrack")
+      .selectExpr("doc_id", "text", "raw_url", "nofrag", "notrack",
+        "regexp_replace(lower(notrack), '/$', '') as canon")
+      .localCheckpoint(true)
+    def tier(n: Int, stage: String, c: String): DataFrame =
+      u.agg(expr(s"count(distinct $c)").cast("long").as("survivors"))
+        .selectExpr(s"cast($n as bigint) as tier", s"'$stage' as stage", "survivors")
+    val digest = u.groupBy("canon")
+      .agg(expr("min_by(text, doc_id) as keeper_text"))
+      .agg(expr("count(distinct md5(keeper_text))").cast("long").as("survivors"))
+      .selectExpr("cast(5 as bigint) as tier", "'content_digest' as stage", "survivors")
+    tier(1, "raw_url", "raw_url")
+      .unionByName(tier(2, "fragment_strip", "nofrag"))
+      .unionByName(tier(3, "tracking_strip", "notrack"))
+      .unionByName(tier(4, "canonical", "canon"))
+      .unionByName(digest)
+  }
+
+  val dedupFunnelSql: String =
+    """WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Host-' ELSE 'https://host-' END)
+      |      || CAST(doc_id % 25 AS VARCHAR)
+      |      || (CASE WHEN doc_id % 2 = 0 THEN '.Example.com' ELSE '.example.com' END)
+      |      || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+      |      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      |      || '?utm_term=t' || CAST(doc_id % 4 AS VARCHAR)
+      |      || '#v' || CAST(doc_id AS VARCHAR) AS raw_url
+      |  FROM documents),
+      |u2 AS (SELECT *, regexp_replace(raw_url, '#.*$', '') AS nofrag FROM u),
+      |u3 AS (SELECT *, regexp_replace(regexp_replace(nofrag, 'utm_[^&#]*&', ''),
+      |    '[?&]utm_[^&#]*$', '') AS notrack FROM u2),
+      |u4 AS (SELECT *, regexp_replace(lower(notrack), '/$', '') AS canon FROM u3),
+      |keepers AS (SELECT canon, arg_min(text, doc_id) AS keeper_text FROM u4 GROUP BY canon)
+      |SELECT CAST(1 AS BIGINT) AS tier, 'raw_url' AS stage,
+      |  CAST(count(DISTINCT raw_url) AS BIGINT) AS survivors FROM u4
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'fragment_strip', CAST(count(DISTINCT nofrag) AS BIGINT) FROM u4
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'tracking_strip', CAST(count(DISTINCT notrack) AS BIGINT) FROM u4
+      |UNION ALL
+      |SELECT CAST(4 AS BIGINT), 'canonical', CAST(count(DISTINCT canon) AS BIGINT) FROM u4
+      |UNION ALL
+      |SELECT CAST(5 AS BIGINT), 'content_digest', CAST(count(DISTINCT md5(keeper_text)) AS BIGINT)
+      |FROM keepers""".stripMargin
+
   // ---------------------------------------------------- shingle containment
 
   /** Posting-list cap for [[shingleContainment]]'s candidate stage —
@@ -977,6 +1052,7 @@ object DedupOps {
     "q_dedup_keep_newest" -> (keepNewest(_, _)),
     "q_dedup_jaccard" -> (jaccard(_, _)),
     "q_shingle_containment" -> (shingleContainment(_, _)),
+    "q_dedup_funnel" -> (dedupFunnel(_, _)),
     "q_dedup_minhash_lsh" -> (minhashLsh(_, _)),
     "q_lsh_bucket_stats" -> (lshBucketStats(_, _)),
     "q_dedup_simhash" -> (simhash(_, _)),
@@ -997,6 +1073,7 @@ object DedupOps {
     "q_dedup_keep_newest" -> keepNewestSql,
     "q_dedup_jaccard" -> jaccardSql,
     "q_shingle_containment" -> shingleContainmentSql,
+    "q_dedup_funnel" -> dedupFunnelSql,
     "q_dedup_minhash_lsh" -> minhashLshSql,
     "q_lsh_bucket_stats" -> lshBucketStatsSql,
     "q_dedup_simhash" -> simhashSql,
