@@ -392,6 +392,45 @@ object SimilarityOps {
   val kmeansAssignSql: String = kmeansChainSql(
     "SELECT vec_id, cluster, CAST(dk AS BIGINT) AS dist_key FROM a3")
 
+  /** Cluster purity against the embedding table's ground-truth `label`
+    * column — the standard external clustering eval (purity = fraction
+    * of a cluster's members carrying its majority label): the QA gate a
+    * pipeline runs before trusting k-means clusters for SemDeDup
+    * pair-capping or curriculum bucketing. Same fit as [[kmeansAssign]]
+    * (identical 2-round Lloyd chain on both engines), so the metric is
+    * exactly reproducible; ties on the majority label break to the
+    * smaller label id on both sides.
+    *
+    * 100 TB shape: the fit is the driver-held model of [[kmeansAssign]];
+    * the eval is one (cluster,label) partial-agg'd count shuffle (k·|L|
+    * cells) plus a window over those tiny cells.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir).select("vec_id", "cluster")
+    val lab = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("cast(vec_id as long) as vec_id", "cast(label as long) as label")
+    asg.join(lab, Seq("vec_id"))
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("rk", expr("row_number() over (partition by cluster order by n desc, label)"))
+      .withColumn("nm", expr("sum(n) over (partition by cluster)"))
+      .where("rk = 1")
+      .selectExpr("cluster", "cast(nm as long) as n_members",
+        "label as majority_label", "n as n_majority",
+        "round(cast(n as double) / nm, 6) as purity")
+  }
+
+  val clusterPuritySql: String = kmeansChainSql(
+    """, cells AS (SELECT a3.cluster, CAST(e.label AS BIGINT) AS label,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM a3 JOIN embeddings e ON e.vec_id = a3.vec_id GROUP BY 1, 2),
+      |r AS (SELECT cluster, label, n,
+      |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rk,
+      |    sum(n) OVER (PARTITION BY cluster) AS nm FROM cells)
+      |SELECT cluster, CAST(nm AS BIGINT) AS n_members, label AS majority_label,
+      |  n AS n_majority, round(CAST(n AS DOUBLE) / nm, 6) AS purity
+      |FROM r WHERE rk = 1""".stripMargin)
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * cluster the embedding space with k-means, then look for semantic
@@ -740,6 +779,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> (embedQuantize(_, _)),
     "q_kmeans_assign" -> (kmeansAssign(_, _)),
+    "q_cluster_purity" -> (clusterPurity(_, _)),
     "q_semdedup" -> (semDedup(_, _)),
     "q_ann_brute" -> (annBrute(_, _)),
     "q_ann_lsh" -> (annLsh(_, _)),
@@ -753,6 +793,7 @@ object SimilarityOps {
   def oracles: Map[String, String] = Map(
     "q_embed_quantize" -> embedQuantizeSql,
     "q_kmeans_assign" -> kmeansAssignSql,
+    "q_cluster_purity" -> clusterPuritySql,
     "q_semdedup" -> semDedupSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_lsh" -> annLshSql,
