@@ -538,6 +538,81 @@ object LinkOps {
       |  'url' AS kind
       |FROM us""".stripMargin
 
+  /** Sitemap-vs-crawl coverage audit (the Search-Console-style ledger a
+    * crawl operator reads per host): join the host's DECLARED url set
+    * ([[sitemapUrls]], query strings stripped for canonical matching)
+    * against the CRAWLED url set, and report matched / orphan (declared
+    * but never crawled) / uncharted (crawled but undeclared) counts
+    * plus the coverage ratio. The crawled set is planted per doc in the
+    * sitemap's namespace (`/sm/p{doc_id % 8}.html`) so all three cells
+    * are non-empty at every SF; index-only hosts (host_id % 5 = 0)
+    * surface as zero-declared rows rather than disappearing.
+    *
+    * 100 TB shape: both legs reduce to per-host DISTINCT path sets
+    * (narrow keys, map-side partial agg); the audit is one full-outer
+    * equi-join on (host, path) followed by a per-host integer rollup —
+    * no text, no fanout.
+    */
+  def sitemapCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit => flit}
+    val declared = sitemapUrls(spark, dir)
+      .where("kind = 'url'")
+      .selectExpr("host_id", "regexp_replace(url, '\\\\?.*$', '') as path")
+      .distinct()
+      .selectExpr("host_id", "path", "true as declared")
+    val crawled = pages(spark, dir).toDF("doc_id")
+      .selectExpr("cast(doc_id % 20 as bigint) as host_id",
+        """concat('http://host', cast(doc_id % 20 as string), '.example/sm/p',
+          |  cast(doc_id % 8 as string), '.html') as path""".stripMargin)
+      .distinct()
+      .selectExpr("host_id", "path", "true as crawled")
+    val hosts = pages(spark, dir).toDF("doc_id")
+      .selectExpr("cast(doc_id % 20 as bigint) as host_id").distinct()
+    val cells = declared.join(crawled, Seq("host_id", "path"), "full_outer")
+      .groupBy("host_id")
+      .agg(
+        expr("cast(sum(case when declared then 1 else 0 end) as long) as n_declared"),
+        expr("cast(sum(case when crawled then 1 else 0 end) as long) as n_crawled"),
+        expr("cast(sum(case when declared and crawled then 1 else 0 end) as long) as n_matched"))
+    hosts.join(cells, Seq("host_id"), "left")
+      .select(col("host_id"),
+        coalesce(col("n_declared"), flit(0L)).as("n_declared"),
+        coalesce(col("n_crawled"), flit(0L)).as("n_crawled"),
+        coalesce(col("n_matched"), flit(0L)).as("n_matched"))
+      .selectExpr("host_id", "n_declared", "n_crawled", "n_matched",
+        "n_declared - n_matched as n_orphan",
+        "n_crawled - n_matched as n_uncharted",
+        """case when n_declared = 0 then cast(0.0 as double)
+          |  else round(cast(n_matched as double) / n_declared, 6) end as coverage""".stripMargin)
+  }
+
+  val sitemapCoverageSql: String =
+    """WITH h AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS host_id FROM documents),
+      |us AS (SELECT host_id, unnest(range(0, 5 + host_id % 5)) AS i
+      |       FROM h WHERE host_id % 5 <> 0),
+      |declared AS (SELECT DISTINCT host_id,
+      |    'http://host' || host_id || '.example/sm/p' || i || '.html' AS path
+      |  FROM us),
+      |crawled AS (SELECT DISTINCT CAST(doc_id % 20 AS BIGINT) AS host_id,
+      |    'http://host' || (doc_id % 20) || '.example/sm/p' || (doc_id % 8) || '.html' AS path
+      |  FROM documents),
+      |cells AS (SELECT coalesce(d.host_id, c.host_id) AS host_id,
+      |    CAST(sum(CASE WHEN d.path IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_declared,
+      |    CAST(sum(CASE WHEN c.path IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled,
+      |    CAST(sum(CASE WHEN d.path IS NOT NULL AND c.path IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |  FROM declared d FULL OUTER JOIN crawled c
+      |    ON d.host_id = c.host_id AND d.path = c.path
+      |  GROUP BY 1)
+      |SELECT h.host_id,
+      |  coalesce(n_declared, 0) AS n_declared,
+      |  coalesce(n_crawled, 0) AS n_crawled,
+      |  coalesce(n_matched, 0) AS n_matched,
+      |  coalesce(n_declared, 0) - coalesce(n_matched, 0) AS n_orphan,
+      |  coalesce(n_crawled, 0) - coalesce(n_matched, 0) AS n_uncharted,
+      |  CASE WHEN coalesce(n_declared, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE round(CAST(n_matched AS DOUBLE) / n_declared, 6) END AS coverage
+      |FROM h LEFT JOIN cells ON cells.host_id = h.host_id""".stripMargin
+
   /** Feed-based frontier discovery (RSS 2.0 / Atom): the polling-source
     * analog of [[sitemapUrls]] — each host's feed yields (title, link,
     * published) items through [[graft.kernels.FeedKernel]], covering
@@ -1270,6 +1345,7 @@ object LinkOps {
     "q_cdx_index" -> (cdxIndex(_, _)),
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
+    "q_sitemap_coverage" -> (sitemapCoverage(_, _)),
     "q_feed_items" -> (feedItems(_, _)),
     "q_frontier_schedule" -> (frontierSchedule(_, _)),
     "q_robots_sitemaps" -> (robotsSitemaps(_, _)),
@@ -1299,6 +1375,7 @@ object LinkOps {
     "q_cdx_index" -> cdxIndexSql,
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
+    "q_sitemap_coverage" -> sitemapCoverageSql,
     "q_feed_items" -> feedItemsSql,
     "q_frontier_schedule" -> frontierScheduleSql,
     "q_robots_sitemaps" -> robotsSitemapsSql,
