@@ -538,6 +538,84 @@ object LinkOps {
       |  'url' AS kind
       |FROM us""".stripMargin
 
+  /** Per-host crawl-politeness audit over the fetch event log: sort
+    * each host's fetches by timestamp, measure inter-request gaps, and
+    * count violations of the 5-second courtesy floor (RFC 9309 leaves
+    * crawl-delay advisory; 5 s is the conservative default the frontier
+    * scheduler plans for — this is the a-posteriori compliance check
+    * against what the fetcher actually did). Gaps are exact integer
+    * microseconds (`unix_micros`), ties in the sort broken by event id,
+    * so the oracle replays identically.
+    *
+    * 100 TB shape: one window partitioned by host (bounded partitions —
+    * a host's daily fetch count), integer per-host rollup after; no
+    * text, no fanout.
+    */
+  def politenessAudit(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("cast(user_id as long) as host_id",
+        // ts is TIMESTAMP_NTZ in the parquet; session TZ is pinned UTC,
+        // so the cast is the identity and matches DuckDB's epoch_us
+        "unix_micros(cast(ts as timestamp)) as t_us",
+        "cast(event_id as long) as event_id")
+      .selectExpr("host_id", "t_us",
+        "lag(t_us) over (partition by host_id order by t_us, event_id) as prev_us")
+      .selectExpr("host_id", "t_us - prev_us as gap_us")
+      .groupBy("host_id")
+      .agg(
+        expr("cast(count(*) as long) as n_fetches"),
+        expr("cast(count(gap_us) as long) as n_gaps"),
+        expr("cast(sum(case when gap_us < 600000000 then 1 else 0 end) as long) as n_violations"),
+        expr("min(gap_us) as min_gap_us"))
+
+  val politenessAuditSql: String =
+    """WITH f AS (SELECT CAST(user_id AS BIGINT) AS host_id,
+      |    epoch_us(ts) AS t_us, CAST(event_id AS BIGINT) AS event_id
+      |  FROM events),
+      |g AS (SELECT host_id, t_us,
+      |    t_us - lag(t_us) OVER (PARTITION BY host_id ORDER BY t_us, event_id) AS gap_us
+      |  FROM f)
+      |SELECT host_id, CAST(count(*) AS BIGINT) AS n_fetches,
+      |  CAST(count(gap_us) AS BIGINT) AS n_gaps,
+      |  CAST(sum(CASE WHEN gap_us < 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  min(gap_us) AS min_gap_us
+      |FROM g GROUP BY host_id""".stripMargin
+
+  /** Bibliographic coupling over the host graph (Kessler 1963 — the
+    * co-outlink twin of co-citation): for every pair of source hosts,
+    * the number of distinct destination hosts BOTH link to. High
+    * coupling between unrelated sources is the classic link-farm
+    * signal, and unlike triangle counts it is non-degenerate on
+    * bipartite-shaped graphs (this generator's sources and
+    * destinations are disjoint namespaces). Pairs keyed a < b; ≥ 2
+    * shared targets to keep the head.
+    *
+    * 100 TB shape: the edge list is already host-granular (tiny vs the
+    * corpus); the pair expansion is a self-equi-join on the DESTINATION
+    * key, so each destination of in-degree d emits C(d,2) pairs — the
+    * same df-cap discipline as [[graft.ops.DedupOps.ContainmentDfCap]]
+    * would bound a hub destination at web scale; here in-degrees are
+    * generator-bounded and the join is exact.
+    */
+  def cocitation(spark: SparkSession, dir: String): DataFrame = {
+    val e = domainEdges(spark, dir)
+      .select("src_host", "dst_host").distinct().localCheckpoint(true)
+    e.toDF("a_host", "dst_host")
+      .join(e.toDF("b_host", "dst_host"), Seq("dst_host"))
+      .where("a_host < b_host")
+      .groupBy("a_host", "b_host")
+      .agg(expr("cast(count(*) as long) as n_shared"))
+      .where("n_shared >= 2")
+  }
+
+  val cocitationSql: String =
+    s"""WITH e0 AS ($domainEdgesSql),
+      |e AS (SELECT DISTINCT src_host, dst_host FROM e0)
+      |SELECT a.src_host AS a_host, b.src_host AS b_host,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM e a JOIN e b ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
   /** Sitemap-vs-crawl coverage audit (the Search-Console-style ledger a
     * crawl operator reads per host): join the host's DECLARED url set
     * ([[sitemapUrls]], query strings stripped for canonical matching)
@@ -1346,6 +1424,8 @@ object LinkOps {
     "q_html_meta" -> (htmlMeta(_, _)),
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
     "q_sitemap_coverage" -> (sitemapCoverage(_, _)),
+    "q_politeness_audit" -> (politenessAudit(_, _)),
+    "q_cocitation" -> (cocitation(_, _)),
     "q_feed_items" -> (feedItems(_, _)),
     "q_frontier_schedule" -> (frontierSchedule(_, _)),
     "q_robots_sitemaps" -> (robotsSitemaps(_, _)),
@@ -1376,6 +1456,8 @@ object LinkOps {
     "q_html_meta" -> htmlMetaSql,
     "q_sitemap_urls" -> sitemapUrlsSql,
     "q_sitemap_coverage" -> sitemapCoverageSql,
+    "q_politeness_audit" -> politenessAuditSql,
+    "q_cocitation" -> cocitationSql,
     "q_feed_items" -> feedItemsSql,
     "q_frontier_schedule" -> frontierScheduleSql,
     "q_robots_sitemaps" -> robotsSitemapsSql,
