@@ -364,6 +364,36 @@ class PlanShapeSpec extends SparkTestBase {
       "q_seq_pack's n_seqs window lost its per-shard partitioning — global sort of the pack table")
   }
 
+  test("tf-idf keywords: vocabulary df broadcasts, tf computed in-row from one scan") {
+    val p = plan("q_tfidf_keywords")
+    assert(p.contains("BroadcastHashJoin"),
+      "q_tfidf_keywords lost the broadcast of the vocabulary-sized df table")
+    assert(p.contains("], [doc_id#"),
+      "q_tfidf_keywords' top-3 window must stay partitioned by doc_id (bounded partitions)")
+  }
+
+  test("shingle containment: exact verify joins arrays back, never a cartesian") {
+    val p = plan("q_shingle_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q_shingle_containment's candidate stage must stay an equi-join on the shingle key")
+  }
+
+  test("dedup funnel tiers are partial-agg'd distinct counts (no text shuffle)") {
+    val p = plan("q_dedup_funnel")
+    assert(p.contains("partial_count"),
+      "q_dedup_funnel's tier counts must map-side partial-aggregate")
+    assert(!p.contains("Window ["), "q_dedup_funnel needs no window at all")
+  }
+
+  test("politeness audit windows per host; sitemap coverage joins narrow key sets") {
+    val pa = plan("q_politeness_audit")
+    assert(pa.contains("], [host_id#"),
+      "q_politeness_audit's lag window lost its per-host partitioning — global sort of the event log")
+    val sc = plan("q_sitemap_coverage")
+    assert(!sc.contains("CartesianProduct"),
+      "q_sitemap_coverage must join (host, path) keys, never cross")
+  }
+
   test("Q3 star schema: pushed filters, broadcast joins, TakeOrdered — never a global sort") {
     val p = plan("q_q3_shipping")
     assert(p.contains("TakeOrderedAndProject"),
