@@ -538,6 +538,79 @@ object LinkOps {
       |  'url' AS kind
       |FROM us""".stripMargin
 
+  /** Robots-policy delta between two crawl snapshots — the re-crawl
+    * trigger audit: parse each host's robots.txt as fetched LAST crawl
+    * (v1, [[graft.gen.LinkGen.robotsTxt]]) and THIS crawl (v2 = v1 plus
+    * a deterministic appended `graftbot` group: hosts h%4==1 revoke
+    * `/open/`, h%4==2 revoke `/private/`), re-evaluate every previously
+    * crawled path under both through the real RFC 9309 kernel
+    * (group-merge across same-agent groups + longest-match precedence,
+    * [[graft.kernels.RobotsKernel]]), and report per host how many
+    * fetch grants were revoked or granted. Revoked paths are the pages
+    * a compliant operator must drop from the corpus at the next
+    * release — the policy-flip twin of [[recrawlEtag]]'s content flips.
+    *
+    * 100 TB shape: rulesets are per-host (metadata-scale, cached per
+    * partition); the evaluation is a narrow kernel map over crawl rows;
+    * one per-host integer rollup exchange.
+    */
+  def robotsDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pages(spark, dir)
+      .mapPartitions { it =>
+        val v1c = new java.util.HashMap[Long, graft.kernels.RobotsKernel.RuleSet]()
+        val v2c = new java.util.HashMap[Long, graft.kernels.RobotsKernel.RuleSet]()
+        it.map { d =>
+          val h = d % 20
+          var r1 = v1c.get(h)
+          if (r1 == null) {
+            r1 = graft.kernels.RobotsKernel.parse(graft.gen.LinkGen.robotsTxt(h), "graftbot")
+            v1c.put(h, r1)
+          }
+          var r2 = v2c.get(h)
+          if (r2 == null) {
+            val extra =
+              if (h % 4 == 1) "\nUser-agent: graftbot\nDisallow: /open/\n"
+              else if (h % 4 == 2) "\nUser-agent: graftbot\nDisallow: /private/\n"
+              else ""
+            r2 = graft.kernels.RobotsKernel.parse(graft.gen.LinkGen.robotsTxt(h) + extra, "graftbot")
+            v2c.put(h, r2)
+          }
+          val path = graft.gen.LinkGen.fetchPath(d)
+          val a1 = graft.kernels.RobotsKernel.isAllowed(r1, path)
+          val a2 = graft.kernels.RobotsKernel.isAllowed(r2, path)
+          (s"host$h.example", a1, a2)
+        }
+      }
+      .toDF("host", "a1", "a2")
+      .groupBy("host")
+      .agg(
+        expr("cast(count(*) as long) as n_paths"),
+        expr("cast(sum(case when a1 then 1 else 0 end) as long) as n_allowed_v1"),
+        expr("cast(sum(case when a2 then 1 else 0 end) as long) as n_allowed_v2"),
+        expr("cast(sum(case when a1 and not a2 then 1 else 0 end) as long) as n_revoked"),
+        expr("cast(sum(case when a2 and not a1 then 1 else 0 end) as long) as n_granted"))
+  }
+
+  val robotsDeltaSql: String =
+    """WITH r AS (SELECT doc_id AS d, doc_id % 20 AS h FROM documents),
+      |v AS (SELECT h,
+      |    CASE d % 5 WHEN 0 THEN d % 3 <> h % 3
+      |               WHEN 3 THEN h % 4 <> 0
+      |               ELSE TRUE END AS a1,
+      |    (CASE d % 5 WHEN 0 THEN d % 3 <> h % 3
+      |                WHEN 3 THEN h % 4 <> 0
+      |                ELSE TRUE END)
+      |      AND NOT ((h % 4 = 1 AND d % 5 = 4) OR (h % 4 = 2 AND d % 5 = 2)) AS a2
+      |  FROM r)
+      |SELECT 'host' || h || '.example' AS host,
+      |  CAST(count(*) AS BIGINT) AS n_paths,
+      |  CAST(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed_v1,
+      |  CAST(sum(CASE WHEN a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed_v2,
+      |  CAST(sum(CASE WHEN a1 AND NOT a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_revoked,
+      |  CAST(sum(CASE WHEN a2 AND NOT a1 THEN 1 ELSE 0 END) AS BIGINT) AS n_granted
+      |FROM v GROUP BY h""".stripMargin
+
   /** Per-host crawl-politeness audit over the fetch event log: sort
     * each host's fetches by timestamp, measure inter-request gaps, and
     * count violations of the 5-second courtesy floor (RFC 9309 leaves
@@ -1425,6 +1498,7 @@ object LinkOps {
     "q_sitemap_urls" -> (sitemapUrls(_, _)),
     "q_sitemap_coverage" -> (sitemapCoverage(_, _)),
     "q_politeness_audit" -> (politenessAudit(_, _)),
+    "q_robots_delta" -> (robotsDelta(_, _)),
     "q_cocitation" -> (cocitation(_, _)),
     "q_feed_items" -> (feedItems(_, _)),
     "q_frontier_schedule" -> (frontierSchedule(_, _)),
@@ -1457,6 +1531,7 @@ object LinkOps {
     "q_sitemap_urls" -> sitemapUrlsSql,
     "q_sitemap_coverage" -> sitemapCoverageSql,
     "q_politeness_audit" -> politenessAuditSql,
+    "q_robots_delta" -> robotsDeltaSql,
     "q_cocitation" -> cocitationSql,
     "q_feed_items" -> feedItemsSql,
     "q_frontier_schedule" -> frontierScheduleSql,
