@@ -534,8 +534,110 @@ object SketchOps {
       |  CAST(1::BIGINT << CAST(32 - least(rho_max, 32) AS INT) AS BIGINT) AS est_term
       |FROM a""".stripMargin
 
+  /** Cross-crawl overlap via HyperLogLog inclusion–exclusion — the
+    * sketch-level answer to "how much of crawl B did crawl A already
+    * have" when neither side can afford the exact digest join: two
+    * planted crawls (A = doc_id % 3 ≠ 0, B = doc_id % 2 ≠ 0) share one
+    * register table (per-register max rho per side, exactly as
+    * [[hllRegisters]]), union merges by register max, and
+    * |A∩B| ≈ E(A) + E(B) − E(A∪B). The raw Flajolet HLL estimator is
+    * computed from EXACT integer scaled terms (Σ 2^(32−rho) as BIGINT,
+    * empty registers contributing 2^32), so the only float is the final
+    * shared formula — alongside the EXACT set sizes, making the row a
+    * calibration audit (estimate vs truth) as well as an operator test.
+    *
+    * 100 TB shape: the register table is the entire shuffled state
+    * (m = 64 rows per side, mergeable by max) — the whole point of the
+    * sketch; exact counts here ride the same one-row audit aggregate.
+    */
+  def hllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val regs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("md5(cast(text as binary)) as h",
+        "doc_id % 3 != 0 as in_a", "doc_id % 2 != 0 as in_b")
+      .selectExpr(
+        "cast(conv(substring(h, 1, 2), 16, 10) as long) % 64 as reg",
+        "substring(h, 3, 14) as sub", "in_a", "in_b")
+      .selectExpr("reg", "in_a", "in_b",
+        "length(regexp_extract(sub, '^0*', 0)) as nz", "sub")
+      .selectExpr("reg", "in_a", "in_b",
+        """cast(case when nz = length(sub) then 4 * length(sub) + 1
+          |  else 4 * nz + (case when substring(sub, nz + 1, 1) = '1' then 3
+          |                      when substring(sub, nz + 1, 1) in ('2', '3') then 2
+          |                      when substring(sub, nz + 1, 1) in ('4', '5', '6', '7') then 1
+          |                      else 0 end) + 1 end as long) as rho""".stripMargin)
+      .groupBy("reg")
+      .agg(
+        coalesce(max(when(col("in_a"), col("rho"))), lit(0L)).as("rho_a"),
+        coalesce(max(when(col("in_b"), col("rho"))), lit(0L)).as("rho_b"))
+      .selectExpr("reg", "rho_a", "rho_b", "greatest(rho_a, rho_b) as rho_u")
+    val full = spark.range(64).toDF("reg")
+      .join(regs, Seq("reg"), "left")
+      .selectExpr(
+        "shiftleft(1L, cast(32 - least(coalesce(rho_a, 0L), 32L) as int)) as t_a",
+        "shiftleft(1L, cast(32 - least(coalesce(rho_b, 0L), 32L) as int)) as t_b",
+        "shiftleft(1L, cast(32 - least(coalesce(rho_u, 0L), 32L) as int)) as t_u")
+      .agg(sum("t_a").cast("long").as("s_a"), sum("t_b").cast("long").as("s_b"),
+        sum("t_u").cast("long").as("s_u"))
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(
+        expr("cast(sum(case when doc_id % 3 != 0 then 1 else 0 end) as long) as n_a"),
+        expr("cast(sum(case when doc_id % 2 != 0 then 1 else 0 end) as long) as n_b"),
+        expr("cast(sum(case when doc_id % 3 != 0 or doc_id % 2 != 0 then 1 else 0 end) as long) as n_union"),
+        expr("cast(sum(case when doc_id % 3 != 0 and doc_id % 2 != 0 then 1 else 0 end) as long) as n_inter"))
+    val alpha = "0.7213D / (1.0D + 1.079D / 64.0D) * 4096.0D * 4294967296.0D"
+    exact.crossJoin(broadcast(full))
+      .selectExpr("n_a", "n_b", "n_union", "n_inter",
+        s"round($alpha / cast(s_a as double), 6) as est_a",
+        s"round($alpha / cast(s_b as double), 6) as est_b",
+        s"round($alpha / cast(s_u as double), 6) as est_union",
+        s"""round($alpha / cast(s_a as double) + $alpha / cast(s_b as double)
+           |  - $alpha / cast(s_u as double), 6) as est_inter""".stripMargin)
+  }
+
+  val hllOverlapSql: String = {
+    val alpha = "0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 64.0::DOUBLE) * 4096.0::DOUBLE * 4294967296.0::DOUBLE"
+    s"""WITH i AS (SELECT md5(text) AS h, doc_id % 3 <> 0 AS in_a, doc_id % 2 <> 0 AS in_b
+      |  FROM documents),
+      |p AS (SELECT CAST(('0x' || substr(h, 1, 2))::INT % 64 AS BIGINT) AS reg,
+      |    substr(h, 3, 14) AS sub, in_a, in_b FROM i),
+      |z AS (SELECT reg, in_a, in_b, len(regexp_extract(sub, '^0*')) AS nz, sub FROM p),
+      |r AS (SELECT reg, in_a, in_b,
+      |    CAST(CASE WHEN nz = len(sub) THEN 4 * len(sub) + 1
+      |      ELSE 4 * nz + (CASE WHEN substr(sub, nz + 1, 1) = '1' THEN 3
+      |                          WHEN substr(sub, nz + 1, 1) IN ('2', '3') THEN 2
+      |                          WHEN substr(sub, nz + 1, 1) IN ('4', '5', '6', '7') THEN 1
+      |                          ELSE 0 END) + 1 END AS BIGINT) AS rho
+      |  FROM z),
+      |a AS (SELECT reg,
+      |    CAST(coalesce(max(CASE WHEN in_a THEN rho END), 0) AS BIGINT) AS rho_a,
+      |    CAST(coalesce(max(CASE WHEN in_b THEN rho END), 0) AS BIGINT) AS rho_b
+      |  FROM r GROUP BY reg),
+      |allr AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS reg),
+      |t AS (SELECT
+      |    1::BIGINT << CAST(32 - least(coalesce(rho_a, 0), 32) AS INT) AS t_a,
+      |    1::BIGINT << CAST(32 - least(coalesce(rho_b, 0), 32) AS INT) AS t_b,
+      |    1::BIGINT << CAST(32 - least(coalesce(greatest(rho_a, rho_b), 0), 32) AS INT) AS t_u
+      |  FROM allr LEFT JOIN a USING (reg)),
+      |s AS (SELECT CAST(sum(t_a) AS BIGINT) AS s_a, CAST(sum(t_b) AS BIGINT) AS s_b,
+      |    CAST(sum(t_u) AS BIGINT) AS s_u FROM t),
+      |e AS (SELECT
+      |    CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN doc_id % 3 <> 0 OR doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_union,
+      |    CAST(sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
+      |  FROM documents)
+      |SELECT n_a, n_b, n_union, n_inter,
+      |  round($alpha / CAST(s_a AS DOUBLE), 6) AS est_a,
+      |  round($alpha / CAST(s_b AS DOUBLE), 6) AS est_b,
+      |  round($alpha / CAST(s_u AS DOUBLE), 6) AS est_union,
+      |  round($alpha / CAST(s_a AS DOUBLE) + $alpha / CAST(s_b AS DOUBLE)
+      |    - $alpha / CAST(s_u AS DOUBLE), 6) AS est_inter
+      |FROM e CROSS JOIN s""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_registers" -> (hllRegisters(_, _)),
+    "q_hll_overlap" -> (hllOverlap(_, _)),
     "q_kll_quantiles" -> (kllQuantiles(_, _)),
     "q_cms_merge" -> (cmsMerge(_, _)),
     "q_quantile_merge" -> (quantileMerge(_, _)),
@@ -546,6 +648,7 @@ object SketchOps {
 
   def oracles: Map[String, String] = Map(
     "q_hll_registers" -> hllRegistersSql,
+    "q_hll_overlap" -> hllOverlapSql,
     "q_kll_quantiles" -> kllQuantilesSql,
     "q_cms_merge" -> cmsMergeSql,
     "q_quantile_merge" -> quantileMergeSql,

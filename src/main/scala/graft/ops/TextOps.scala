@@ -1358,8 +1358,69 @@ object TextOps {
       |FROM g""".stripMargin
   }
 
+  // ------------------------------------------------------ quality funnel
+
+  /** Sequential quality-gate funnel — the per-snapshot release ledger
+    * for the FILTER side of the pipeline, the twin of
+    * [[graft.ops.DedupOps.dedupFunnel]]: how many documents survive
+    * the gates a C4/Gopher-lineage cleaner applies in order — C4 page
+    * drop ([[c4LineFilterQ]]), Gopher outlier rules ([[gopherQuality]]),
+    * within-doc repetition ([[repetitionGate]]), stopword/word-shape
+    * quality ([[quality]]). Each leg is the SAME flag the standalone
+    * oracle-gated query emits, so the funnel catches any drift between
+    * the gates' standalone and composed behavior; cumulative counts are
+    * monotonically non-increasing by construction.
+    *
+    * 100 TB shape: each gate is an in-row projection; the composition
+    * is three equi-joins on doc_id over (doc_id, flag) pairs — in a
+    * fused production pass the four flags come from one scan, and this
+    * audit intentionally re-derives them from the standalone legs to
+    * pin standalone ≡ composed.
+    */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val c4 = c4LineFilterQ(spark, dir).selectExpr("doc_id", "not page_dropped as ok_c4")
+    val g = gopherQuality(spark, dir).select("doc_id", "gopher_ok")
+    val r = repetitionGate(spark, dir).select("doc_id", "repetition_ok")
+    val q = quality(spark, dir).select("doc_id", "quality_ok")
+    val j = c4.join(g, Seq("doc_id")).join(r, Seq("doc_id")).join(q, Seq("doc_id"))
+      .localCheckpoint(true)
+    j.agg(
+      expr("cast(count(*) as long) as s1"),
+      expr("cast(sum(case when ok_c4 then 1 else 0 end) as long) as s2"),
+      expr("cast(sum(case when ok_c4 and gopher_ok then 1 else 0 end) as long) as s3"),
+      expr("cast(sum(case when ok_c4 and gopher_ok and repetition_ok then 1 else 0 end) as long) as s4"),
+      expr("cast(sum(case when ok_c4 and gopher_ok and repetition_ok and quality_ok then 1 else 0 end) as long) as s5"))
+      .selectExpr(
+        """explode(array(
+          |  struct(cast(1 as bigint) as tier, 'all' as gate, s1 as survivors),
+          |  struct(cast(2 as bigint) as tier, 'c4_page' as gate, s2 as survivors),
+          |  struct(cast(3 as bigint) as tier, 'gopher' as gate, s3 as survivors),
+          |  struct(cast(4 as bigint) as tier, 'repetition' as gate, s4 as survivors),
+          |  struct(cast(5 as bigint) as tier, 'stopword_quality' as gate, s5 as survivors))) as t""".stripMargin)
+      .selectExpr("t.tier as tier", "t.gate as gate", "t.survivors as survivors")
+  }
+
+  val qualityFunnelSql: String =
+    s"""WITH c4 AS (SELECT doc_id, NOT page_dropped AS ok_c4 FROM ($c4LineFilterSql) t),
+      |g AS (SELECT doc_id, gopher_ok FROM ($gopherQualitySql) t),
+      |r AS (SELECT doc_id, repetition_ok FROM ($repetitionGateSql) t),
+      |q AS (SELECT doc_id, quality_ok FROM ($qualitySql) t),
+      |j AS (SELECT * FROM c4 JOIN g USING (doc_id) JOIN r USING (doc_id) JOIN q USING (doc_id)),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN ok_c4 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN ok_c4 AND gopher_ok THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+      |    CAST(sum(CASE WHEN ok_c4 AND gopher_ok AND repetition_ok THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+      |    CAST(sum(CASE WHEN ok_c4 AND gopher_ok AND repetition_ok AND quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS s5
+      |  FROM j)
+      |SELECT CAST(1 AS BIGINT) AS tier, 'all' AS gate, s1 AS survivors FROM s
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'c4_page', s2 FROM s
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'gopher', s3 FROM s
+      |UNION ALL SELECT CAST(4 AS BIGINT), 'repetition', s4 FROM s
+      |UNION ALL SELECT CAST(5 AS BIGINT), 'stopword_quality', s5 FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> (bpeTrain(_, _)),
+    "q_quality_funnel" -> (qualityFunnel(_, _)),
     "q_bpe_apply" -> (bpeApply(_, _)),
     "q_token_fertility" -> (tokenFertility(_, _)),
     "q_oov_rate_bpe" -> (oovRateBpe(_, _)),
@@ -1391,6 +1452,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "q_readability" -> readabilitySql,
+    "q_quality_funnel" -> qualityFunnelSql,
     "q_pmi_collocations" -> pmiCollocationsSql,
     "q_oov_rate" -> oovRateSql,
     "q_bpe_train" -> bpeTrainSql,
