@@ -171,7 +171,11 @@ object Bench {
     var exprTimes = List.empty[Double]
     var nOk = 0L
     val mainLvl = if (levels.contains(cpus)) cpus else 8
-    (1 to 5).foreach { round =>
+    // 7 rounds (was 5): the r5 full-bench run recorded min-levels 0.807
+    // against 0.925 in a back-to-back scaling-only run — the mins of the
+    // two levels landed in different load windows. Two more interleaved
+    // rounds narrow the min-of-rounds variance at ~90 s extra cost.
+    (1 to 7).foreach { round =>
       levels.foreach { lvl =>
         val s = session(lvl)
         if (round == 1) timeExtract(s, corpusDir, lvl) // warmup first use

@@ -149,6 +149,61 @@ object RelationalOps {
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM g GROUP BY user_id""".stripMargin
 
+  /** Ordered conversion funnel over the event log — the classic
+    * event-analytics operator (each stage must occur strictly AFTER the
+    * previous stage's first occurrence, not merely co-occur):
+    * view → click → signup → purchase per user, emitting per stage the
+    * user count that reached it plus the exact summed conversion lag in
+    * integer microseconds. The strict ordering makes it a chained
+    * sequential min, not a conditional-count GROUP BY — the property
+    * naive funnels get wrong.
+    *
+    * 100 TB shape: each stage is a (user, min-ts) partial-agg'd rollup;
+    * stage tables shrink monotonically and join back on the user key —
+    * no window over the raw event log, no sort.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .selectExpr("cast(user_id as long) as u", "event_type as et",
+        "unix_micros(cast(ts as timestamp)) as tus")
+      .localCheckpoint(true)
+    val s1 = ev.where("et = 'view'").groupBy("u").agg(min("tus").as("t1"))
+    val s2 = ev.where("et = 'click'").join(s1, Seq("u")).where("tus > t1")
+      .groupBy("u").agg(min("tus").as("t2"), min("t1").as("t1"))
+    val s3 = ev.where("et = 'signup'").join(s2, Seq("u")).where("tus > t2")
+      .groupBy("u").agg(min("tus").as("t3"), min("t2").as("t2"))
+    val s4 = ev.where("et = 'purchase'").join(s3, Seq("u")).where("tus > t3")
+      .groupBy("u").agg(min("tus").as("t4"), min("t3").as("t3"))
+    def stage(n: Int, name: String, src: DataFrame, lag: String): DataFrame =
+      src.agg(expr("cast(count(*) as long) as n_users"),
+        expr(s"cast(coalesce(sum($lag), 0) as long) as sum_lag_us"))
+        .selectExpr(s"cast($n as bigint) as stage", s"'$name' as event_type",
+          "n_users", "sum_lag_us")
+    stage(1, "view", s1, "0")
+      .unionByName(stage(2, "click", s2, "t2 - t1"))
+      .unionByName(stage(3, "signup", s3, "t3 - t2"))
+      .unionByName(stage(4, "purchase", s4, "t4 - t3"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS u, event_type AS et,
+      |    epoch_us(ts) AS tus FROM events),
+      |s1 AS (SELECT u, min(tus) AS t1 FROM ev WHERE et = 'view' GROUP BY u),
+      |s2 AS (SELECT ev.u, min(tus) AS t2, min(t1) AS t1
+      |  FROM ev JOIN s1 ON s1.u = ev.u WHERE et = 'click' AND tus > t1 GROUP BY ev.u),
+      |s3 AS (SELECT ev.u, min(tus) AS t3, min(t2) AS t2
+      |  FROM ev JOIN s2 ON s2.u = ev.u WHERE et = 'signup' AND tus > t2 GROUP BY ev.u),
+      |s4 AS (SELECT ev.u, min(tus) AS t4, min(t3) AS t3
+      |  FROM ev JOIN s3 ON s3.u = ev.u WHERE et = 'purchase' AND tus > t3 GROUP BY ev.u)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+      |  CAST(count(*) AS BIGINT) AS n_users, CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+      |UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM s2
+      |UNION ALL SELECT CAST(3 AS BIGINT), 'signup', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM s3
+      |UNION ALL SELECT CAST(4 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+      |  CAST(coalesce(sum(t4 - t3), 0) AS BIGINT) FROM s4""".stripMargin
+
   /** Top-1 fuzzy-match analog (endpoint_upload.py:211-220 argmax): top-2
     * orders per customer by totalprice, deterministic tiebreak.
     */
@@ -586,6 +641,7 @@ object RelationalOps {
     "q_resume_antijoin" -> (resumeAntijoin(_, _)),
     "q_window_first" -> (windowFirst(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
+    "q_event_funnel" -> (eventFunnel(_, _)),
     "q_topk_per_group" -> (topkPerGroup(_, _)),
     "q_json_extract" -> (jsonExtract(_, _)),
     "q_date_derive" -> (dateDerive(_, _)),
@@ -606,6 +662,7 @@ object RelationalOps {
     "q_resume_antijoin" -> resumeAntijoinSql,
     "q_window_first" -> windowFirstSql,
     "q_sessionize" -> sessionizeSql,
+    "q_event_funnel" -> eventFunnelSql,
     "q_topk_per_group" -> topkPerGroupSql,
     "q_json_extract" -> jsonExtractSql,
     "q_date_derive" -> dateDeriveSql,
