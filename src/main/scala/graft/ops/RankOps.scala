@@ -448,9 +448,125 @@ object RankOps {
       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df, score
       |FROM r WHERE rk <= 3""".stripMargin
 
+  /** Postings-compression planning next to [[invertedIndex]] — the
+    * storage question an index build answers before writing shards: per
+    * term, the exact byte cost of the sorted postings list under
+    * delta + LEB128 varint coding vs raw fixed-width int64, and the
+    * compression ratio. Gap sizes come from one lag window partitioned
+    * by term (first entry encodes its absolute id); the varint width is
+    * an integer CASE ladder, so both engines agree bit-for-bit.
+    *
+    * 100 TB shape: one (term, doc_id) exchange partitioned by term — the
+    * same shuffle the index build itself pays; the window is per-term
+    * (bounded by df; a production build range-partitions hot terms'
+    * postings, which only splits the window). No floats except the
+    * final shared ratio formula.
+    */
+  def postingSizes(spark: SparkSession, dir: String): DataFrame = {
+    val varint = (v: String) =>
+      s"""cast(case when $v < 128 then 1 when $v < 16384 then 2
+         |  when $v < 2097152 then 3 when $v < 268435456 then 4
+         |  when $v < 34359738368L then 5 else 9 end as long)""".stripMargin
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        "cast(doc_id as long) as doc_id",
+        "explode(array_distinct(split(text, ' '))) as term")
+      .where("length(term) > 0")
+      .withColumn("gap", expr(
+        "doc_id - lag(doc_id) over (partition by term order by doc_id)"))
+      .selectExpr("term", s"${varint("coalesce(gap, doc_id)")} as vbytes")
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"), sum("vbytes").cast("long").as("varint_bytes"))
+      .selectExpr("term", "df", "8 * df as raw_bytes", "varint_bytes",
+        "round(cast(8 * df as double) / varint_bytes, 6) as compression")
+  }
+
+  val postingSizesSql: String = {
+    def varint(v: String) =
+      s"""CAST(CASE WHEN $v < 128 THEN 1 WHEN $v < 16384 THEN 2
+         |  WHEN $v < 2097152 THEN 3 WHEN $v < 268435456 THEN 4
+         |  WHEN $v < 34359738368 THEN 5 ELSE 9 END AS BIGINT)""".stripMargin
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    unnest(list_distinct(string_split(text, ' '))) AS term FROM documents),
+      |f AS (SELECT doc_id, term FROM t WHERE len(term) > 0),
+      |g AS (SELECT term,
+      |    doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap,
+      |    doc_id FROM f),
+      |v AS (SELECT term, ${varint("coalesce(gap, doc_id)")} AS vbytes FROM g)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+      |  CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+      |  round(CAST(8 * count(*) AS DOUBLE) / sum(vbytes), 6) AS compression
+      |FROM v GROUP BY term""".stripMargin
+  }
+
+  /** Self-retrieval sanity eval — the planted-ground-truth retrieval
+    * check an index rollout runs before any human relevance labels
+    * exist: every 41st document donates its first 8 words as a query
+    * (the same donor convention as the decontamination eval set); the
+    * donor document itself is the known-relevant answer, scored by
+    * EXACT distinct-term overlap with deterministic ties (higher
+    * overlap first, then smaller doc_id). Emitted per query: the
+    * donor's overlap, its strict rank, and the candidate count — a
+    * donor ranking below its near-duplicates is visible data, not an
+    * averaged-away float (no MRR mean: summing 1/rank floats is
+    * order-sensitive across engines).
+    *
+    * 100 TB shape: the query set is eval-sized and broadcast; per-doc
+    * overlap is a map-side join on the term key against the tiny query
+    * term table; the rank is one partial-agg'd count per query — no
+    * window over the corpus.
+    */
+  def selfRetrievalRank(spark: SparkSession, dir: String): DataFrame = {
+    // slice the RAW (order-preserving) word list, distinct only after —
+    // DuckDB's list_distinct does not preserve first-occurrence order,
+    // so distinct-then-slice would pick different query terms per engine
+    val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "filter(split(text, ' '), w -> w <> '') as ws")
+      .localCheckpoint(true)
+    val qTerms = docsT.where("doc_id % 41 = 0")
+      .selectExpr("doc_id as qid", "explode(array_distinct(slice(ws, 1, 8))) as term")
+    val docTerms = docsT.selectExpr("doc_id", "explode(array_distinct(ws)) as term")
+    val overlaps = docTerms.join(broadcast(qTerms), Seq("term"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).cast("long").as("ov"))
+      .localCheckpoint(true)
+    val donor = overlaps.where("qid = doc_id")
+      .selectExpr("qid", "ov as donor_ov")
+    overlaps.join(broadcast(donor), Seq("qid"))
+      .groupBy("qid")
+      .agg(
+        min("donor_ov").cast("long").as("donor_overlap"),
+        expr("""cast(1 + sum(case when ov > donor_ov
+               |  or (ov = donor_ov and doc_id < qid) then 1 else 0 end) as long)""".stripMargin)
+          .as("rank"),
+        count(lit(1)).cast("long").as("n_candidates"))
+  }
+
+  val selfRetrievalRankSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |q AS (SELECT doc_id AS qid, unnest(list_distinct(ws[1:8])) AS term
+      |  FROM d WHERE doc_id % 41 = 0),
+      |dt AS (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM d),
+      |ov AS (SELECT q.qid, dt.doc_id, CAST(count(*) AS BIGINT) AS ov
+      |  FROM dt JOIN q USING (term) GROUP BY 1, 2),
+      |donor AS (SELECT qid, ov AS donor_ov FROM ov WHERE qid = doc_id)
+      |SELECT ov.qid,
+      |  CAST(min(donor_ov) AS BIGINT) AS donor_overlap,
+      |  CAST(1 + sum(CASE WHEN ov > donor_ov
+      |    OR (ov = donor_ov AND doc_id < ov.qid) THEN 1 ELSE 0 END) AS BIGINT) AS rank,
+      |  CAST(count(*) AS BIGINT) AS n_candidates
+      |FROM ov JOIN donor ON donor.qid = ov.qid
+      |GROUP BY ov.qid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> (bm25TopK(_, _)),
     "q_tfidf_keywords" -> (tfidfKeywords(_, _)),
+    "q_posting_sizes" -> (postingSizes(_, _)),
+    "q_self_retrieval_rank" -> (selfRetrievalRank(_, _)),
     "q_quality_classifier" -> (qualityClassifier(_, _)),
     "q_calibration_bins" -> (calibrationBins(_, _)),
     "q_quality_auc" -> (qualityAuc(_, _)),
@@ -462,6 +578,8 @@ object RankOps {
   def oracles: Map[String, String] = Map(
     "q_bm25_topk" -> bm25TopKSql,
     "q_tfidf_keywords" -> tfidfKeywordsSql,
+    "q_posting_sizes" -> postingSizesSql,
+    "q_self_retrieval_rank" -> selfRetrievalRankSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_calibration_bins" -> calibrationBinsSql,
     "q_quality_auc" -> qualityAucSql,
