@@ -648,7 +648,11 @@ object StreamingOps {
       val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val nSlices = 4
+    // 2 real slices per side (was 4): the exactness argument above only
+    // needs adjacent-slice coverage (>= 2 time-ordered slices); every
+    // extra slice costs two more AvailableNow micro-batch floors, and
+    // the two-sided joins are the bench loop's ceiling (r4 verdict ask).
+    val nSlices = 2
     val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
     val stage = java.nio.file.Files.createTempDirectory("stream_join_src")
     val viewsDir = java.nio.file.Files.createDirectory(stage.resolve("views"))
@@ -736,7 +740,11 @@ object StreamingOps {
       val r = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val nSlices = 4
+    // 2 real slices per side (was 4) — same adjacent-slice exactness
+    // argument as streamJoin; the outer join additionally waits for the
+    // sentinel-driven watermark pass before emitting unmatched rows,
+    // which the sentinel slices (unchanged) still provide.
+    val nSlices = 2
     val spanUs = math.max(1L, (maxUs - minUs) / nSlices + 1)
     val stage = java.nio.file.Files.createTempDirectory("stream_ljoin_src")
     val viewsDir = java.nio.file.Files.createDirectory(stage.resolve("views"))
