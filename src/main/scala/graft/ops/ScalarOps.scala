@@ -260,6 +260,73 @@ object ScalarOps {
       |    (acc, x) -> (acc * 131 + x) % 1000000007) AS roll_fp
       |FROM v""".stripMargin
 
+  // --------------------------------------------------------------- winnowing
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003,
+    * the MOSS algorithm; SIGMOD): hash every 3-word shingle, slide a
+    * w=4 window over the hash sequence, and per window select the
+    * MINIMUM hash — ties to the RIGHTMOST minimum (the paper's robust
+    * winnowing rule, §5: re-selecting the same position across
+    * overlapping windows is what guarantees density 2/(w+1) and makes
+    * the fingerprint set position-robust for local plagiarism/copy
+    * detection, the step [[rollingFp]]'s single whole-doc hash cannot
+    * do). Selected positions dedup across overlapping windows; emitted
+    * per doc: gram/fingerprint counts, selection density, and the
+    * ordered fingerprint string (one wrong selection anywhere fails
+    * the hash).
+    *
+    * 100 TB shape: pure in-row higher-order functions over the token
+    * array — no shuffle at all; at corpus scale the emitted
+    * (fingerprint, doc) pairs feed the same inverted-index bucket join
+    * as [[graft.ops.DedupOps.shingleContainment]]'s candidates.
+    */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    t(spark, dir, "documents")
+      .selectExpr("cast(doc_id as long) as doc_id",
+        "filter(split(text, ' '), x -> x <> '') as ws")
+      .selectExpr("doc_id",
+        """case when size(ws) >= 3
+          |  then transform(sequence(1, size(ws) - 2),
+          |    i -> cast(conv(substring(md5(concat(element_at(ws, i), ' ',
+          |         element_at(ws, i + 1), ' ', element_at(ws, i + 2))), 1, 14), 16, 10) as long))
+          |  else cast(array() as array<bigint>) end as h""".stripMargin)
+      .selectExpr("doc_id", "h",
+        s"""case when size(h) >= $w
+           |  then array_sort(array_distinct(transform(sequence(1, size(h) - ${w - 1}),
+           |    j -> j - 1 + ($w + 1L - array_position(reverse(slice(h, j, $w)),
+           |                                           array_min(slice(h, j, $w)))))))
+           |  else cast(array() as array<bigint>) end as sel""".stripMargin)
+      .selectExpr("doc_id",
+        "cast(size(h) as long) as n_grams",
+        "cast(size(sel) as long) as n_fp",
+        """case when size(h) = 0 then cast(0.0 as double)
+          |  else round(cast(size(sel) as double) / size(h), 6) end as density""".stripMargin,
+        "array_join(transform(sel, p -> cast(element_at(h, cast(p as int)) as string)), ',') as fp_str")
+  }
+
+  val winnowingSql: String = {
+    val w = 4
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1),
+      |      i -> CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]), 1, 14))::BIGINT AS BIGINT))
+      |    ELSE []::BIGINT[] END AS h FROM d),
+      |s AS (SELECT doc_id, h, CASE WHEN len(h) >= $w
+      |    THEN list_sort(list_distinct(list_transform(range(1, len(h) - ${w - 2}),
+      |      j -> j - 1 + ($w + 1 - list_position(list_reverse(h[j:j + ${w - 1}]),
+      |                                           list_min(h[j:j + ${w - 1}]))))))
+      |    ELSE []::BIGINT[] END AS sel FROM g)
+      |SELECT doc_id,
+      |  CAST(len(h) AS BIGINT) AS n_grams,
+      |  CAST(len(sel) AS BIGINT) AS n_fp,
+      |  CASE WHEN len(h) = 0 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE round(CAST(len(sel) AS DOUBLE) / len(h), 6) END AS density,
+      |  array_to_string(list_transform(sel, p -> CAST(h[CAST(p AS INT)] AS VARCHAR)), ',') AS fp_str
+      |FROM s""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -271,7 +338,8 @@ object ScalarOps {
     "q_fuzzy_top1" -> (fuzzyTop1(_, _)),
     "q_token_sort_scores" -> (tokenSortScores(_, _)),
     "q_union_branches" -> (unionBranches(_, _)),
-    "q_rolling_fp" -> (rollingFp(_, _)))
+    "q_rolling_fp" -> (rollingFp(_, _)),
+    "q_winnowing" -> (winnowing(_, _)))
 
   def oracles: Map[String, String] = Map(
     "q_checkbox" -> checkboxSql,
@@ -282,5 +350,6 @@ object ScalarOps {
     "q_fuzzy_top1" -> fuzzyTop1Sql,
     "q_token_sort_scores" -> tokenSortScoresSql,
     "q_union_branches" -> unionBranchesSql,
-    "q_rolling_fp" -> rollingFpSql)
+    "q_rolling_fp" -> rollingFpSql,
+    "q_winnowing" -> winnowingSql)
 }
