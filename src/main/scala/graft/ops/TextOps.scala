@@ -175,6 +175,42 @@ object TextOps {
        |FROM p GROUP BY lang, lang_pred""".stripMargin
   }
 
+  /** Host language homogeneity — the crawl-side language signal next to
+    * [[langAgreement]]'s per-doc gate: per host (doc_id % 20, the same
+    * host key as the link/robots tiers), the declared-language
+    * distribution and its Shannon entropy in integer micro-nats. A
+    * multilingual host is a language-routing decision (per-lang
+    * sub-corpora); a host whose entropy JUMPS between crawls is usually
+    * a parked/hijacked domain. Exact: integer counts, one shared
+    * -Σ p·ln(p) formula rounded once.
+    *
+    * 100 TB shape: one (host, lang) partial-agg'd count shuffle over
+    * narrow keys, then a per-host rollup over ≤|langs| cells.
+    */
+  def hostLangEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("cast(doc_id % 20 as long) as host_id", "lang")
+      .groupBy("host_id", "lang")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn("n", expr("sum(c) over (partition by host_id)"))
+      .groupBy("host_id")
+      .agg(
+        min("n").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_langs"),
+        expr("""cast(round(-1000000.0D * sum((cast(c as double) / n)
+               |  * ln(cast(c as double) / n))) as bigint)""".stripMargin)
+          .as("entropy_unats"))
+
+  val hostLangEntropySql: String =
+    """WITH cells AS (SELECT CAST(doc_id % 20 AS BIGINT) AS host_id, lang,
+      |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+      |w AS (SELECT host_id, c, sum(c) OVER (PARTITION BY host_id) AS n FROM cells)
+      |SELECT host_id, CAST(min(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_langs,
+      |  CAST(round(-1000000.0 * sum((CAST(c AS DOUBLE) / n)
+      |    * ln(CAST(c AS DOUBLE) / n))) AS BIGINT) AS entropy_unats
+      |FROM w GROUP BY host_id""".stripMargin
+
   // ----------------------------------------------------- CJK language id
 
   // Character profiles for the unsegmented scripts the word-marker LID
@@ -1438,6 +1474,7 @@ object TextOps {
     "q_token_count" -> (tokenCount(_, _)),
     "q_lang_id" -> (langId(_, _)),
     "q_lang_agreement" -> (langAgreement(_, _)),
+    "q_host_lang_entropy" -> (hostLangEntropy(_, _)),
     "q_lang_id_cjk" -> (langIdCjk(_, _)),
     "q_quality" -> (quality(_, _)),
     "q_gopher_quality" -> (gopherQuality(_, _)),
@@ -1470,6 +1507,7 @@ object TextOps {
     "q_token_count" -> tokenCountSql,
     "q_lang_id" -> langIdSql,
     "q_lang_agreement" -> langAgreementSql,
+    "q_host_lang_entropy" -> hostLangEntropySql,
     "q_lang_id_cjk" -> langIdCjkSql,
     "q_quality" -> qualitySql,
     "q_gopher_quality" -> gopherQualitySql,
