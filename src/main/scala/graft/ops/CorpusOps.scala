@@ -714,7 +714,58 @@ object CorpusOps {
 
   // ------------------------------------------------------------- registry
 
+  /** Corpus novelty curve — the dataset-growth saturation metric a
+    * crawl program tracks release over release (how much genuinely NEW
+    * content each crawl day adds, the curve that decides when more
+    * crawling stops paying): per synthetic crawl day (doc_id % 30, the
+    * same day key as the ExtractJob partitions), the number of distinct
+    * 3-gram shingles whose FIRST corpus occurrence is that day, next to
+    * the day's total distinct grams and the novelty ratio. First
+    * occurrence = min(day) per gram — order-free and exact.
+    *
+    * 100 TB shape: one (gram-hash, day) pair stream with map-side
+    * partial min — the gram dim is the only shuffled state (text never
+    * rides); the per-day rollup is 30 rows.
+    */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .selectExpr("cast(doc_id % 30 as long) as day",
+        "filter(split(text, ' '), x -> x <> '') as ws")
+      .selectExpr("day",
+        """explode(case when size(ws) >= 3
+          |  then array_distinct(transform(sequence(1, size(ws) - 2),
+          |    i -> md5(concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ',
+          |                    element_at(ws, i + 2)))))
+          |  else cast(array() as array<string>) end) as g""".stripMargin)
+      .localCheckpoint(true)
+    val firstSeen = grams.groupBy("g").agg(min("day").as("first_day"))
+      .groupBy("first_day").agg(count(lit(1)).cast("long").as("n_novel"))
+      .withColumnRenamed("first_day", "day")
+    val perDay = grams.distinct()
+      .groupBy("day").agg(count(lit(1)).cast("long").as("n_grams"))
+    perDay.join(firstSeen, Seq("day"), "left")
+      .selectExpr("day", "n_grams", "coalesce(n_novel, 0L) as n_novel",
+        "round(cast(coalesce(n_novel, 0L) as double) / n_grams, 6) as novelty")
+  }
+
+  val noveltyCurveSql: String =
+    """WITH d AS (SELECT CAST(doc_id % 30 AS BIGINT) AS day,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+      |g0 AS (SELECT day, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> md5(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])))
+      |    ELSE [] END AS gs FROM d),
+      |g AS (SELECT day, unnest(gs) AS g FROM g0),
+      |fs AS (SELECT g, min(day) AS day FROM g GROUP BY g),
+      |nv AS (SELECT day, CAST(count(*) AS BIGINT) AS n_novel FROM fs GROUP BY day),
+      |pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_grams
+      |  FROM (SELECT DISTINCT day, g FROM g) GROUP BY day)
+      |SELECT pd.day, pd.n_grams, coalesce(nv.n_novel, 0) AS n_novel,
+      |  round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / pd.n_grams, 6) AS novelty
+      |FROM pd LEFT JOIN nv ON nv.day = pd.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_novelty_curve" -> (noveltyCurve(_, _)),
     "q_effective_tokens" -> (effectiveTokens(_, _)),
     "q_template_spam" -> (templateSpam(_, _)),
     "q_para_dedup" -> (paraDedup(_, _)),
@@ -730,6 +781,7 @@ object CorpusOps {
     "q_host_line_dedup" -> (hostLineDedup(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_novelty_curve" -> noveltyCurveSql,
     "q_effective_tokens" -> effectiveTokensSql,
     "q_template_spam" -> templateSpamSql,
     "q_para_dedup" -> paraDedupSql,
