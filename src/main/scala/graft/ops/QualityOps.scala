@@ -405,7 +405,78 @@ object QualityOps {
 
   // -------------------------------------------------------- registry
 
+  /** Power-law tail fit of the document-length distribution — the Hill
+    * estimator (Hill 1975; the MLE for the Pareto tail exponent, the
+    * standard tool of Clauset–Shalizi–Newman 2009 §3): over docs with
+    * n_chars ≥ x_min = 100, alpha = 1 + n / Σ ln(x_i / x_min). Web doc
+    * lengths are canonically heavy-tailed; a tail exponent that drifts
+    * between crawls flags a template/spam regime change. Integer
+    * inputs; the estimate is one shared double formula rounded once.
+    *
+    * 100 TB shape: one filtered single-row aggregate — the ln-sum is a
+    * map-side partial sum; nothing else moves.
+    */
+  def powerlawTail(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where("n_chars >= 100")
+      .agg(
+        expr("cast(count(*) as long) as n_tail"),
+        expr("sum(ln(cast(n_chars as double) / 100.0D)) as lnsum"))
+      .selectExpr("n_tail", "round(lnsum, 6) as lnsum",
+        "round(1.0D + cast(n_tail as double) / lnsum, 6) as alpha")
+
+  val powerlawTailSql: String =
+    """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+      |    sum(ln(CAST(n_chars AS DOUBLE) / 100.0)) AS lnsum
+      |  FROM documents WHERE n_chars >= 100)
+      |SELECT n_tail, round(lnsum, 6) AS lnsum,
+      |  round(1.0 + CAST(n_tail AS DOUBLE) / lnsum, 6) AS alpha
+      |FROM t""".stripMargin
+
+  /** Crawl-balance Gini coefficient over docs-per-host — the inequality
+    * rollup a crawl operator reads next to the budget allocator: 0 =
+    * perfectly even host coverage, →1 = one megasite ate the crawl.
+    * The host key carries planted skew (see below) so the metric is
+    * value-bearing at every SF.
+    * Computed by the exact sorted-rank identity
+    * G = (2·Σ i·x_(i)) / (n·Σ x) − (n+1)/n with integer rank products
+    * (ties broken by host id — same total either way; the identity is
+    * permutation-stable within ties). The host dim is metadata-scale,
+    * so the rank window is over ≤|hosts| rows, never documents.
+    */
+  def hostGini(spark: SparkSession, dir: String): DataFrame =
+    // planted-skew host key (host k owns a 2k+1 share of every 400
+    // docs): the flat doc_id % 20 key is perfectly uniform, which makes
+    // Gini identically 0 — value-free. floor(sqrt(small int)) is exact
+    // in IEEE double on both engines.
+    docs(spark, dir)
+      .selectExpr("cast(floor(sqrt(cast(doc_id % 400 as double))) as long) as host_id")
+      .groupBy("host_id")
+      .agg(count(lit(1)).cast("long").as("x"))
+      .withColumn("i", expr("row_number() over (order by x, host_id)"))
+      .agg(
+        expr("cast(count(*) as long) as n_hosts"),
+        expr("cast(sum(x) as long) as n_docs"),
+        expr("cast(sum(cast(i as long) * x) as long) as rank_sum"))
+      .selectExpr("n_hosts", "n_docs", "rank_sum",
+        """round(2.0D * rank_sum / (cast(n_hosts as double) * n_docs)
+          |  - (cast(n_hosts as double) + 1.0D) / n_hosts, 6) as gini""".stripMargin)
+
+  val hostGiniSql: String =
+    """WITH h AS (SELECT CAST(floor(sqrt(CAST(doc_id % 400 AS DOUBLE))) AS BIGINT) AS host_id,
+      |    CAST(count(*) AS BIGINT) AS x FROM documents GROUP BY 1),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, host_id) AS i FROM h),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+      |    CAST(sum(x) AS BIGINT) AS n_docs,
+      |    CAST(sum(i * x) AS BIGINT) AS rank_sum FROM r)
+      |SELECT n_hosts, n_docs, rank_sum,
+      |  round(2.0 * rank_sum / (CAST(n_hosts AS DOUBLE) * n_docs)
+      |    - (CAST(n_hosts AS DOUBLE) + 1.0) / n_hosts, 6) AS gini
+      |FROM a""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_powerlaw_tail" -> (powerlawTail(_, _)),
+    "q_host_gini" -> (hostGini(_, _)),
     "q_decontaminate" -> (decontaminate(_, _)),
     "q_blocklist_gate" -> (blocklistGate(_, _)),
     "q_robust_outliers" -> (robustOutliers(_, _)),
@@ -413,6 +484,8 @@ object QualityOps {
     "q_lm_perplexity" -> (lmPerplexity(_, _)))
 
   def oracles: Map[String, String] = Map(
+    "q_powerlaw_tail" -> powerlawTailSql,
+    "q_host_gini" -> hostGiniSql,
     "q_decontaminate" -> decontaminateSql,
     "q_blocklist_gate" -> blocklistGateSql,
     "q_robust_outliers" -> robustOutliersSql,
