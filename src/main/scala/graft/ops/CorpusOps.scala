@@ -764,8 +764,52 @@ object CorpusOps {
       |  round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / pd.n_grams, 6) AS novelty
       |FROM pd LEFT JOIN nv ON nv.day = pd.day""".stripMargin
 
+  /** Heaps' law growth table (Heaps 1978; the vocabulary-growth
+    * V(n) ≈ K·n^β companion to [[noveltyCurve]]'s shingle novelty):
+    * per crawl day, the CUMULATIVE token count and cumulative distinct
+    * vocabulary — the curve whose flattening tells a crawl program the
+    * lexicon is saturating even while raw tokens keep arriving. All
+    * integers: per-day token sums and per-word first-occurrence days
+    * roll up exactly; the cumulative window runs over 30 day-rows.
+    *
+    * 100 TB shape: one (word, day) partial-min shuffle over the
+    * dictionary-encoded word dim + one per-day token count — the
+    * cumulative window never touches more rows than there are days.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .selectExpr("cast(doc_id % 30 as long) as day",
+        "filter(split(text, ' '), x -> x <> '') as ws")
+      .localCheckpoint(true)
+    val perDayTokens = toks.groupBy("day")
+      .agg(sum(expr("size(ws)")).cast("long").as("d_tokens"))
+    val perDayNewWords = toks.selectExpr("day", "explode(array_distinct(ws)) as w")
+      .groupBy("w").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).cast("long").as("d_new_words"))
+    perDayTokens.join(perDayNewWords, Seq("day"), "left")
+      .selectExpr("day", "d_tokens", "coalesce(d_new_words, 0L) as d_new")
+      .selectExpr("day",
+        "cast(sum(d_tokens) over (order by day) as long) as cum_tokens",
+        "cast(sum(d_new) over (order by day) as long) as cum_vocab")
+  }
+
+  val heapsLawSql: String =
+    """WITH d AS (SELECT CAST(doc_id % 30 AS BIGINT) AS day,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+      |pt AS (SELECT day, CAST(sum(len(ws)) AS BIGINT) AS d_tokens FROM d GROUP BY day),
+      |fw AS (SELECT w, min(day) AS day FROM (
+      |    SELECT day, unnest(list_distinct(ws)) AS w FROM d) GROUP BY w),
+      |nw AS (SELECT day, CAST(count(*) AS BIGINT) AS d_new FROM fw GROUP BY day),
+      |j AS (SELECT pt.day, pt.d_tokens, coalesce(nw.d_new, 0) AS d_new
+      |  FROM pt LEFT JOIN nw ON nw.day = pt.day)
+      |SELECT day,
+      |  CAST(sum(d_tokens) OVER (ORDER BY day) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(d_new) OVER (ORDER BY day) AS BIGINT) AS cum_vocab
+      |FROM j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_novelty_curve" -> (noveltyCurve(_, _)),
+    "q_heaps_law" -> (heapsLaw(_, _)),
     "q_effective_tokens" -> (effectiveTokens(_, _)),
     "q_template_spam" -> (templateSpam(_, _)),
     "q_para_dedup" -> (paraDedup(_, _)),
@@ -782,6 +826,7 @@ object CorpusOps {
 
   def oracles: Map[String, String] = Map(
     "q_novelty_curve" -> noveltyCurveSql,
+    "q_heaps_law" -> heapsLawSql,
     "q_effective_tokens" -> effectiveTokensSql,
     "q_template_spam" -> templateSpamSql,
     "q_para_dedup" -> paraDedupSql,
