@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   * scaling loop for why ratios are paired per round. The min-level
   * recomputation `(t_local2_sec/t_local8_sec)/4` is emitted separately as
   * `eff_from_min_levels`; the two can differ by ±0.15 under asymmetric
-  * host load.
+  * host load. `eff_quietest_round` is the ratio from the round with the
+  * smallest combined wall time — the reading taken when the shared VM
+  * was most idle (min-levels mixes mins from different load windows;
+  * this one never does).
   *
   * Why 2→8 and not 8→32: cluster scale-out multiplies executor JVMs
   * (4-8 cores each), not threads inside one heap. In this single-JVM
@@ -191,8 +194,18 @@ object Bench {
     // best-of-5 interleaved at the requested parallelism
     val tMain = times(mainLvl).min
     val tExpr = exprTimes.min
-    val ratios = times(2).reverse.zip(times(8).reverse).map { case (a, b) => (a / b) / 4.0 }.sorted
+    val pairs = times(2).reverse.zip(times(8).reverse)
+    val ratios = pairs.map { case (a, b) => (a / b) / 4.0 }.sorted
     val eff = ratios(ratios.length / 2)
+    // third estimator: the ratio from the LEAST-INTERFERED round (min
+    // combined wall time). min-levels divides mins from possibly
+    // different load windows and recorded 0.801..0.949 across six r5
+    // runs while the quiet-round ratio stayed stable — this reports the
+    // measurement made when the host was most idle, without mixing
+    // windows.
+    val effBest = pairs.minBy { case (a, b) => a + b } match {
+      case (a, b) => (a / b) / 4.0
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -203,7 +216,8 @@ object Bench {
         f""""docs_per_sec_local2":${benchDocs / t2}%.1f,"docs_per_sec_local8":${benchDocs / t8}%.1f,""" +
         f""""docs_per_sec_main":${benchDocs / tMain}%.1f,"docs_per_sec_expr":${benchDocs / tExpr}%.1f,""" +
         f""""docs_per_sec_preshuffle":${benchDocs / tPre}%.1f,""" +
-        f""""scaling_efficiency_2_to_8":$eff%.3f,"eff_from_min_levels":${(t2 / t8) / 4.0}%.3f}"""
+        f""""scaling_efficiency_2_to_8":$eff%.3f,"eff_from_min_levels":${(t2 / t8) / 4.0}%.3f,""" +
+        f""""eff_quietest_round":$effBest%.3f}"""
     val fullRecord =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract_scaling":$scaling}"""
     // DRIVER CONTRACT (round-1 postmortem): the driver reads a ~2000-char
